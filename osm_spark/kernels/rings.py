@@ -1,0 +1,273 @@
+"""Ring assembly: arc merging + backtracking ring closing.
+
+Semantics parity with /root/reference/ring.go:
+- ``merge_arcs`` (ring.go:127-157): union-find merge of all degree-2
+  endpoint chains into maximal arcs. Endpoint equality is EXACT int64
+  (lon, lat) tuple equality — the reference keys a Go map on the Point
+  struct (ring.go:103-112); float-tolerance merging would change results.
+- ``make_rings`` (ring.go:214-269): backtracking DFS that assembles
+  closed rings from arcs via an endpoint map; fails if any line cannot
+  be closed ("cannot close ring: <id>", ring.go:264).
+- ``is_valid_ring`` (ring.go:200-212): closed + >=4 points + simple
+  (non-self-intersecting). GEOS IsRing/IsSimple is replaced by an exact
+  integer-arithmetic segment-intersection test (numpy bbox prefilter,
+  exact Python-int orientation on candidates).
+
+Coordinates are fixed-point int64 degrees ×1e7 throughout
+(geojson.go:12-15); floats appear only at the JSON boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from osm_spark.kernels.unionfind import UnionFind
+
+Point = tuple[int, int]  # (lon, lat) fixed-point 1e-7 degrees
+
+
+class Linestring:
+    """A way's geometry with its membership role (ring.go:10-14)."""
+
+    __slots__ = ("id", "role", "points")
+
+    def __init__(self, id: int, points: list[Point], role: str = "") -> None:
+        self.id = id
+        self.role = role
+        self.points = points
+
+    def start(self) -> Point:
+        return self.points[0]
+
+    def end(self) -> Point:
+        return self.points[-1]
+
+    def clone(self) -> "Linestring":
+        return Linestring(self.id, list(self.points), self.role)
+
+    def reverse(self) -> None:
+        self.points.reverse()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Linestring(id={self.id}, role={self.role!r}, n={len(self.points)})"
+
+
+def merge_lines(l1: Linestring, l2: Linestring) -> None:
+    """Orient and concatenate two lines sharing an endpoint (ring.go:114-125)."""
+    if l1.start() == l2.start() or l1.end() == l2.end():
+        l2.reverse()
+    if l1.end() == l2.start():
+        l1.points = l1.points + l2.points[1:]
+    elif l1.start() == l2.end():
+        l1.points = l2.points + l1.points[1:]
+    else:
+        raise ValueError("unrelated lines")
+
+
+def merge_arcs(lines: list[Linestring]) -> list[Linestring]:
+    """Merge all degree-2 endpoint chains into maximal arcs (ring.go:127-157)."""
+    endpoints: dict[Point, list[int]] = {}
+    for i, line in enumerate(lines):
+        endpoints.setdefault(line.start(), []).append(i)
+        endpoints.setdefault(line.end(), []).append(i)
+
+    uf = UnionFind(len(lines))
+    for indices in endpoints.values():
+        if len(indices) != 2:
+            continue
+        i = uf.find(indices[0])
+        j = uf.find(indices[1])
+        if i == j:
+            continue
+        uf.merge(i, j)
+        merge_lines(lines[i], lines[j])
+        lines[uf.find(i)] = lines[i]
+    return [line for i, line in enumerate(lines) if uf.find(i) == i]
+
+
+# --- exact integer geometry predicates -------------------------------------
+
+
+def _orient(ax: int, ay: int, bx: int, by: int, cx: int, cy: int) -> int:
+    """Sign of the cross product (b-a) x (c-a); exact (Python big ints)."""
+    v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    return (v > 0) - (v < 0)
+
+
+def _on_segment(ax: int, ay: int, bx: int, by: int, px: int, py: int) -> bool:
+    """p collinear-with and within bbox of segment ab (caller checks collinear)."""
+    return min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
+
+
+def _segments_intersect(p1: Point, p2: Point, p3: Point, p4: Point) -> bool:
+    o1 = _orient(*p1, *p2, *p3)
+    o2 = _orient(*p1, *p2, *p4)
+    o3 = _orient(*p3, *p4, *p1)
+    o4 = _orient(*p3, *p4, *p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and _on_segment(*p1, *p2, *p3):
+        return True
+    if o2 == 0 and _on_segment(*p1, *p2, *p4):
+        return True
+    if o3 == 0 and _on_segment(*p3, *p4, *p1):
+        return True
+    if o4 == 0 and _on_segment(*p3, *p4, *p2):
+        return True
+    return False
+
+
+def is_simple_ring(points: list[Point]) -> bool:
+    """No self-intersection besides the shared closing endpoint.
+
+    Exactness: numpy float64 bbox prefilter (differences < 2^53, exact)
+    narrows candidate pairs; exact integer orientation tests decide.
+    """
+    n = len(points) - 1  # segment count (closed ring: last point == first)
+    if n < 3:
+        return False
+    # Spike check on adjacent segments: (p,q,r) with r collinear going back.
+    for i in range(n):
+        p, q, r = points[i], points[i + 1], points[(i + 2) % n if i + 2 > n else i + 2]
+        if _orient(*p, *q, *r) == 0 and (p[0] - q[0]) * (r[0] - q[0]) + (p[1] - q[1]) * (r[1] - q[1]) > 0:
+            return False
+    if n == 3:
+        return True
+
+    pts = np.asarray(points, dtype=np.float64)
+    x1, y1 = pts[:-1, 0], pts[:-1, 1]
+    x2, y2 = pts[1:, 0], pts[1:, 1]
+    minx, maxx = np.minimum(x1, x2), np.maximum(x1, x2)
+    miny, maxy = np.minimum(y1, y2), np.maximum(y1, y2)
+
+    # Candidate pairs via bbox overlap, blocked to bound memory.
+    block = 2048
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        ov = (
+            (minx[s:e, None] <= maxx[None, :])
+            & (maxx[s:e, None] >= minx[None, :])
+            & (miny[s:e, None] <= maxy[None, :])
+            & (maxy[s:e, None] >= miny[None, :])
+        )
+        ii, jj = np.nonzero(ov)
+        for a, b in zip((ii + s).tolist(), jj.tolist()):
+            if b <= a + 1:
+                continue  # self or adjacent (handled above); dedupe a<b
+            if a == 0 and b == n - 1:
+                continue  # closing adjacency
+            if _segments_intersect(points[a], points[a + 1], points[b], points[b + 1]):
+                return False
+    return True
+
+
+def is_valid_ring(line: Linestring) -> bool:
+    """Closed + enough points (ring.go:200-212).
+
+    Behavioral note: the reference's isValidRing calls GEOS IsRing +
+    IsSimple, but its own test vector geojson_test.go:43 (quad 0,1,2,4)
+    assembles to a PROVABLY self-intersecting ring (exact-arithmetic
+    bowtie: edges P1→P2 and P4→P0 properly cross at t=0.344/u=0.212)
+    and the test expects it to be accepted — so the observable reference
+    semantics are closed + ≥4 points, which is what we implement.
+    ``is_simple_ring`` remains available as a strict validator for the
+    quality side-channel (it is NOT part of assembly parity).
+    """
+    pts = line.points
+    if len(pts) < 4:
+        return False
+    return pts[0] == pts[-1]
+
+
+# --- backtracking ring closing ---------------------------------------------
+
+
+class _RingParts:
+    """Iteratively add lines to form a ring (ring.go:57-101)."""
+
+    __slots__ = ("parts", "start", "end")
+
+    def __init__(self, first: Linestring) -> None:
+        self.parts = [first]
+        self.start = first.start()
+        self.end = first.end()
+
+    def push(self, line: Linestring) -> None:
+        line = line.clone()
+        if line.end() == self.end:
+            line.reverse()
+        if self.end == line.start():
+            self.end = line.end()
+        else:
+            raise ValueError("ring and part are not linked")
+        self.parts.append(line)
+
+    def pop(self) -> None:
+        p = self.parts.pop()
+        self.end = p.start()
+
+    def make_ring(self) -> Linestring:
+        """Combine all parts into one closed Linestring (ring.go:161-182)."""
+        base = self.parts[0].clone()
+        for other in self.parts[1:]:
+            if base.end() != other.start():
+                raise ValueError("parts are not linked")
+            base.points = base.points + other.points[1:]
+            if base.role != "" and base.role != other.role:
+                base.role = ""
+        if base.start() != base.end():
+            raise ValueError("unclosed ring")
+        return base
+
+
+def _make_ring(
+    parts: _RingParts,
+    endpoints: dict[Point, list[Linestring]],
+    seen: dict[int, bool],
+) -> Linestring | None:
+    """Backtracking DFS (ring.go:214-241)."""
+    if parts.start == parts.end:
+        r = parts.make_ring()
+        if not is_valid_ring(r):
+            return None
+        return r
+    for nxt in endpoints.get(parts.end, ()):
+        if seen.get(nxt.id):
+            continue
+        if nxt.start() != parts.end and nxt.end() != parts.end:
+            continue
+        seen[nxt.id] = True
+        parts.push(nxt)
+        r = _make_ring(parts, endpoints, seen)
+        if r is not None:
+            return r
+        parts.pop()
+        seen[nxt.id] = False
+    return None
+
+
+class RingError(ValueError):
+    pass
+
+
+def make_rings(lines: list[Linestring]) -> list[Linestring]:
+    """Combine lines into closed rings; error if any line is left open
+    (ring.go:246-269). Mutates/consumes the input list (arcs are merged
+    in place, as the reference does)."""
+    lines = merge_arcs(lines)
+    endpoints: dict[Point, list[Linestring]] = {}
+    for line in lines:
+        endpoints.setdefault(line.start(), []).append(line)
+        endpoints.setdefault(line.end(), []).append(line)
+
+    rings: list[Linestring] = []
+    seen: dict[int, bool] = {}
+    for line in lines:
+        if seen.get(line.id):
+            continue
+        seen[line.id] = True
+        r = _make_ring(_RingParts(line), endpoints, seen)
+        if r is None:
+            raise RingError(f"cannot close ring: {line.id}")
+        rings.append(r)
+    return rings

@@ -1,0 +1,282 @@
+"""Kernel unit tests — exact vectors ported from /root/reference/*_test.go.
+
+Pure-Python (no Spark) so they run in milliseconds; see FIXTURES.md §2.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from osm_spark.kernels.centroid import compute_centroid
+from osm_spark.kernels.poly import (
+    Ring,
+    make_inclusion_trees,
+    make_polygons,
+    point_in_polygon,
+)
+from osm_spark.kernels.rings import Linestring, RingError, make_rings
+from osm_spark.kernels.unionfind import UnionFind
+from osm_spark.kernels.winding import is_clockwise, polygons_to_coords
+
+
+# --- unionfind_test.go:5-46 --------------------------------------------------
+
+
+def test_union_find():
+    uf = UnionFind(5)
+    assert [uf.find(i) for i in range(5)] == [0, 1, 2, 3, 4]
+    uf.merge(1, 3)
+    assert [uf.find(i) for i in range(5)] == [0, 1, 2, 1, 4]
+    uf.merge(0, 2)
+    assert [uf.find(i) for i in range(5)] == [0, 1, 0, 1, 4]
+    uf.merge(2, 1)
+    assert [uf.find(i) for i in range(5)] == [0, 0, 0, 0, 4]
+    uf.merge(2, 4)
+    assert [uf.find(i) for i in range(5)] == [0, 0, 0, 0, 0]
+
+
+# --- geojson_test.go:12-55 (ring closing) ------------------------------------
+
+POINTS = [
+    (63157253, 495828250),
+    (63393455, 495385894),
+    (62918950, 495482440),
+    (63122770, 495816200),
+    (63249607, 495308781),
+    (63553830, 495556220),
+    (63391705, 495382442),
+    (63425441, 495417741),
+    (63396664, 495392000),
+]
+
+
+def make_segments(*indices: int) -> list[Linestring]:
+    return [
+        Linestring(i - 1, [POINTS[indices[i - 1]], POINTS[indices[i]]])
+        for i in range(1, len(indices))
+    ]
+
+
+@pytest.mark.parametrize(
+    "path",
+    [
+        (0, 1, 2, 0),
+        (0, 1, 2, 4, 0),
+        (0, 3, 2, 4, 6, 1, 8, 7, 5, 0),
+    ],
+)
+def test_close_rings(path):
+    rings = make_rings(make_segments(*path))
+    assert len(rings) == 1
+    assert rings[0].points[0] == rings[0].points[-1]
+
+
+def test_close_rings_reversed_segments():
+    # Reversing segments must still close (G1, ring.go:34-40).
+    segs = make_segments(0, 1, 2, 4, 0)
+    for s in segs[::2]:
+        s.reverse()
+    rings = make_rings(segs)
+    assert len(rings) == 1
+
+
+def test_open_chain_fails():
+    segs = make_segments(0, 1, 2)  # open chain
+    with pytest.raises(RingError, match="cannot close ring"):
+        make_rings(segs)
+
+
+# --- poly_test.go:90-159 (inclusion trees) ------------------------------------
+
+
+def make_test_ring(points: list[tuple[int, int]]) -> Linestring:
+    scaled = [(x * 10000, y * 10000) for (x, y) in points]
+    if scaled[0] != scaled[-1]:
+        scaled.append(scaled[0])
+    return Linestring(0, scaled)
+
+
+def print_trees(rings: list[Linestring]) -> str:
+    rs = [Ring(r.points, r.role) for r in rings]
+    out: list[str] = []
+
+    def print_node(n, prefix=""):
+        kids = "".join(f"{c.id} " for c in n.children)
+        out.append(f"{prefix}{n.id}: [{kids}]")
+        for c in n.children:
+            print_node(c, prefix + "  ")
+
+    for n in make_inclusion_trees(rs):
+        print_node(n)
+    return "\n".join(line.strip() for line in out)
+
+
+def check_trees(rings, expected):
+    exp = "\n".join(l.strip() for l in expected.strip().splitlines() if l.strip())
+    assert print_trees(rings) == exp
+
+
+def test_single_polygon():
+    check_trees(
+        [make_test_ring([(0, 0), (0, 1), (1, 1), (1, 0)])],
+        "0: []",
+    )
+
+
+def test_full_inclusion():
+    check_trees(
+        [
+            make_test_ring([(0, 0), (0, 3), (3, 3), (3, 0)]),
+            make_test_ring([(1, 1), (1, 2), (2, 2), (2, 1)]),
+        ],
+        """
+        0: [1 ]
+        1: []
+        """,
+    )
+
+
+def test_disjoint():
+    check_trees(
+        [
+            make_test_ring([(0, 0), (0, 3), (3, 3), (3, 0)]),
+            make_test_ring([(4, 4), (4, 5), (5, 5), (5, 4)]),
+        ],
+        """
+        0: []
+        1: []
+        """,
+    )
+
+
+def test_island():
+    check_trees(
+        [
+            make_test_ring([(0, 0), (0, 5), (5, 5), (5, 0)]),
+            make_test_ring([(1, 1), (1, 4), (4, 4), (4, 1)]),
+            make_test_ring([(2, 2), (2, 3), (3, 3), (3, 2)]),
+        ],
+        """
+        0: [1 ]
+        1: [2 ]
+        2: []
+        """,
+    )
+
+
+def test_hole_plus_island():
+    check_trees(
+        [
+            make_test_ring([(0, 0), (0, 5), (7, 5), (7, 0)]),
+            make_test_ring([(1, 1), (1, 4), (4, 4), (4, 1)]),
+            make_test_ring([(2, 2), (2, 3), (3, 3), (3, 2)]),
+            make_test_ring([(5, 2), (5, 3), (6, 3), (6, 2)]),
+        ],
+        """
+        0: [1 3 ]
+        1: [2 ]
+        2: []
+        3: []
+        """,
+    )
+
+
+def test_equal_shapes_with_parent():
+    check_trees(
+        [
+            make_test_ring([(1, 1), (1, 2), (2, 2), (2, 1)]),
+            make_test_ring([(1, 1), (1, 2), (2, 2), (2, 1)]),
+            make_test_ring([(0, 0), (0, 3), (3, 3), (3, 0)]),
+        ],
+        """
+        2: [0 1 ]
+        0: []
+        1: []
+        """,
+    )
+
+
+def test_equal_shapes_without_parent():
+    check_trees(
+        [
+            make_test_ring([(1, 1), (1, 2), (2, 2), (2, 1)]),
+            make_test_ring([(1, 1), (1, 2), (2, 2), (2, 1)]),
+        ],
+        """
+        0: []
+        1: []
+        """,
+    )
+
+
+# --- centroid_test.go:22-84 ---------------------------------------------------
+
+
+def test_centroid_square():
+    coords = [[[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]]
+    assert compute_centroid(coords) == (0.5, 0.5)
+
+
+def test_centroid_horseshoe():
+    coords = [
+        [
+            [
+                [0, 0],
+                [3, 0],
+                [3, 3],
+                [3, 2],
+                [1, 2],
+                [1, 1],
+                [3, 1],
+                [3, 0],
+                [0, 0],
+            ]
+        ]
+    ]
+    assert compute_centroid(coords) == (2.125, 1.125)
+
+
+def test_centroid_square_with_hole():
+    coords = [
+        [
+            [[0, 0], [0, 3], [3, 3], [3, 0], [0, 0]],
+            [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]],
+        ]
+    ]
+    assert compute_centroid(coords) is None
+
+
+# --- winding + hole nesting end-to-end ----------------------------------------
+
+
+def test_polygons_and_winding():
+    # Outer square with a hole containing an island (3-deep).
+    rings = [
+        make_test_ring([(0, 0), (0, 5), (5, 5), (5, 0)]),
+        make_test_ring([(1, 1), (1, 4), (4, 4), (4, 1)]),
+        make_test_ring([(2, 2), (2, 3), (3, 3), (3, 2)]),
+    ]
+    polys = make_polygons(rings)
+    # Two polygons: outer-with-hole, island.
+    assert len(polys) == 2
+    shapes = polygons_to_coords(polys)
+    for shape in shapes:
+        assert not is_clockwise(shape[0])  # outer CCW
+        for hole in shape[1:]:
+            assert is_clockwise(hole)  # holes CW
+    n_holes = sorted(len(s) - 1 for s in shapes)
+    assert n_holes == [0, 1]
+
+
+def test_point_in_polygon_with_hole():
+    rings = [
+        make_test_ring([(0, 0), (0, 5), (5, 5), (5, 0)]),
+        make_test_ring([(1, 1), (1, 4), (4, 4), (4, 1)]),
+    ]
+    polys = make_polygons(rings)
+    (poly,) = [p for p in polys if p[1]]
+    s = 10000
+    assert point_in_polygon(poly, int(0.5 * s), int(0.5 * s))  # in rim
+    assert not point_in_polygon(poly, 2 * s, 2 * s)  # in hole
+    assert not point_in_polygon(poly, 10 * s, 10 * s)  # outside
+    assert not point_in_polygon(poly, 0, 0)  # on boundary
