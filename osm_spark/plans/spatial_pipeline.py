@@ -1,0 +1,62 @@
+"""Extension pipeline: pages × admin polygons (the north rule).
+
+    boundaries (from run_boundaries_pipeline)
+      -> polygon covering (interior/boundary cells)
+    pages -> geoparse -> (url, lon, lat)
+      -> skew-aware cell join + exact PIP refinement (J8)
+      -> per-admin-level tile assignments
+      -> density rasters, kNN nearest-boundary
+
+Everything here is shaped for 10^12 pages: the page side is touched by
+pure Catalyst expressions + one equi-join; geometry only ever meets the
+(small) boundary-cell candidate subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_spark.spatial.covering import build_polygon_cells, polygon_geometry
+from osm_spark.spatial.geoparse import geoparse_pages
+from osm_spark.spatial.pip_join import pip_join
+from osm_spark.spatial.tiles import tile_assignments
+
+
+def run_spatial_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    locations: DataFrame,
+    kept: DataFrame,
+    min_level: int = 4,
+    max_level: int = 12,
+    tile_level: int = 7,
+    salt: int = 1,
+) -> dict[str, DataFrame]:
+    geo = geoparse_pages(pages).withColumn(
+        "point_id", F.xxhash64("url")
+    )
+    points = geo.select("point_id", "url", "lon", "lat")
+
+    pcells = build_polygon_cells(locations, min_level, max_level).persist()
+    pgeom = polygon_geometry(locations)
+
+    pip = pip_join(
+        points.select("point_id", "lon", "lat"),
+        pcells,
+        pgeom,
+        salt=salt,
+    ).select("point_id", "rel_id").distinct()
+
+    admin_levels = kept.select(
+        F.col("id").alias("rel_id"), "admin_level"
+    )
+    tiles = tile_assignments(pip, points, admin_levels, tile_level)
+
+    return {
+        "points": points,
+        "polygon_cells": pcells,
+        "polygon_geometry": pgeom,
+        "pip": pip,
+        "tiles": tiles,
+    }

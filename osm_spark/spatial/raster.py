@@ -1,0 +1,99 @@
+"""Raster ↔ vector paths.
+
+rasterize_points: point density grid at a cell level — one groupBy
+(pure Catalyst, map-side combinable) over the Morton cell id; the grid
+coordinate (gx, gy) is decoded with the same bit ops.
+
+rasterize_polygons: boundary-density grid — polygon covering cells
+normalized to the grid level, counted per cell.
+
+vectorize_grid: raster → vector via run-length vectorization: occupied
+cells merge into maximal horizontal spans (gaps-and-islands over a
+window), each span emitted as a rectangle polygon. Fully relational —
+no UDF — and therefore also expressible as the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_spark.spatial.cells_sql import cell_expr, cell_parent_expr
+
+
+def _compact_bits_col(v: Column) -> Column:
+    masks = [
+        (1, 0x3333333333333333),
+        (2, 0x0F0F0F0F0F0F0F0F),
+        (4, 0x00FF00FF00FF00FF),
+        (8, 0x0000FFFF0000FFFF),
+        (16, 0x00000000FFFFFFFF),
+    ]
+    v = v.bitwiseAND(F.lit(0x5555555555555555))
+    for shift, mask in masks:
+        v = v.bitwiseOR(F.shiftright(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def cell_xy_cols(cell: Column) -> tuple[Column, Column]:
+    m = F.shiftright(cell, 6)
+    return _compact_bits_col(m), _compact_bits_col(F.shiftright(m, 1))
+
+
+def rasterize_points(points: DataFrame, level: int) -> DataFrame:
+    """(gx, gy, n) density grid from (lon, lat) rows."""
+    cell = cell_expr(F.col("lon"), F.col("lat"), level)
+    df = points.select(cell.alias("cell")).groupBy("cell").agg(
+        F.count("*").alias("n")
+    )
+    gx, gy = cell_xy_cols(F.col("cell"))
+    return df.select(gx.alias("gx"), gy.alias("gy"), "n")
+
+
+def rasterize_polygons(polygon_cells: DataFrame, level: int) -> DataFrame:
+    """(gx, gy, n_polygons) boundary-density grid from covering cells
+    (boundary cells only — where geometry actually lives)."""
+    df = (
+        polygon_cells.where(~F.col("interior"))
+        .select(cell_parent_expr(F.col("cell"), level).alias("cell"), "rel_id")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_polygons"))
+    )
+    gx, gy = cell_xy_cols(F.col("cell"))
+    return df.select(gx.alias("gx"), gy.alias("gy"), "n_polygons")
+
+
+def vectorize_grid(grid: DataFrame, level: int, min_count: int = 1) -> DataFrame:
+    """Raster → vector: merge occupied cells into maximal horizontal
+    spans; emit each as a rectangle (lon0, lat0, lon1, lat1, ring).
+
+    Gaps-and-islands: gx - row_number() is constant within a run."""
+    n = 1 << level
+    w = 360.0 / n
+    h = 180.0 / n
+    occ = grid.where(F.col("n") >= min_count) if "n" in grid.columns else grid
+    win = Window.partitionBy("gy").orderBy("gx")
+    spans = (
+        occ.withColumn("grp", F.col("gx") - F.row_number().over(win))
+        .groupBy("gy", "grp")
+        .agg(F.min("gx").alias("x0"), F.max("gx").alias("x1"), F.sum("n").alias("n"))
+    )
+    lon0 = F.lit(-180.0) + F.col("x0") * F.lit(w)
+    lon1 = F.lit(-180.0) + (F.col("x1") + 1) * F.lit(w)
+    lat0 = F.lit(-90.0) + F.col("gy") * F.lit(h)
+    lat1 = F.lit(-90.0) + (F.col("gy") + 1) * F.lit(h)
+    return spans.select(
+        lon0.alias("lon0"),
+        lat0.alias("lat0"),
+        lon1.alias("lon1"),
+        lat1.alias("lat1"),
+        "n",
+        F.array(
+            F.array(lon0, lat0),
+            F.array(lon1, lat0),
+            F.array(lon1, lat1),
+            F.array(lon0, lat1),
+            F.array(lon0, lat0),
+        ).alias("ring"),
+    )
