@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)`: flagship boundary-assembly pipeline over the synthetic
+OSM mini-world (SURVEY.md §2 — the reference's indexlocations/geojson
+spine re-expressed as DataFrame joins + grouped-map Arrow assembly).
+
+`queries()` / `oracle_sql()`: one entry per implemented operator family
+(SURVEY.md §2 + the training-data extensions). Oracles are DuckDB SQL
+engineered for bit-identical results: cross-engine-deterministic
+hashing (md5-prefix→int64, never engine-native hash functions),
+integer micro-degree coordinates, explicit CASTs where DuckDB widens
+(sum→HUGEINT), and identical IEEE operation order for float math.
+
+Geometry-kernel operators whose semantics are not SQL-expressible
+(ring assembly, centroid fallbacks, covering) are exercised by
+`entry`/rows-only queries here and exhaustively by tests/ against the
+reference's exact test vectors.
 """
 
 from __future__ import annotations
@@ -12,27 +22,1185 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# Pages/world scale used by the differential queries (fixed — the
+# spatial fixtures are self-generated, not read from sf_dir).
+_N_PAGES = 2000
+_N_COUNTRIES = 1
+
+_WORLD_CACHE: dict = {}
+
+
+def _load(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql(q: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _load(spark, sf_dir)
+        return spark.sql(q)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Pages helpers (self-generated distributed table + DuckDB twin)
+# ---------------------------------------------------------------------------
+
+
+def _pages_spec():
+    from osm_spark.data.pages import PagesSpec
+
+    return PagesSpec(n_pages=_N_PAGES, n_countries=_N_COUNTRIES)
+
+
+def _pages_df(spark: SparkSession) -> DataFrame:
+    from osm_spark.data.pages import pages_df
+
+    return pages_df(spark, _pages_spec())
+
+
+def _pages_oracle_cte() -> str:
+    """DuckDB CTE 'pages' with url, warc_ts, text, lang, lon_u, lat_u."""
+    from osm_spark.data.pages import pages_duckdb_sql
+
+    inner = pages_duckdb_sql(
+        _pages_spec(), columns="url, warc_ts, text, lang, lon_u, lat_u"
+    )
+    return f"WITH pages AS ({inner})"
+
+
+# ---------------------------------------------------------------------------
+# World geometry constants for spatial oracles (1-country world).
+# Degrees as <fp>/1e7 literals so oracle doubles == engine doubles.
+# ---------------------------------------------------------------------------
+
+
+def _world_rects():
+    """Hand-derived shapes of the 1-country world (worldgen constants,
+    independent of the engine's assembly output): list of
+    (rel_id, kind, params). kind: rect=(x0,y0,x1,y1) fp-1e7 ints."""
+    FP = 10_000_000
+    bx, by = -177 * FP, -84 * FP
+    x1, y1 = bx + 8 * FP, by + 8 * FP
+    xm, ym = bx + 4 * FP, by + 4 * FP
+    shapes = []
+    # country: outer rect, lake hole, island polygon
+    lake = (bx + 1 * FP, by + 1 * FP, bx + FP * 25 // 10, by + FP * 25 // 10)
+    isl = (bx + FP * 15 // 10, by + FP * 15 // 10, bx + 2 * FP, by + 2 * FP)
+    shapes.append((1000000, [("rect", (bx, by, x1, y1)), ("hole", lake)]))
+    shapes.append((1000000, [("rect", isl)]))
+    # depts 2x2 of 4 deg
+    for d in range(4):
+        dx, dy = d % 2, d // 2
+        rx0, ry0 = bx + dx * 4 * FP, by + dy * 4 * FP
+        rx1, ry1 = rx0 + 4 * FP, ry0 + 4 * FP
+        did = 2000000 + d
+        if d == 1:
+            u = (rx1 - rx0) // 3
+            v = (ry1 - ry0) // 3
+            shapes.append(
+                (
+                    did,
+                    [
+                        ("rect", (rx0, ry0, rx0 + 3 * u, ry0 + 3 * v)),
+                        ("hole", (rx0 + u, ry0 + v, rx0 + 3 * u, ry0 + 2 * v)),
+                    ],
+                )
+            )
+        elif d == 2:
+            u = (rx1 - rx0) // 3
+            v = (ry1 - ry0) // 3
+            shapes.append(
+                (
+                    did,
+                    [
+                        ("rect", (rx0, ry0, rx1, ry1)),
+                        ("hole", (rx0 + u, ry0 + v, rx1 - u, ry1 - v)),
+                    ],
+                )
+            )
+        else:
+            shapes.append((did, [("rect", (rx0, ry0, rx1, ry1))]))
+    # communes 2x2 of 2 deg in dept 0
+    for k in range(4):
+        kx, ky = k % 2, k // 2
+        rx0, ry0 = bx + kx * 2 * FP, by + ky * 2 * FP
+        shapes.append((3000000 + k, [("rect", (rx0, ry0, rx0 + 2 * FP, ry0 + 2 * FP))]))
+    # metro halves
+    shapes.append((4000000, [("rect", (bx, by, xm, y1))]))
+    shapes.append((4000000, [("rect", (xm, by, x1, y1))]))
+    # union = dept shapes
+    for d in range(4):
+        dept = [s for s in shapes if s[0] == 2000000 + d]
+        for _, parts in dept:
+            shapes.append((6000000, parts))
+    return shapes
+
+
+_ADMIN_LEVELS = {
+    1000000: 2,
+    2000000: 6, 2000001: 6, 2000002: 6, 2000003: 6,
+    3000000: 9, 3000001: 8, 3000002: 8, 3000003: 8,
+    4000000: 3,
+    6000000: 4,
+}
+
+
+def _deg(fp: int) -> str:
+    return f"({fp} / 10000000.0)"
+
+
+def _pip_membership_sql() -> str:
+    """DuckDB CASE-free membership: one SELECT per (rel, polygon),
+    UNION ALL, then DISTINCT (point, rel). Strict interior on outer,
+    weak (boundary-inclusive) exclusion on holes — GEOS Contains."""
+    px, py = "(lon_u / 1000000.0)", "(lat_u / 1000000.0)"
+    parts = []
+    for rel_id, rings in _world_rects():
+        conds = []
+        for kind, (x0, y0, xx1, yy1) in rings:
+            if kind == "rect":
+                conds.append(
+                    f"({px} > {_deg(x0)} AND {px} < {_deg(xx1)} "
+                    f"AND {py} > {_deg(y0)} AND {py} < {_deg(yy1)})"
+                )
+            else:
+                conds.append(
+                    f"NOT ({px} >= {_deg(x0)} AND {px} <= {_deg(xx1)} "
+                    f"AND {py} >= {_deg(y0)} AND {py} <= {_deg(yy1)})"
+                )
+        parts.append(
+            f"SELECT url, lon_u, lat_u, CAST({rel_id} AS BIGINT) AS rel_id "
+            f"FROM pages WHERE " + " AND ".join(conds)
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _world_segments():
+    """All boundary ring segments of the 1-country world in degrees
+    (for the kNN oracle's exact point-to-segment distances). The
+    horseshoe dept (and the union's copy of it) uses its true C-ring —
+    a rect+notch model has extra boundary segments at the open notch
+    mouth that would distort distances."""
+    FP = 10_000_000
+    bx, by = -177 * FP, -84 * FP
+
+    def rect_ring(x0, y0, x1, y1):
+        return [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+
+    rx0, ry0 = bx + 4 * FP, by
+    rx1, ry1 = rx0 + 4 * FP, ry0 + 4 * FP
+    u = (rx1 - rx0) // 3
+    v = (ry1 - ry0) // 3
+    c_ring = [
+        (rx0, ry0), (rx0 + 3 * u, ry0), (rx0 + 3 * u, ry0 + v),
+        (rx0 + u, ry0 + v), (rx0 + u, ry0 + 2 * v),
+        (rx0 + 3 * u, ry0 + 2 * v), (rx0 + 3 * u, ry0 + 3 * v),
+        (rx0, ry0 + 3 * v), (rx0, ry0),
+    ]
+
+    rings: list[tuple[int, list]] = []
+    for rel_id, parts in _world_rects():
+        if rel_id in (2000001,):
+            continue  # replaced by the C-ring below
+        filtered = parts
+        rings.extend((rel_id, rect_ring(*geom)) for kind, geom in filtered)
+    rings.append((2000001, c_ring))
+    # union copy of dept 1: drop its rect+hole rings, add the C-ring.
+    # (The rect+hole entries for the union were appended from dept 1's
+    # shapes: outer (rx0,ry0,rx0+3u,ry0+3v) and notch.)
+    horseshoe_boxes = {
+        (rx0, ry0, rx0 + 3 * u, ry0 + 3 * v),
+        (rx0 + u, ry0 + v, rx0 + 3 * u, ry0 + 2 * v),
+    }
+    rings = [
+        (rel, ring)
+        for rel, ring in rings
+        if not (
+            rel == 6000000
+            and len(ring) == 5
+            and (
+                (ring[0][0], ring[0][1], ring[2][0], ring[2][1])
+                in horseshoe_boxes
+            )
+        )
+    ]
+    rings.append((6000000, c_ring))
+
+    segs = []
+    for rel, ring in rings:
+        for a, b in zip(ring, ring[1:]):
+            segs.append((rel, a[0] / 1e7, a[1] / 1e7, b[0] / 1e7, b[1] / 1e7))
+    return segs
+
+
+def _world(spark: SparkSession):
+    """Cached 1-country mini-world pipeline outputs."""
+    key = id(spark)
+    if key not in _WORLD_CACHE:
+        from osm_spark.data.worldgen import WorldSpec, world_dataframes
+        from osm_spark.plans.pipeline import run_boundaries_pipeline
+
+        nodes, ways, rels, cfg = world_dataframes(
+            spark, WorldSpec(n_countries=_N_COUNTRIES)
+        )
+        out = run_boundaries_pipeline(spark, nodes, ways, rels, cfg)
+        out["locations"] = out["locations"].persist()
+        out["kept"] = out["kept"].persist()
+        out["nodes"] = nodes
+        _WORLD_CACHE[key] = out
+    return _WORLD_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Boundary documents of the synthetic mini-world: the reference's
+    indexways→indexrelations→indexlocations→indexcenters→geojson spine."""
+    out = _world(spark)
+    return out["boundaries"].select(
+        "id",
+        "name",
+        "admin_level",
+        "country_iso2",
+        "country_iso3",
+        F.col("center.lon").alias("center_lon"),
+        F.col("center.lat").alias("center_lat"),
+        F.col("shape.type").alias("shape_type"),
+        F.size("shape.coordinates").alias("n_polygons"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (SURVEY §2 operator analogs over TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+_Q: dict[str, dict] = {}
+
+
+def _def(name: str, spark_sql: str | None = None, duck_sql: str | None = None,
+         fn: Callable | None = None):
+    _Q[name] = {"spark_sql": spark_sql, "duck_sql": duck_sql, "fn": fn}
+
+
+# A1 — aggregation with map-side combine (TPC-H Q1 shape).
+_def(
+    "q01_pricing_summary",
+    spark_sql="""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                                       AS sum_qty,
+       sum(l_extendedprice)                                  AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+       avg(l_quantity)                                       AS avg_qty,
+       count(*)                                              AS count_order
+FROM lineitem WHERE l_shipdate <= timestamp'1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    duck_sql="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE)                       AS sum_qty,
+       CAST(sum(l_extendedprice) AS DOUBLE)                  AS sum_base_price,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+       avg(l_quantity)                                       AS avg_qty,
+       CAST(count(*) AS BIGINT)                              AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+# A1 — count by kind (countFn main.go:27-56 analog).
+_def(
+    "q02_count_by_kind",
+    spark_sql="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    duck_sql="SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+)
+
+# J1 — ordered member reassembly (way→node resolution analog: ordered
+# refs resolved and reassembled per parent with order preserved).
+_def(
+    "q03_order_reassembly",
+    spark_sql="""
+SELECT o_orderkey,
+       count(*)                                              AS n_items,
+       min_by(l_partkey, l_linenumber * 1000000 + l_partkey) AS first_part,
+       max_by(l_partkey, l_linenumber * 1000000 + l_partkey) AS last_part,
+       sum(l_quantity)                                       AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+""",
+    duck_sql="""
+SELECT o_orderkey,
+       CAST(count(*) AS BIGINT)                              AS n_items,
+       arg_min(l_partkey, l_linenumber * 1000000 + l_partkey) AS first_part,
+       arg_max(l_partkey, l_linenumber * 1000000 + l_partkey) AS last_part,
+       CAST(sum(l_quantity) AS DOUBLE)                       AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+""",
+)
+
+# J2 — chained member resolution (relation→way→node chain analog).
+_def(
+    "q04_member_resolution",
+    spark_sql="""
+SELECT n_name, count(*) AS n_items,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    duck_sql="""
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+
+# J7 — kept-set semi-join (indexRelations main.go:321-377 analog).
+_def(
+    "q05_semi_join",
+    spark_sql="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer LEFT SEMI JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+    duck_sql="""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+
+# J6 — resume anti-join (HasLocation main.go:153-159 analog).
+_def(
+    "q06_anti_join",
+    spark_sql="""
+SELECT c_custkey, c_name
+FROM customer LEFT ANTI JOIN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) u ON c_custkey = u.o_custkey
+""",
+    duck_sql="""
+SELECT c_custkey, c_name
+FROM customer WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderpriority = '1-URGENT')
+""",
+)
+
+# J5 — last-ref-wins N:M node join (admin_center main.go:455-459 analog:
+# the LAST matching ref wins).
+_def(
+    "q07_last_event_join",
+    spark_sql="""
+SELECT c_custkey,
+       max_by(value, unix_millis(cast(ts AS timestamp)) * 1000000 + event_id) AS last_value,
+       count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_custkey
+""",
+    duck_sql="""
+SELECT c_custkey,
+       arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS last_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_custkey
+""",
+)
+
+# A3/J9 — top-k per group via window (largest-polygon argmax analog).
+_def(
+    "q08_topk_per_group",
+    spark_sql="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+""",
+    duck_sql="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+  FROM orders) t WHERE rnk <= 3
+""",
+)
+
+# A4 — duplicate detection (ISO duplicate check main.go:654-709 analog).
+_def(
+    "q09_dup_detect",
+    spark_sql="""
+SELECT p_brand, p_type, count(*) AS n, min(p_partkey) AS min_part
+FROM part GROUP BY p_brand, p_type HAVING count(*) > 1
+""",
+    duck_sql="""
+SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n, min(p_partkey) AS min_part
+FROM part GROUP BY p_brand, p_type HAVING count(*) > 1
+""",
+)
+
+# A6 — per-parent member-kind counts (recursiveRelFn main.go:614-647).
+_def(
+    "q10_refs_report",
+    spark_sql="""
+SELECT l_orderkey,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_a,
+       sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_n
+FROM lineitem GROUP BY l_orderkey
+HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+""",
+    duck_sql="""
+SELECT l_orderkey,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n
+FROM lineitem GROUP BY l_orderkey
+HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+""",
+)
+
+# P1/P4 — tag lookup + coalesce fallback (getTag, CountryIso2 analogs).
+_def(
+    "q11_json_tag",
+    spark_sql="""
+SELECT event_id,
+       cast(get_json_object(props, '$.k') AS bigint) AS k_value,
+       coalesce(nullif(get_json_object(props, '$.missing'), ''),
+                get_json_object(props, '$.k')) AS fallback
+FROM events
+""",
+    duck_sql="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       COALESCE(NULLIF(json_extract_string(props, '$.missing'), ''),
+                json_extract_string(props, '$.k')) AS fallback
+FROM events
+""",
+)
+
+# P2 — name normalization (strip "(" suffix + trim, geojson.go:259-268).
+_def(
+    "q12_name_norm",
+    spark_sql=r"""
+SELECT doc_id, trim(regexp_replace(substr(text, 1, 40), '\\(.*$', '')) AS name_norm
+FROM documents
+""",
+    duck_sql=r"""
+SELECT doc_id, trim(regexp_replace(substr(text, 1, 40), '\(.*$', '', 's')) AS name_norm
+FROM documents
+""",
+)
+
+# F1 — composite predicate with blacklist + range + whitelist.
+_def(
+    "q13_composite_filter",
+    spark_sql="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey NOT IN (1, 7, 42)
+  AND o_totalprice BETWEEN 1000 AND 200000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+    duck_sql="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey NOT IN (1, 7, 42)
+  AND o_totalprice BETWEEN 1000 AND 200000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+)
+
+# Streaming-equivalent tumbling window aggregation (batch twin of the
+# structured-streaming path; event-time bucketing).
+_def(
+    "q14_window_events",
+    spark_sql="""
+SELECT window(ts, '1 hour').start AS win_start, event_type,
+       count(*) AS n, sum(value) AS total
+FROM events GROUP BY window(ts, '1 hour'), event_type
+""",
+    duck_sql="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(value) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+""",
+)
+
+# Sessionization via gaps-and-islands (stateful-streaming batch twin).
+_def(
+    "q15_sessionize",
+    spark_sql="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR (unix_timestamp(ts) - unix_timestamp(
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                  > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+ sess AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+    duck_sql="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR (epoch(ts) - epoch(
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                  > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+ sess AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Spatial queries (self-generated pages × synthetic world)
+# ---------------------------------------------------------------------------
+
+
+def _q_geoparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.geoparse import geoparse_pages
+
+    geo = geoparse_pages(_pages_df(spark))
+    return geo.select(
+        "url",
+        (F.col("lat") * 1e6).cast("long").alias("lat_u"),
+        (F.col("lon") * 1e6).cast("long").alias("lon_u"),
+        "lang",
+    )
+
+
+_def(
+    "q20_geoparse",
+    fn=_q_geoparse,
+    duck_sql=_pages_oracle_cte()
+    + """
+SELECT url,
+       CAST(regexp_extract(text, 'geo: (-?\\d+),(-?\\d+)', 1) AS BIGINT) AS lat_u,
+       CAST(regexp_extract(text, 'geo: (-?\\d+),(-?\\d+)', 2) AS BIGINT) AS lon_u,
+       lang
+FROM pages
+""",
+)
+
+
+def _spatial(spark: SparkSession):
+    key = ("spatial", id(spark))
+    if key not in _WORLD_CACHE:
+        from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+
+        out = _world(spark)
+        sp = run_spatial_pipeline(
+            spark, _pages_df(spark), out["locations"], out["kept"], max_level=11
+        )
+        sp["pip"] = sp["pip"].persist()
+        sp["points"] = sp["points"].persist()
+        _WORLD_CACHE[key] = sp
+    return _WORLD_CACHE[key]
+
+
+def _q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = _spatial(spark)
+    return (
+        sp["pip"]
+        .join(sp["points"], "point_id")
+        .select("url", "rel_id")
+    )
+
+
+_def(
+    "q21_pip_assign",
+    fn=_q_pip,
+    duck_sql=_pages_oracle_cte()
+    + f"SELECT url, rel_id FROM ({_pip_membership_sql()}) GROUP BY url, rel_id",
+)
+
+
+def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = _spatial(spark)
+    out = _world(spark)
+    from osm_spark.spatial.tiles import tile_assignments
+
+    admin_levels = out["kept"].select(F.col("id").alias("rel_id"), "admin_level")
+    t = tile_assignments(sp["pip"], sp["points"], admin_levels, tile_level=7)
+    return t.select("url", "admin_level", "rel_id", "tile")
+
+
+def _tile_expr_duck(lon: str, lat: str, level: int) -> str:
+    """DuckDB twin of cells_sql.cell_expr (Morton interleave)."""
+    n = 1 << level
+    x = f"CAST(least(greatest(floor(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    y = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+
+    def spread(v):
+        masks = [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+        e = f"({v} & 268435455)"
+        for s, m in masks:
+            e = f"(({e} | ({e} << {s})) & {m})"
+        return e
+
+    return f"((({spread(x)} | ({spread(y)} << 1)) << 6) | {level})"
+
+
+_ADMIN_LEVEL_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"({rid}, {lvl})" for rid, lvl in sorted(_ADMIN_LEVELS.items())
+) + ") AS al(rel_id, admin_level)"
+
+_def(
+    "q22_tile_assign",
+    fn=_q_tiles,
+    duck_sql=_pages_oracle_cte()
+    + f""",
+ pip AS (SELECT url, lon_u, lat_u, rel_id FROM ({_pip_membership_sql()})
+         GROUP BY url, lon_u, lat_u, rel_id),
+ al AS ({_ADMIN_LEVEL_SQL})
+SELECT pip.url, CAST(al.admin_level AS INT) AS admin_level, pip.rel_id,
+       {_tile_expr_duck('(lon_u / 1000000.0)', '(lat_u / 1000000.0)', 7)} AS tile
+FROM pip JOIN al USING (rel_id)
+""",
+)
+
+
+def _q_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.raster import rasterize_points
+
+    sp = _spatial(spark)
+    return rasterize_points(sp["points"], level=6)
+
+
+def _grid_xy_duck(lon: str, lat: str, level: int) -> tuple[str, str]:
+    n = 1 << level
+    gx = f"CAST(least(greatest(floor(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    gy = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    return gx, gy
+
+
+_gx6, _gy6 = _grid_xy_duck("(lon_u / 1000000.0)", "(lat_u / 1000000.0)", 6)
+_def(
+    "q23_raster_density",
+    fn=_q_raster,
+    duck_sql=_pages_oracle_cte()
+    + f"""
+SELECT {_gx6} AS gx, {_gy6} AS gy, CAST(count(*) AS BIGINT) AS n
+FROM pages GROUP BY 1, 2
+""",
+)
+
+
+def _q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.raster import rasterize_points, vectorize_grid
+
+    sp = _spatial(spark)
+    grid = rasterize_points(sp["points"], level=6)
+    v = vectorize_grid(grid, level=6, min_count=1)
+    return v.select("lon0", "lat0", "lon1", "lat1", "n")
+
+
+_def(
+    "q24_vectorize",
+    fn=_q_vectorize,
+    duck_sql=_pages_oracle_cte()
+    + f""",
+ grid AS (SELECT {_gx6} AS gx, {_gy6} AS gy, CAST(count(*) AS BIGINT) AS n
+          FROM pages GROUP BY 1, 2),
+ spans AS (
+   SELECT gy, gx - row_number() OVER (PARTITION BY gy ORDER BY gx) AS grp,
+          gx, n
+   FROM grid),
+ merged AS (
+   SELECT gy, grp, min(gx) AS x0, max(gx) AS x1, CAST(sum(n) AS BIGINT) AS n
+   FROM spans GROUP BY gy, grp)
+SELECT CAST(-180.0 + x0 * {360.0 / 64} AS DOUBLE) AS lon0,
+       CAST(-90.0 + gy * {180.0 / 64} AS DOUBLE) AS lat0,
+       CAST(-180.0 + (x1 + 1) * {360.0 / 64} AS DOUBLE) AS lon1,
+       CAST(-90.0 + (gy + 1) * {180.0 / 64} AS DOUBLE) AS lat1,
+       n
+FROM merged
+""",
+)
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.knn import knn_boundaries
+
+    sp = _spatial(spark)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    probes = sp["points"].where(page_no % 40 == 0).select(
+        "point_id", "url", "lon", "lat"
+    )
+    out = knn_boundaries(
+        probes.select("point_id", "lon", "lat"),
+        sp["polygon_cells"],
+        sp["polygon_geometry"],
+        k=3,
+        level=4,
+        radius=2,
+    )
+    return out.join(probes.select("point_id", "url"), "point_id").select(
+        "url", "rel_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _knn_oracle_sql() -> str:
+    segs = _world_segments()
+    seg_rows = ", ".join(
+        f"({rel}, {x1!r}, {y1!r}, {x2!r}, {y2!r})" for rel, x1, y1, x2, y2 in segs
+    )
+    px, py = "(lon_u / 1000000.0)", "(lat_u / 1000000.0)"
+    return (
+        _pages_oracle_cte()
+        + f""",
+ probes AS (SELECT url, {px} AS px, {py} AS py FROM pages
+            WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) % 40 = 0),
+ segs AS (SELECT * FROM (VALUES {seg_rows}) AS s(rel_id, x1, y1, x2, y2)),
+ d AS (
+   SELECT url, rel_id,
+     sqrt(power(px - (x1 + least(greatest(((px - x1) * (x2 - x1) + (py - y1) * (y2 - y1))
+           / nullif((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1), 0), 0.0), 1.0) * (x2 - x1)), 2)
+        + power(py - (y1 + least(greatest(((px - x1) * (x2 - x1) + (py - y1) * (y2 - y1))
+           / nullif((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1), 0), 0.0), 1.0) * (y2 - y1)), 2)) AS dist
+   FROM probes CROSS JOIN segs),
+ best AS (SELECT url, rel_id, min(dist) AS dist FROM d GROUP BY url, rel_id),
+ ranked AS (SELECT url, rel_id,
+                   CAST(row_number() OVER (PARTITION BY url ORDER BY dist, rel_id) AS BIGINT) AS rank
+            FROM best)
+SELECT url, rel_id, rank FROM ranked WHERE rank <= 3
+"""
+    )
+
+
+_def("q25_knn", fn=_q_knn, duck_sql=_knn_oracle_sql())
+
+
+def _q_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end byte-identity of page text: md5(text) surviving the
+    full spatial pipeline (geoparse → pip → tiles)."""
+    sp = _spatial(spark)
+    pages = _pages_df(spark)
+    urls = sp["pip"].join(sp["points"], "point_id").select("url").distinct()
+    return urls.join(pages, "url").select("url", F.md5("text").alias("text_md5"))
+
+
+_def(
+    "q26_text_invariant",
+    fn=_q_text_invariant,
+    duck_sql=_pages_oracle_cte()
+    + f"""
+SELECT url, md5(text) AS text_md5 FROM pages
+WHERE url IN (SELECT url FROM ({_pip_membership_sql()}))
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Text / training-data queries (documents table)
+# ---------------------------------------------------------------------------
+
+_TOKENS_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_TOKENS_DUCK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_MD5_SPARK = "cast(conv(substr(md5({t}), 1, 15), 16, 10) as bigint)"
+_MD5_DUCK = "CAST(('0x' || substr(md5({t}), 1, 15)) AS BIGINT)"
+_M = 2147483647
+_A = [1103515245, 1103517217, 69069, 1664525, 22695477, 134775813, 214013, 16843009]
+_B = [12345, 362437, 521288629, 1013904223, 32830301, 1, 2531011, 826366247]
+
+_def(
+    "q30_dedup_exact",
+    spark_sql="""
+SELECT md5(text) AS content_md5, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""",
+    duck_sql="""
+SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""",
+)
+
+_mh_spark = ", ".join(
+    f"min(({_A[i]} * h + {_B[i]}) % {_M}) AS mh{i}" for i in range(8)
+)
+_mh_duck = ", ".join(
+    f"CAST(min(({_A[i]} * h + {_B[i]}) % {_M}) AS BIGINT) AS mh{i}" for i in range(8)
+)
+_def(
+    "q31_minhash",
+    spark_sql=f"""
+WITH toks AS (
+  SELECT doc_id, explode(array_distinct({_TOKENS_SPARK})) AS tok FROM documents),
+ hashed AS (SELECT doc_id, {_MD5_SPARK.format(t='tok')} % {_M} AS h FROM toks)
+SELECT doc_id, {_mh_spark} FROM hashed GROUP BY doc_id
+""",
+    duck_sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
+ hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks)
+SELECT doc_id, {_mh_duck} FROM hashed GROUP BY doc_id
+""",
+)
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.dedup import lsh_candidate_pairs, minhash_signatures
+
+    _load(spark, sf_dir)
+    sigs = minhash_signatures(spark.table("documents"))
+    return lsh_candidate_pairs(sigs, bands=2, rows=4)
+
+
+_def(
+    "q32_lsh_pairs",
+    fn=_q_lsh_pairs,
+    duck_sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
+ hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks),
+ sigs AS (SELECT doc_id, {_mh_duck} FROM hashed GROUP BY doc_id),
+ pairs AS (
+   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+   FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+     AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+   UNION
+   SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
+     ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
+     AND a.doc_id < b.doc_id)
+SELECT id_a, id_b FROM pairs
+""",
+)
+
+_sim_votes_spark = ", ".join(
+    f"sum((cast((h >> {i}) & 1 as bigint)) * 2 - 1) AS v{i}" for i in range(16)
+)
+_sim_votes_duck = ", ".join(
+    f"CAST(sum(((h >> {i}) & 1) * 2 - 1) AS BIGINT) AS v{i}" for i in range(16)
+)
+_sim_sum = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+_def(
+    "q33_simhash",
+    spark_sql=f"""
+WITH toks AS (
+  SELECT doc_id, explode(array_distinct({_TOKENS_SPARK})) AS tok FROM documents),
+ hashed AS (SELECT doc_id, {_MD5_SPARK.format(t='tok')} % {_M} AS h FROM toks),
+ votes AS (SELECT doc_id, {_sim_votes_spark} FROM hashed GROUP BY doc_id)
+SELECT doc_id, cast({_sim_sum} AS bigint) AS simhash FROM votes
+""",
+    duck_sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
+ hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks),
+ votes AS (SELECT doc_id, {_sim_votes_duck} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({_sim_sum} AS BIGINT) AS simhash FROM votes
+""",
+)
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        unigram_jaccard_pairs,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs), bands=2, rows=4)
+    return unigram_jaccard_pairs(docs, pairs).select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+_def(
+    "q34_jaccard",
+    fn=_q_jaccard,
+    duck_sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
+ hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks),
+ sigs AS (SELECT doc_id, {_mh_duck} FROM hashed GROUP BY doc_id),
+ pairs AS (
+   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+   FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+     AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+   UNION
+   SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
+     ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
+     AND a.doc_id < b.doc_id),
+ dtoks AS (SELECT doc_id, list_distinct({_TOKENS_DUCK}) AS toks FROM documents)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 9) AS jaccard
+FROM pairs JOIN dtoks a ON id_a = a.doc_id JOIN dtoks b ON id_b = b.doc_id
+""",
+)
+
+_STOPS = "'the', 'a', 'an', 'and', 'of', 'to', 'in', 'is', 'it'"
+_def(
+    "q35_token_stats",
+    spark_sql=f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars_txt, {_TOKENS_SPARK} AS toks
+           FROM documents)
+SELECT doc_id, n_chars_txt, size(toks) AS n_tokens,
+       cast(aggregate(toks, 0L, (a, x) -> a + length(x)) AS double) / size(toks)
+         AS avg_token_len,
+       cast(size(filter(toks, x -> x in ({_STOPS}))) AS double) / size(toks)
+         AS stopword_ratio
+FROM t WHERE size(toks) > 0
+""",
+    duck_sql=f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars_txt, {_TOKENS_DUCK} AS toks
+           FROM documents)
+SELECT doc_id, CAST(n_chars_txt AS BIGINT) AS n_chars_txt,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         AS avg_token_len,
+       CAST(len(list_filter(toks, x -> x IN ({_STOPS}))) AS DOUBLE) / len(toks)
+         AS stopword_ratio
+FROM t WHERE len(toks) > 0
+""",
+)
+
+_MARKERS = {
+    "en": ("the", "and", "of", "is", "a"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "las", "es", "y"),
+    "it": ("il", "di", "che", "gli", "e"),
+}
+_langs = sorted(_MARKERS)
+_score_spark = ", ".join(
+    "size(filter(toks, x -> x in ({}))) AS s_{}".format(
+        ", ".join(f"'{m}'" for m in _MARKERS[lg]), lg
+    )
+    for lg in _langs
+)
+_score_duck = ", ".join(
+    "CAST(len(list_filter(toks, x -> x IN ({}))) AS BIGINT) AS s_{}".format(
+        ", ".join(f"'{m}'" for m in _MARKERS[lg]), lg
+    )
+    for lg in _langs
+)
+_best = "greatest(" + ", ".join(f"s_{lg}" for lg in _langs) + ")"
+_pred = "CASE " + " ".join(
+    f"WHEN s_{lg} = {_best} THEN '{lg}'" for lg in _langs
+) + " END"
+_def(
+    "q36_langid",
+    spark_sql=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SPARK} AS toks FROM documents),
+ s AS (SELECT doc_id, {_score_spark} FROM t)
+SELECT doc_id, {_pred} AS pred_lang FROM s
+""",
+    duck_sql=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+ s AS (SELECT doc_id, {_score_duck} FROM t)
+SELECT doc_id, {_pred} AS pred_lang FROM s
+""",
+)
+
+_def(
+    "q37_quality",
+    spark_sql=f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SPARK} AS toks FROM documents),
+ m AS (SELECT doc_id,
+              size(toks) AS n_tokens,
+              cast(length(regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')) AS double)
+                / greatest(length(text), 1) AS punct_ratio,
+              cast(size(filter(toks, x -> x in ({_STOPS}))) AS double)
+                / greatest(size(toks), 1) AS stopword_ratio
+       FROM t)
+SELECT doc_id,
+       ((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+        + (1.0 - least(punct_ratio * 5, 1.0))
+        + least(stopword_ratio * 4, 1.0)) / 3.0 AS quality
+FROM m
+""",
+    duck_sql=f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_DUCK} AS toks FROM documents),
+ m AS (SELECT doc_id,
+              len(toks) AS n_tokens,
+              CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1) AS punct_ratio,
+              CAST(len(list_filter(toks, x -> x IN ({_STOPS}))) AS DOUBLE)
+                / greatest(len(toks), 1) AS stopword_ratio
+       FROM t)
+SELECT doc_id,
+       ((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+        + (1.0 - least(punct_ratio * 5, 1.0))
+        + least(stopword_ratio * 4, 1.0)) / 3.0 AS quality
+FROM m
+""",
+)
+
+_def(
+    "q38_fingerprint",
+    spark_sql=f"""
+SELECT doc_id,
+       {_MD5_SPARK.format(t=f"array_join({_TOKENS_SPARK}, ' ')")} AS fingerprint,
+       length(array_join({_TOKENS_SPARK}, ' ')) AS norm_len
+FROM documents
+""",
+    duck_sql=f"""
+SELECT doc_id,
+       {_MD5_DUCK.format(t=f"array_to_string({_TOKENS_DUCK}, ' ')")} AS fingerprint,
+       CAST(length(array_to_string({_TOKENS_DUCK}, ' ')) AS BIGINT) AS norm_len
+FROM documents
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# ANN queries (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.ann import cosine_topk
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
+_def(
+    "q40_ann_topk",
+    fn=_q_ann,
+    duck_sql="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+ e AS (SELECT vec_id AS neighbor_id, embedding AS ev FROM embeddings),
+ sims AS (
+   SELECT query_id, neighbor_id,
+          list_reduce(list_transform(range(1, len(qv) + 1),
+              i -> CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)), (a, b) -> a + b)
+          / (sqrt(list_reduce(list_transform(range(1, len(qv) + 1),
+                i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (a, b) -> a + b))
+           * sqrt(list_reduce(list_transform(range(1, len(ev) + 1),
+                i -> CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)), (a, b) -> a + b)))
+          AS sim
+   FROM q CROSS JOIN e WHERE query_id != neighbor_id),
+ ranked AS (SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM sims)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+""",
+)
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.ann import hyperplane_lsh_topk
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = hyperplane_lsh_topk(emb, queries, k=5, n_planes=8, n_tables=4)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+
+
+_def("q41_lsh_ann", fn=_q_lsh_ann, duck_sql=None)  # approximate: rows-only
+
+
+# ---------------------------------------------------------------------------
+# Geometry / multimodal (rows-only: semantics not SQL-expressible;
+# exhaustively verified by tests/ against reference test vectors)
+# ---------------------------------------------------------------------------
+
+
+def _q_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entry(spark)
+
+
+_def("q50_boundaries", fn=_q_boundaries, duck_sql=None)
+
+
+def _q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _world(spark)
+    return out["centroids"].select(
+        "rel_id",
+        F.round("lon", 9).alias("lon"),
+        F.round("lat", 9).alias("lat"),
+        "node_id",
+    )
+
+
+_def("q51_centroids", fn=_q_centroids, duck_sql=None)
+
+
+def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.multimodal import attach_media, extract_features
+
+    media = attach_media(_pages_df(spark), "html", "image")
+    feats = extract_features(media, dim=8)
+    return feats.select("media_id", "kind", "n_bytes", F.size("features").alias("dim"))
+
+
+_def("q52_media_features", fn=_q_media, duck_sql=None)
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, spec in _Q.items():
+        if spec["fn"] is not None:
+            out[name] = spec["fn"]
+        else:
+            out[name] = _sql(spec["spark_sql"])
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec["duck_sql"]
+        for name, spec in _Q.items()
+        if spec["duck_sql"] is not None
+    }

@@ -1,0 +1,188 @@
+"""Headline benchmark: one JSON line with per-query wall seconds.
+
+Run:  python bench.py            (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Queries (the engine's load-bearing paths):
+- way_node_join:     J1 posexplode ⋈ nodes + ordered reassembly
+- boundary_assembly: full relation→multipolygon pipeline (A2 kernels)
+- pip_tile:          geoparse → covering cell join → exact PIP → tiles
+                     (the north-rule metric; pages scale with SF)
+- knn:               covering-expansion kNN for 1/40 of pages
+- raster:            density grid + run-length vectorization
+- tpch_q1 / reassembly: relational aggregate shapes over lineitem
+- minhash_lsh:       signatures + banded candidate pairs (documents)
+- ann_topk:          brute-force cosine top-k (embeddings)
+
+The driver records this output as BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from pyspark.sql import functions as F
+
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.data.worldgen import WorldSpec, world_dataframes
+    from osm_spark.plans.pipeline import run_boundaries_pipeline
+    from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+    from osm_spark.session import get_spark
+    from osm_spark.operators import build_ways_geom
+
+    n_pages = max(int(2_000_000 * sf), 2_000)
+    n_countries = max(int(40 * sf), 2)
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # Warm the JVM/codegen paths so measurements aren't dominated by
+    # first-query compilation.
+    spark.range(1000).select(F.sum("id")).collect()
+
+    nodes, ways, rels, cfg = world_dataframes(
+        spark, WorldSpec(n_countries=n_countries, densify=6)
+    )
+    nodes = nodes.persist(); ways = ways.persist(); rels = rels.persist()
+    nodes.count(), ways.count(), rels.count()
+
+    timed("way_node_join", lambda: build_ways_geom(nodes, ways).count())
+
+    out: dict = {}
+
+    def run_boundaries():
+        out.update(run_boundaries_pipeline(spark, nodes, ways, rels, cfg))
+        out["locations"] = out["locations"].persist()
+        out["kept"] = out["kept"].persist()
+        return out["locations"].count()
+
+    timed("boundary_assembly", run_boundaries)
+
+    pages = pages_df(
+        spark, PagesSpec(n_pages=n_pages, n_countries=n_countries)
+    ).persist()
+    pages.count()
+
+    sp: dict = {}
+
+    def run_pip():
+        sp.update(
+            run_spatial_pipeline(
+                spark, pages, out["locations"], out["kept"], max_level=11
+            )
+        )
+        sp["tiles"] = sp["tiles"].persist()
+        return sp["tiles"].count()
+
+    timed("pip_tile", run_pip)
+
+    def run_knn():
+        from osm_spark.spatial.knn import knn_boundaries
+
+        page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+        probes = sp["points"].where(page_no % 40 == 0)
+        return knn_boundaries(
+            probes.select("point_id", "lon", "lat"),
+            sp["polygon_cells"],
+            sp["polygon_geometry"],
+            k=3,
+            level=6,
+            radius=2,
+        ).count()
+
+    timed("knn", run_knn)
+
+    def run_raster():
+        from osm_spark.spatial.raster import rasterize_points, vectorize_grid
+
+        grid = rasterize_points(sp["points"], level=8)
+        return vectorize_grid(grid, level=8).count()
+
+    timed("raster", run_raster)
+
+    for t in ["lineitem", "orders", "documents", "embeddings"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+    timed(
+        "tpch_q1",
+        lambda: spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) sq,
+                   sum(l_extendedprice*(1-l_discount)) rev, count(*) n
+            FROM lineitem WHERE l_shipdate <= timestamp'1998-09-02'
+            GROUP BY 1, 2"""
+        ).count(),
+    )
+    timed(
+        "reassembly",
+        lambda: spark.sql(
+            """
+            SELECT o_orderkey, count(*) n,
+                   min_by(l_partkey, l_linenumber*1000000+l_partkey) fp,
+                   max_by(l_partkey, l_linenumber*1000000+l_partkey) lp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey"""
+        ).count(),
+    )
+
+    def run_minhash():
+        from osm_spark.text.dedup import lsh_candidate_pairs, minhash_signatures
+
+        sigs = minhash_signatures(spark.table("documents"))
+        return lsh_candidate_pairs(sigs, bands=2, rows=4).count()
+
+    timed("minhash_lsh", run_minhash)
+
+    def run_ann():
+        from osm_spark.text.ann import cosine_topk
+
+        emb = spark.table("embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        return cosine_topk(emb, q, k=5).count()
+
+    timed("ann_topk", run_ann)
+
+    total = round(sum(timings.values()), 3)
+    pip_rows_per_sec = (
+        int(counts["pip_tile"] / timings["pip_tile"]) if timings["pip_tile"] else 0
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "engine_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "counts": counts,
+                "sf": sf,
+                "cpus": cpus,
+                "n_pages": n_pages,
+                "pip_rows_per_sec": pip_rows_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -242,15 +242,20 @@ def build_world(spec: WorldSpec) -> tuple[WorldBuilder, EngineConfig]:
                 ("type", "multipolygon"),
             ]
             if d == 1:
-                # Horseshoe (centroid_test.go:36-55 shape mapped into the
-                # cell): non-convex, barycenter falls outside.
+                # Horseshoe: simple (non-self-touching) C-shape ring with
+                # a right-opening notch — non-convex, barycenter lands in
+                # the notch, exercising the interior-point fallback
+                # (centroid.go:100-145). The reference's *test* horseshoe
+                # (centroid_test.go:36-55) doubles back on itself and is
+                # only meaningful post-buffer(0); it lives in the kernel
+                # unit tests, not the assembled world.
                 u = (rx1 - rx0) // 3
                 v = (ry1 - ry0) // 3
                 pts = [
-                    (rx0, ry0), (rx0 + 3 * u, ry0), (rx0 + 3 * u, ry0 + 3 * v),
-                    (rx0 + 3 * u, ry0 + 2 * v), (rx0 + u, ry0 + 2 * v),
-                    (rx0 + u, ry0 + v), (rx0 + 3 * u, ry0 + v),
-                    (rx0 + 3 * u, ry0), (rx0, ry0),
+                    (rx0, ry0), (rx0 + 3 * u, ry0), (rx0 + 3 * u, ry0 + v),
+                    (rx0 + u, ry0 + v), (rx0 + u, ry0 + 2 * v),
+                    (rx0 + 3 * u, ry0 + 2 * v), (rx0 + 3 * u, ry0 + 3 * v),
+                    (rx0, ry0 + 3 * v), (rx0, ry0),
                 ]
                 w_h = b.way(pts, shared=False)
                 b.relation(did, [(w_h, 1, "outer")], dtags)

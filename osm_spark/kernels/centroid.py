@@ -97,8 +97,13 @@ def find_convex_vertex(ring: FloatRing) -> int:
 
 
 def _is_in_triangle(a, v, b, q) -> bool:
-    """Barycentric test (centroid.go:80-87) — 'not robust', kept for parity."""
+    """Barycentric test (centroid.go:80-87) — 'not robust', kept for parity.
+
+    Degenerate (collinear) triangles: Go divides by 0.0 giving Inf/NaN
+    whose range comparisons are false — replicate, don't raise."""
     d = (v[1] - b[1]) * (a[0] - b[0]) + (b[0] - v[0]) * (a[1] - b[1])
+    if d == 0.0:
+        return False
     x = ((v[1] - b[1]) * (q[0] - b[0]) + (b[0] - v[0]) * (q[1] - b[1])) / d
     y = ((b[1] - a[1]) * (q[0] - b[0]) + (a[0] - b[0]) * (q[1] - b[1])) / d
     z = 1 - x - y

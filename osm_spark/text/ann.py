@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — the correctness baseline. The
+  dot product runs JVM-side (zip_with + aggregate, sequential order, so
+  the DuckDB oracle's list_reduce reproduces identical IEEE doubles).
+- hyperplane_lsh_topk: the scale path — random-hyperplane LSH buckets
+  (deterministic md5-derived hyperplanes), candidates only from probing
+  the query's bucket (plus multi-probe neighbors), exact re-rank.
+  At 10^12 rows the brute-force block join is infeasible; bucketing
+  bounds candidates per query to a few buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT_SQL = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+NORM_SQL = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """queries × embeddings exact cosine top-k:
+    (query_id, rank, neighbor_id, sim). Self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")
+    )
+    dot = F.expr(DOT_SQL.format(a="qv", b="ev"))
+    nq = F.expr(NORM_SQL.format(a="qv"))
+    ne = F.expr(NORM_SQL.format(a="ev"))
+    sims = (
+        q.crossJoin(e)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", (dot / (nq * ne)).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from integer mixing."""
+    idx = (
+        np.arange(dim * n_planes, dtype=np.int64).reshape(n_planes, dim)
+        + table * 7919 * dim
+    )
+    v = (idx * 2654435761 + 1013904223) % 2147483647
+    return (v / 2147483647.0) * 2.0 - 1.0
+
+
+def _bucket_col(vec_col: str, planes: np.ndarray):
+    bucket = F.lit(0).cast("long")
+    for p in range(planes.shape[0]):
+        coef = ", ".join(f"{planes[p, d]!r}D" for d in range(planes.shape[1]))
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, array({coef}), (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v)"
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def with_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``buckets`` array: one sign-pattern bucket per hash table
+    (standard multi-table hyperplane LSH; table id salted into the high
+    bits so tables never collide). Computed JVM-side."""
+    cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, table=t)
+        cols.append(
+            _bucket_col(vec_col, planes) + F.lit(t << 48)
+        )
+    return embeddings.withColumn("buckets", F.array(*cols))
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share any table's bucket with the
+    query (plus multi-probe neighbors at Hamming distance 1); exact
+    cosine re-rank. Output (query_id, rank, neighbor_id, sim,
+    n_candidates). At 10^12 scale the bucket join replaces the brute
+    cross join; recall tunes with n_tables/multiprobe."""
+    e = with_lsh_buckets(embeddings, n_planes, n_tables, dim, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ev"),
+        F.explode("buckets").alias("bucket"),
+    )
+    qb = with_lsh_buckets(queries, n_planes, n_tables, dim, vec_col)
+    probes = [F.col("b")]
+    if multiprobe_bits >= 1:
+        probes += [F.col("b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    q = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode("buckets").alias("b"),
+    ).select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+    )
+    dot = F.expr(DOT_SQL.format(a="qv", b="ev"))
+    nq = F.expr(NORM_SQL.format(a="qv"))
+    ne = F.expr(NORM_SQL.format(a="ev"))
+    cand = (
+        q.join(e, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", (dot / (nq * ne)).alias("sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    n_cand = Window.partitionBy("query_id")
+    return (
+        cand.withColumn("n_candidates", F.count("*").over(n_cand))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,214 @@
+"""Spatial extension: cells-SQL/numpy parity, PIP join vs independent
+rectangle arithmetic, kNN, raster round-trip, tile determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark.kernels.cells import cell_parent, point_to_cell
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from osm_spark.data.pages import PagesSpec, pages_df
+
+    return pages_df(spark, PagesSpec(n_pages=2000, n_countries=1)).persist()
+
+
+@pytest.fixture(scope="module")
+def spatial(spark, world, pages):
+    from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+
+    sp = run_spatial_pipeline(
+        spark, pages, world["locations"], world["kept"], max_level=11
+    )
+    sp["pip"] = sp["pip"].persist()
+    sp["points"] = sp["points"].persist()
+    return sp
+
+
+def test_cells_sql_matches_numpy(spark):
+    df = spark.range(500).select(
+        (F.col("id") * 0.7 - 170.0).alias("lon"),
+        (F.col("id") * 0.33 - 80.0).alias("lat"),
+    )
+    from osm_spark.spatial.cells_sql import cell_expr, cell_parent_expr
+
+    rows = df.select(
+        "lon", "lat",
+        cell_expr(F.col("lon"), F.col("lat"), 11).alias("c11"),
+        cell_expr(F.col("lon"), F.col("lat"), 4).alias("c4"),
+    ).withColumn("p4", cell_parent_expr(F.col("c11"), 4)).collect()
+    lons = np.array([r.lon for r in rows])
+    lats = np.array([r.lat for r in rows])
+    np.testing.assert_array_equal(
+        np.array([r.c11 for r in rows]), point_to_cell(lons, lats, 11)
+    )
+    np.testing.assert_array_equal(
+        np.array([r.c4 for r in rows]), point_to_cell(lons, lats, 4)
+    )
+    np.testing.assert_array_equal(
+        np.array([r.p4 for r in rows]), cell_parent(point_to_cell(lons, lats, 11), 4)
+    )
+
+
+def _expected_pairs(points):
+    """Independent rectangle-arithmetic oracle for the 1-country world."""
+    import __spark_entry__ as E
+
+    rects = E._world_rects()
+    out = set()
+    for pid, lon, lat in points:
+        for rel_id, rings in rects:
+            ok = True
+            for kind, (x0, y0, x1, y1) in rings:
+                x0, y0, x1, y1 = x0 / 1e7, y0 / 1e7, x1 / 1e7, y1 / 1e7
+                if kind == "rect":
+                    if not (x0 < lon < x1 and y0 < lat < y1):
+                        ok = False
+                else:
+                    if x0 <= lon <= x1 and y0 <= lat <= y1:
+                        ok = False
+            if ok:
+                out.add((pid, rel_id))
+    return out
+
+
+def test_pip_join_exact(spatial):
+    pts = [(r.point_id, r.lon, r.lat) for r in spatial["points"].collect()]
+    got = {(r.point_id, r.rel_id) for r in spatial["pip"].collect()}
+    assert got == _expected_pairs(pts)
+
+
+def test_pip_join_salted_identical(spark, world, spatial, pages):
+    from osm_spark.spatial.pip_join import pip_join
+
+    base = {(r.point_id, r.rel_id) for r in spatial["pip"].collect()}
+    salted = pip_join(
+        spatial["points"].select("point_id", "lon", "lat"),
+        spatial["polygon_cells"],
+        spatial["polygon_geometry"],
+        salt=4,
+    ).select("point_id", "rel_id").distinct()
+    assert {(r.point_id, r.rel_id) for r in salted.collect()} == base
+
+
+def test_knn_matches_bruteforce(spatial):
+    from osm_spark.spatial.knn import knn_boundaries, _edge_distance
+    import __spark_entry__ as E
+
+    probes = spatial["points"].limit(40).persist()
+    got = knn_boundaries(
+        probes.select("point_id", "lon", "lat"),
+        spatial["polygon_cells"],
+        spatial["polygon_geometry"],
+        k=3,
+        level=4,
+        radius=2,
+    ).collect()
+    segs = E._world_segments()
+    by_rel: dict = {}
+    for rel, x1, y1, x2, y2 in segs:
+        by_rel.setdefault(rel, []).append(([[x1, y1], [x2, y2]],))
+    exp = {}
+    for r in probes.collect():
+        dists = []
+        for rel, ss in by_rel.items():
+            d = min(
+                _edge_distance([s[0]], np.array([r.lon]), np.array([r.lat]))[0]
+                for s in ss
+            )
+            dists.append((d, rel))
+        dists.sort()
+        exp[r.point_id] = [rel for _, rel in dists[:3]]
+    for row in got:
+        assert exp[row.point_id][row.rank - 1] == row.rel_id
+
+
+def test_raster_total_and_vectorize(spark, spatial):
+    from osm_spark.spatial.raster import rasterize_points, vectorize_grid
+
+    grid = rasterize_points(spatial["points"], level=6).persist()
+    assert grid.agg(F.sum("n")).collect()[0][0] == spatial["points"].count()
+    spans = vectorize_grid(grid, level=6).collect()
+    assert sum(r.n for r in spans) == spatial["points"].count()
+    for r in spans:
+        assert r.lon0 < r.lon1 and r.lat0 < r.lat1
+        assert r.ring[0] == r.ring[-1]
+
+
+def test_tile_assignment_parallelism_invariant(spark, world, pages):
+    """North rule: identical join output at different parallelism."""
+    from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+
+    def run(parts):
+        sp = run_spatial_pipeline(
+            spark,
+            pages.repartition(parts),
+            world["locations"],
+            world["kept"],
+            max_level=11,
+        )
+        return {
+            (r.url, r.admin_level, r.rel_id, r.tile) for r in sp["tiles"].collect()
+        }
+
+    assert run(2) == run(16)
+
+
+def test_text_passthrough_binary_identical(spark, world, pages):
+    """Per-row invariant: text byte-identical per url end-to-end."""
+    from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+
+    sp = run_spatial_pipeline(
+        spark, pages, world["locations"], world["kept"], max_level=11
+    )
+    joined = (
+        sp["pip"]
+        .join(sp["points"], "point_id")
+        .select("url")
+        .distinct()
+        .join(pages, "url")
+        .select("url", F.md5("text").alias("h"))
+    )
+    orig = pages.select("url", F.md5("text").alias("h0"))
+    diff = joined.join(orig, "url").where(F.col("h") != F.col("h0"))
+    assert diff.count() == 0
+
+
+def test_geojson_tiles_deterministic(spark, world, spatial):
+    from osm_spark.spatial.tiles import geojson_tiles, tile_assignments
+
+    admin = world["kept"].select(F.col("id").alias("rel_id"), "admin_level")
+    t = tile_assignments(spatial["pip"], spatial["points"], admin, tile_level=6)
+    g1 = {
+        (r.tile, r.admin_level): r.feature_collection
+        for r in geojson_tiles(t, spatial["points"]).collect()
+    }
+    g2 = {
+        (r.tile, r.admin_level): r.feature_collection
+        for r in geojson_tiles(
+            t.repartition(13), spatial["points"].repartition(7)
+        ).collect()
+    }
+    assert g1 == g2
+    import json
+
+    fc = json.loads(next(iter(g1.values())))
+    assert fc["type"] == "FeatureCollection"
+    assert fc["features"][0]["geometry"]["type"] == "Point"
+
+
+def test_multimodal_plumbing(spark, pages):
+    from osm_spark.text.multimodal import attach_media, extract_features
+
+    media = attach_media(pages.limit(100), "html", "image")
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 100
+    assert all(len(r.features) == 8 for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+    # deterministic across runs
+    again = extract_features(media, dim=8).collect()
+    assert {r.media_id: tuple(r.features) for r in feats} == {
+        r.media_id: tuple(r.features) for r in again
+    }

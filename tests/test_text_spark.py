@@ -1,0 +1,204 @@
+"""Training-data operators: dedup family, ANN, text analysis, streaming.
+Python-oracle checks on small slices of the driver's documents table."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def _tokens(text):
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def test_exact_dedup(spark, docs):
+    from osm_spark.text.dedup import exact_dedup
+
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    d = exact_dedup(docs.unionByName(dup))
+    rows = d.collect()
+    assert sum(1 for r in rows if r.n_docs == 2) == 5
+    # survivor is the min id (original)
+    assert all(r.keep_id < 100000 for r in rows)
+
+
+def test_minhash_jaccard_correlation(spark, docs):
+    """MinHash signature agreement must approximate true Jaccard."""
+    from osm_spark.text.dedup import minhash_signatures
+
+    sigs = {r.doc_id: [r[f"mh{i}"] for i in range(8)] for r in
+            minhash_signatures(docs.limit(60)).collect()}
+    texts = {r.doc_id: set(_tokens(r.text)) for r in docs.limit(60).collect()}
+    ids = sorted(sigs)
+    err = []
+    for i in range(0, 40, 5):
+        for j in range(i + 1, 40, 7):
+            a, b = ids[i], ids[j]
+            true_j = len(texts[a] & texts[b]) / len(texts[a] | texts[b])
+            est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 8
+            err.append(abs(true_j - est))
+    assert sum(err) / len(err) < 0.25  # 8 hashes -> coarse but correlated
+
+
+def test_lsh_recall_on_near_duplicates(spark, docs):
+    """A doc with one word changed must be caught as an LSH candidate."""
+    from osm_spark.text.dedup import lsh_candidate_pairs, minhash_signatures
+
+    base = docs.limit(20)
+    near = base.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extraword"))
+    )
+    sigs = minhash_signatures(base.unionByName(near))
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, bands=2, rows=4).collect()
+    }
+    found = sum((d, d + 100000) in pairs for d in range(20))
+    assert found >= 16  # near-dups overwhelmingly caught
+
+
+def test_simhash_near_pairs(spark, docs):
+    from osm_spark.text.dedup import simhash, simhash_near_pairs
+
+    base = docs.limit(20)
+    near = base.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzz"))
+    )
+    s = simhash(base.unionByName(near))
+    by_id = {r.doc_id: r.simhash for r in s.collect()}
+    # identical-ish docs have close simhashes
+    close = sum(
+        bin(by_id[d] ^ by_id[d + 100000]).count("1") <= 3 for d in range(20)
+    )
+    assert close >= 15
+    pairs = simhash_near_pairs(s, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert sum((d, d + 100000) in got for d in range(20)) >= 15
+
+
+def test_ngram_shingles(spark, docs):
+    from osm_spark.text.dedup import ngram_shingles_sql
+
+    row = docs.limit(1).select(
+        "text", F.expr(ngram_shingles_sql("text", 3)).alias("sh")
+    ).collect()[0]
+    toks = _tokens(row.text)
+    assert list(row.sh) == [
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    ]
+
+
+def test_cosine_topk_vs_numpy(spark, emb):
+    import numpy as np
+
+    from osm_spark.text.ann import cosine_topk
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    got = cosine_topk(emb, queries, k=5).collect()
+    for qid in [r.vec_id for r in queries.collect()]:
+        q = vecs[qid]
+        sims = sorted(
+            (
+                (-float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            ),
+        )[:5]
+        expected = [nid for _, nid in sims]
+        mine = [r.neighbor_id for r in sorted(
+            (r for r in got if r.query_id == qid), key=lambda r: r.rank)]
+        assert mine == expected
+
+
+def test_lsh_ann_recall(spark, emb):
+    from osm_spark.text.ann import cosine_topk, hyperplane_lsh_topk
+
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    # LSH parameters scale with collection size: 5 planes (32 buckets)
+    # suits a 500-vector table; production tables use 12-16 planes.
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = hyperplane_lsh_topk(
+        emb, queries, k=5, n_planes=5, n_tables=4
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe LSH recall
+
+
+def test_langid_and_quality(spark, docs):
+    from osm_spark.text.analysis import with_langid, with_quality_score
+
+    out = with_langid(docs.limit(50)).collect()
+    assert all(r.pred_lang in {"en", "fr", "de", "es", "it"} for r in out)
+    q = with_quality_score(docs.limit(50)).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in q)
+
+
+def test_fingerprint_whitespace_invariant(spark, docs):
+    from osm_spark.text.analysis import with_fingerprint
+
+    base = docs.limit(10)
+    mangled = base.withColumn(
+        "text", F.regexp_replace("text", " ", "   ")
+    )
+    f1 = {r.doc_id: r.fingerprint for r in with_fingerprint(base).collect()}
+    f2 = {r.doc_id: r.fingerprint for r in with_fingerprint(mangled).collect()}
+    assert f1 == f2
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Structured Streaming path: file-stream the events parquet and
+    compare windowed counts with the batch equivalent."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w.start, r.event_type): r.n
+        for r in spark.table("win_counts").collect()
+    }
+    exp = {
+        (r.w.start, r.event_type): r.n
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
