@@ -42,7 +42,9 @@ def main() -> None:
     from osm_spark.session import get_spark
     from osm_spark.operators import build_ways_geom
 
-    n_pages = max(int(2_000_000 * sf), 2_000)
+    # Page volume sized so the spatial join is compute-bound, not
+    # stage-overhead-bound (≈1M pages at sf0.1).
+    n_pages = max(int(10_000_000 * sf), 20_000)
     n_countries = max(int(40 * sf), 2)
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",

@@ -36,17 +36,23 @@ def run_spatial_pipeline(
     geo = geoparse_pages(pages).withColumn(
         "point_id", F.xxhash64("url")
     )
-    points = geo.select("point_id", "url", "lon", "lat")
+    # points feed both the PIP join and the tile assignment — persist so
+    # geoparse runs once.
+    points = geo.select("point_id", "url", "lon", "lat").persist()
 
     pcells = build_polygon_cells(locations, min_level, max_level).persist()
     pgeom = polygon_geometry(locations)
 
+    # No distinct: pip_join output is unique per (point, rel) by
+    # construction (disjoint multipolygon parts / disjoint quadtree
+    # cells) — dropping the dedup saves a full shuffle of the largest
+    # intermediate. tests assert exact set equality with the oracle.
     pip = pip_join(
         points.select("point_id", "lon", "lat"),
         pcells,
         pgeom,
         salt=salt,
-    ).select("point_id", "rel_id").distinct()
+    ).select("point_id", "rel_id")
 
     admin_levels = kept.select(
         F.col("id").alias("rel_id"), "admin_level"

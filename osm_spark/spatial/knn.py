@@ -4,8 +4,8 @@ Not in the reference (it only does single-point Contains,
 centroid.go:147-160); this is the extension's nearest-admin-boundary
 query. Design:
 
-    probes --cell at ``level`` + Chebyshev disk of radius R (numpy UDF,
-             small per-probe fan-out)--> (probe, cell)
+    probes --cell at ``level`` + Chebyshev disk of radius R (pure
+             Catalyst grid/Morton arithmetic)--> (probe, cell)
         ⋈ polygon boundary cells at ``level``   (equi-join)
     distinct (probe, rel, poly) candidates
         cogroup with exact geometry -> vectorized point-to-edge distance
@@ -19,30 +19,41 @@ a larger radius; ``n_candidates`` is reported per probe).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from osm_spark.kernels.cells import cell_disk, point_to_cell
 
+def _probe_cells_df(probes, level: int, radius: int):
+    """(point_id, cell) rows for the Chebyshev disk around each probe —
+    pure Catalyst (grid xy + per-offset Morton), no Python on the probe
+    path. Lat-clipped, lon-wrapped like kernels.cells.cell_neighbors."""
+    from pyspark.sql import functions as F
 
-def _probe_cells(level: int, radius: int):
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ids, cells = [], []
-            base = point_to_cell(
-                pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64), level
-            )
-            for pid, c in zip(pdf["point_id"].tolist(), base.tolist()):
-                disk = cell_disk(int(c), radius)
-                ids.extend([int(pid)] * len(disk))
-                cells.extend(disk)
-            yield pd.DataFrame({"point_id": ids, "cell": cells})
+    from osm_spark.spatial.cells_sql import _morton_expr, _xy_expr
 
-    return gen
+    n = 1 << level
+    x, y = _xy_expr(F.col("lon"), F.col("lat"), level)
+    df = probes.select("point_id", x.alias("gx"), y.alias("gy"))
+    offsets = [
+        (dx, dy)
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    ]
+    cells = []
+    for dx, dy in offsets:
+        nx = F.pmod(F.col("gx") + F.lit(dx), F.lit(n))
+        ny = F.col("gy") + F.lit(dy)
+        m = _morton_expr(nx, ny, level)
+        cell = F.shiftleft(m, 6).bitwiseOR(F.lit(level)).cast("long")
+        cells.append(
+            F.when(ny.between(0, n - 1), cell)
+        )
+    return df.select(
+        "point_id",
+        F.explode(F.array(*cells)).alias("cell"),
+    ).where(F.col("cell").isNotNull())
 
 
 def _edge_distance(poly, lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
@@ -97,9 +108,7 @@ def knn_boundaries(
     (point_id, rel_id, dist, rank)."""
     from osm_spark.spatial.cells_sql import cell_parent_expr
 
-    probe_cells = probes.mapInPandas(
-        _probe_cells(level, radius), "point_id long, cell long"
-    )
+    probe_cells = _probe_cells_df(probes, level, radius)
     # Boundary cells only (all emitted at max_level, >= query level).
     bcells = (
         polygon_cells.where(~F.col("interior"))

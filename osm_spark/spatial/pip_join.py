@@ -96,6 +96,12 @@ def pip_join(
 ) -> DataFrame:
     """points(point_id, lon, lat) × polygons → (point_id, rel_id, poly_idx).
 
+    Output rows are unique per (point_id, rel_id) by construction when
+    the multipolygon parts of each relation are disjoint (always true
+    for valid assembled admin boundaries): covering cells are disjoint
+    across levels of one polygon, and a point lies in at most one
+    polygon of a relation — so no dedup shuffle is needed downstream.
+
     ``levels``: covering levels to probe; default = distinct levels in
     polygon_cells (collected — small dimension).
     """
