@@ -43,8 +43,12 @@ def main() -> None:
     from osm_spark.operators import build_ways_geom
 
     # Page volume sized so the spatial join is compute-bound, not
-    # stage-overhead-bound (≈1M pages at sf0.1).
-    n_pages = max(int(10_000_000 * sf), 20_000)
+    # stage-overhead-bound (≈1M pages at sf0.1). Override with
+    # SPARK_GRAFT_N_PAGES (scaling runs use a heavier setting so real
+    # work dominates scheduler/VM noise at high thread counts).
+    n_pages = int(
+        os.environ.get("SPARK_GRAFT_N_PAGES", max(int(10_000_000 * sf), 20_000))
+    )
     n_countries = max(int(40 * sf), 2)
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
@@ -94,7 +98,8 @@ def main() -> None:
                 spark, pages, out["locations"], out["kept"], max_level=11
             )
         )
-        sp["tiles"] = sp["tiles"].persist()
+        # count only — caching the largest intermediate would evict the
+        # inputs (points/pages) other queries reuse.
         return sp["tiles"].count()
 
     timed("pip_tile", run_pip)

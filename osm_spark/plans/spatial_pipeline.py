@@ -51,6 +51,10 @@ def run_spatial_pipeline(
         points.select("point_id", "lon", "lat"),
         pcells,
         pgeom,
+        # Explicit levels: probing every level in the covering range
+        # costs a few extra exploded rows but avoids a separate
+        # collect-distinct job before the main action.
+        levels=list(range(min_level, max_level + 1)),
         salt=salt,
     ).select("point_id", "rel_id")
 

@@ -31,9 +31,13 @@ def build_polygon_cells(
     """(rel_id, poly_idx, cell, interior) covering of every polygon of
     every relation's multipolygon."""
 
+    # Spread polygons across tasks: the source table has few rows, and
+    # covering cost varies per polygon — round-robin repartition keeps
+    # every core busy instead of one task covering everything.
+    sc = locations.sparkSession.sparkContext
     polys = locations.select(
         "rel_id", F.posexplode("shape").alias("poly_idx", "poly")
-    )
+    ).repartition(sc.defaultParallelism)
 
     def cover(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

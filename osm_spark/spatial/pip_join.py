@@ -17,10 +17,14 @@ Scale properties:
 - the polygon-cell side is small (10^6-10^7 rows) — broadcastable;
 - exact geometry is shipped once per (rel, poly) group via cogroup, not
   per candidate row;
-- hot cells (city-dense pages) are handled by AQE skew-join splitting
-  plus optional deterministic salting: polygon-cell rows are replicated
-  ``salt`` times and points pick a replica by hash — bounding any single
-  reduce task at points_in_hot_cell / salt.
+- hot cells (city-dense pages) are handled in layers: with the default
+  broadcast cell join there is NO reduce partitioning to skew — hot-cell
+  points stay spread across input partitions; when the polygon-cell side
+  is too large to broadcast (``broadcast_cells=False`` → shuffle join),
+  AQE skew-join splitting applies, plus optional deterministic salting:
+  polygon-cell rows are replicated ``salt`` times and points pick a
+  replica by hash — bounding any single reduce task at
+  points_in_hot_cell / salt.
 """
 
 from __future__ import annotations

@@ -22,6 +22,11 @@ def run(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    # Size the (single-JVM) driver so cached inputs never evict during
+    # the heavier scaling workloads — the box has 128 GiB.
+    env.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    if os.environ.get("SPARK_GRAFT_N_PAGES"):
+        env["SPARK_GRAFT_N_PAGES"] = os.environ["SPARK_GRAFT_N_PAGES"]
     out = subprocess.run(
         [sys.executable, "-u", "bench.py"],
         env=env,
