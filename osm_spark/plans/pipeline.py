@@ -49,6 +49,29 @@ def content_hash(df: DataFrame) -> int:
     return int(agg["s"]) ^ int(agg["n"])
 
 
+def partition_lineage(df: DataFrame) -> list[dict]:
+    """Per-partition lineage rows (north rule): for each physical
+    partition of the materialized table — row count + order-insensitive
+    content hash. One pass, map-side aggregated by partition id."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    rows = (
+        df.select(
+            F.spark_partition_id().alias("pid"),
+            F.xxhash64(*cols).alias("h"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.count("*").alias("rows"),
+            (F.sum(F.col("h") % F.lit(2**31))).alias("s"),
+        )
+        .collect()
+    )
+    return [
+        {"partition": int(r["pid"]), "rows": int(r["rows"]), "content_hash": int(r["s"])}
+        for r in rows
+    ]
+
+
 @dataclass
 class Checkpointer:
     spark: SparkSession
@@ -83,14 +106,27 @@ class Checkpointer:
         df.write.format(self.fmt).mode(mode).save(p)
         out = self.spark.read.format(self.fmt).load(p)
         if self.collect_metrics:
+            parts = partition_lineage(out)
             self.metrics.append(
                 {
                     "stage": name,
-                    "rows": out.count(),
+                    "partition": -1,  # whole-table row
+                    "rows": sum(p_["rows"] for p_ in parts),
                     "content_hash": content_hash(out),
                     "ts": time.time(),
                 }
             )
+            now = time.time()
+            for p_ in parts:
+                self.metrics.append(
+                    {
+                        "stage": name,
+                        "partition": p_["partition"],
+                        "rows": p_["rows"],
+                        "content_hash": p_["content_hash"],
+                        "ts": now,
+                    }
+                )
         return out
 
     def read(self, name: str) -> DataFrame:
@@ -100,8 +136,11 @@ class Checkpointer:
         if self.root is None or not self.metrics:
             return
         self.spark.createDataFrame(
-            [(m["stage"], m["rows"], m["content_hash"], m["ts"]) for m in self.metrics],
-            "stage string, rows long, content_hash long, ts double",
+            [
+                (m["stage"], m["partition"], m["rows"], m["content_hash"], m["ts"])
+                for m in self.metrics
+            ],
+            "stage string, partition int, rows long, content_hash long, ts double",
         ).write.format(self.fmt).mode("append").save(self.path("metrics"))
 
 

@@ -1,0 +1,137 @@
+"""Structured Streaming ingest: pages stream → tile assignments.
+
+The reference has no streaming (its o5m "stream" is a batch file scan,
+SURVEY.md §2.7); this is the extension's continuous-ingest slice. Two
+shapes, per the engine's design note (SURVEY §2.7):
+
+- ``stream_tile_assignments``: readStream over a pages directory →
+  foreachBatch running the SAME batch operators (geoparse → PIP join →
+  tiles) against the static polygon side, appending to a parquet/Iceberg
+  sink. foreachBatch is the right tool because the PIP refinement uses a
+  cogrouped pandas UDF, which streaming does not support natively —
+  and it gives exactly-once append semantics with the checkpoint.
+- ``windowed_page_counts``: a native streaming aggregation (watermark +
+  tumbling window over warc_ts) for freshness metrics — late data
+  handled by the watermark.
+
+The stateful custom-operator surface (applyInPandasWithState) is
+exercised by ``sessionize_stream`` over the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_tile_assignments(
+    spark: SparkSession,
+    source_dir: str,
+    locations: DataFrame,
+    kept: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    tile_level: int = 7,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+):
+    """Start a streaming query appending (url, admin_level, rel_id,
+    tile) for every page file landing in ``source_dir``."""
+    from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = run_spatial_pipeline(spark, batch_df, locations, kept,
+                                  tile_level=tile_level)
+        (
+            sp["tiles"]
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_page_counts(
+    pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time page counts per (window, lang) with late-data
+    watermarking — the native streaming aggregation path."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SESSION_SCHEMA = "user_id long, session_id long, n_events long, start_ts timestamp, end_ts timestamp"
+_STATE_SCHEMA = "session_id long, n long, start_us long, last_us long"
+
+
+def _sessionize_fn(gap_seconds: int):
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            session_id, n, start_us, last_us = state.get
+        else:
+            session_id, n, start_us, last_us = 0, 0, None, None
+        out = []
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+        for us in sorted(ts_list):
+            if last_us is not None and us - last_us > gap_us:
+                out.append((user_id, session_id, n, start_us, last_us))
+                session_id += 1
+                n, start_us = 0, us
+            if start_us is None:
+                start_us = us
+            n += 1
+            last_us = us
+        state.update((session_id, n, start_us, last_us))
+        if out:
+            df = pd.DataFrame(
+                out, columns=["user_id", "session_id", "n_events", "start_us", "end_us"]
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "session_id": df["session_id"],
+                    "n_events": df["n_events"],
+                    "start_ts": pd.to_datetime(df["start_us"], unit="us"),
+                    "end_ts": pd.to_datetime(df["end_us"], unit="us"),
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    emits a session row when a gap > ``gap_seconds`` closes it. The
+    in-flight session stays in GroupState across micro-batches."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(gap_seconds),
+        SESSION_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

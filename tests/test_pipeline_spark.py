@@ -151,10 +151,28 @@ def test_resume_checkpoint(world, spark, tmp_path):
     n2 = sorted(r.id for r in out2["boundaries"].collect())
     assert n1 == n2
     metrics = spark.read.parquet(ck + "/metrics")
-    per_stage = metrics.groupBy("stage").agg(
-        F.countDistinct("content_hash").alias("h")
-    ).collect()
-    assert all(r.h == 1 for r in per_stage)  # identical hashes across runs
+    # whole-table rows (partition = -1): identical hash across runs
+    per_stage = (
+        metrics.where(F.col("partition") == -1)
+        .groupBy("stage")
+        .agg(F.countDistinct("content_hash").alias("h"))
+        .collect()
+    )
+    assert all(r.h == 1 for r in per_stage)
+    # per-partition lineage present and consistent with table totals
+    sums = (
+        metrics.where(F.col("partition") >= 0)
+        .groupBy("stage", "ts")
+        .agg(F.sum("rows").alias("prows"))
+        .join(
+            metrics.where(F.col("partition") == -1).select(
+                "stage", F.col("rows").alias("trows")
+            ),
+            "stage",
+        )
+        .collect()
+    )
+    assert sums and all(r.prows == r.trows for r in sums)
 
 
 def test_member_role_error(world, spark):

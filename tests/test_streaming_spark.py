@@ -1,0 +1,147 @@
+"""Structured Streaming slice: streamed tile assignment must equal the
+batch result; watermark aggregation; custom stateful sessionization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_streamed_tiles_equal_batch(spark, world, tmp_path):
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+    from osm_spark.streaming.pages_stream import stream_tile_assignments
+
+    pages = pages_df(spark, PagesSpec(n_pages=1500, n_countries=1))
+    src = str(tmp_path / "pages_src")
+    # multiple files -> multiple micro-batches
+    pages.repartition(6).write.parquet(src)
+
+    sink = str(tmp_path / "tiles_sink")
+    ck = str(tmp_path / "stream_ck")
+    q = stream_tile_assignments(
+        spark, src, world["locations"], world["kept"], sink, ck,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(sink)
+    assert streamed.select("batch_id").distinct().count() >= 2
+
+    batch = run_spatial_pipeline(
+        spark, spark.read.parquet(src), world["locations"], world["kept"]
+    )["tiles"]
+    key = lambda df: {
+        (r.url, r.admin_level, r.rel_id, r.tile) for r in df.collect()
+    }
+    assert key(streamed) == key(batch)
+
+
+def test_streamed_tiles_resume(spark, world, tmp_path):
+    """New files after a restart are processed exactly once."""
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.streaming.pages_stream import stream_tile_assignments
+
+    p1 = pages_df(spark, PagesSpec(n_pages=400, n_countries=1))
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    p1.write.parquet(src)
+    q = stream_tile_assignments(
+        spark, src, world["locations"], world["kept"], sink, ck
+    )
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(sink).count()
+
+    # land more pages (disjoint urls), restart the query
+    import pyspark.sql.functions as F2
+
+    p2 = pages_df(spark, PagesSpec(n_pages=800, n_countries=1)).where(
+        F2.regexp_extract("url", r"page/(\d+)$", 1).cast("long") >= 400
+    )
+    p2.write.mode("append").parquet(src)
+    q2 = stream_tile_assignments(
+        spark, src, world["locations"], world["kept"], sink, ck
+    )
+    q2.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    # no duplicates: each (url, rel) appears once
+    assert out.count() == out.select("url", "admin_level", "rel_id").distinct().count()
+    assert out.count() > n1
+
+
+def test_watermarked_window_counts(spark, tmp_path):
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.streaming.pages_stream import windowed_page_counts
+
+    pages = pages_df(spark, PagesSpec(n_pages=2000, n_countries=1))
+    src = str(tmp_path / "wsrc")
+    pages.write.parquet(src)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_page_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("page_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.w.start, r.lang): r.n for r in spark.table("page_counts").collect()
+    }
+    exp = {
+        (r.w.start, r.lang): r.n
+        for r in pages.groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    from osm_spark.streaming.pages_stream import sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "esrc")
+    events.orderBy("ts").coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sess = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("sessions").collect()
+    # closed sessions only (the last session per user stays in state);
+    # compare against the batch gaps-and-islands sessionization
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        events.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.unix_timestamp(F.col("ts").cast("timestamp"))
+                   - F.unix_timestamp(F.col("prev").cast("timestamp")) > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n"))
+    )
+    batch_counts = {(r.user_id, r.sid - 1): r.n for r in batch.collect()}
+    for r in got:
+        assert batch_counts.get((r.user_id, r.session_id)) == r.n_events
+    # sessions closed in-stream must be a subset but non-trivial
+    assert len(got) > 0
