@@ -1090,6 +1090,101 @@ FROM documents
 )
 
 
+_PAIRS_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
+ hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks),
+ sigs AS (SELECT doc_id, {_mh_duck} FROM hashed GROUP BY doc_id),
+ pairs AS (
+   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+   FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+     AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+   UNION
+   SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
+     ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
+     AND a.doc_id < b.doc_id)
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True token-3-gram shingle Jaccard on LSH candidate pairs."""
+    from osm_spark.text.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_shingles_sql,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs), bands=2, rows=4)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(F.expr(ngram_shingles_sql("text", 3))).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", F.round(inter.cast("double") / union, 9).alias("jaccard3")
+        )
+    )
+
+
+_SHINGLES_DUCK = (
+    f"list_transform(range(1, greatest(len({_TOKENS_DUCK}) - 2, 0) + 1), "
+    f"i -> array_to_string(({_TOKENS_DUCK})[i:i+2], ' '))"
+)
+_def(
+    "q39_ngram_jaccard",
+    fn=_q_ngram_jaccard,
+    duck_sql=_PAIRS_DUCK
+    + f""",
+ sh AS (SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS s FROM documents)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 9) AS jaccard3
+FROM pairs JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id
+""",
+)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.dedup import simhash, simhash_near_pairs
+
+    _load(spark, sf_dir)
+    s = simhash(spark.table("documents"))
+    return simhash_near_pairs(s, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_nibble_joins = " UNION ".join(
+    f"SELECT a.doc_id AS id_a, a.simhash AS sh_a, b.doc_id AS id_b, b.simhash AS sh_b "
+    f"FROM sh a JOIN sh b ON ((a.simhash >> {4 * i}) & 15) = ((b.simhash >> {4 * i}) & 15) "
+    f"AND a.doc_id < b.doc_id"
+    for i in range(4)
+)
+_def(
+    "q43_simhash_pairs",
+    spark_sql=None,
+    fn=_q_simhash_pairs,
+    duck_sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
+ hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks),
+ votes AS (SELECT doc_id, {_sim_votes_duck} FROM hashed GROUP BY doc_id),
+ sh AS (SELECT doc_id, CAST({_sim_sum} AS BIGINT) AS simhash FROM votes),
+ cand AS ({_nibble_joins})
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # ANN queries (embeddings table)
 # ---------------------------------------------------------------------------

@@ -99,9 +99,14 @@ class Checkpointer:
 
         ``mode="append"`` is the incremental-checkpoint path (resume):
         only new rows are written, never rewriting files a concurrent
-        plan may still read (Iceberg-style append semantics)."""
+        plan may still read (Iceberg-style append semantics).
+
+        Without a checkpoint root the stage is persisted lazily —
+        multi-consumer stages (locations feeds centroids AND boundary
+        docs) compute once, single-consumer stages pay nothing until
+        an action needs them."""
         if self.root is None:
-            return df.localCheckpoint()
+            return df.persist()
         p = self.path(name)
         df.write.format(self.fmt).mode(mode).save(p)
         out = self.spark.read.format(self.fmt).load(p)

@@ -93,6 +93,22 @@ def test_pip_join_salted_identical(spark, world, spatial, pages):
     assert {(r.point_id, r.rel_id) for r in salted.collect()} == base
 
 
+def test_pip_join_shuffle_path_identical(spark, world, spatial, pages):
+    """broadcast_cells=False exercises the shuffle-join path (the mode
+    where salting actually matters at scale) — identical output."""
+    from osm_spark.spatial.pip_join import pip_join
+
+    base = {(r.point_id, r.rel_id) for r in spatial["pip"].collect()}
+    shuffled = pip_join(
+        spatial["points"].select("point_id", "lon", "lat"),
+        spatial["polygon_cells"],
+        spatial["polygon_geometry"],
+        salt=4,
+        broadcast_cells=False,
+    ).select("point_id", "rel_id").distinct()
+    assert {(r.point_id, r.rel_id) for r in shuffled.collect()} == base
+
+
 def test_knn_matches_bruteforce(spatial):
     from osm_spark.spatial.knn import knn_boundaries, _edge_distance
     import __spark_entry__ as E
