@@ -75,6 +75,65 @@ def geojson_tiles(assignments: DataFrame, points: DataFrame) -> DataFrame:
     )
 
 
+BOUNDARY_TILE_SCHEMA = (
+    "tile long, rel_id long, clipped array<array<array<array<double>>>>, "
+    "n_polygons int"
+)
+
+
+def boundary_tiles(
+    locations: DataFrame, polygon_cells: DataFrame, tile_level: int = 7
+) -> DataFrame:
+    """Per-tile CLIPPED admin geometry: for every tile a polygon's
+    covering touches, the multipolygon clipped to that tile's box
+    (Sutherland–Hodgman kernel). This is the vector-tile content stage:
+    (tile, rel_id, clipped multipolygon).
+
+    Shape: covering cells → parent tile ids (Catalyst bit ops) →
+    distinct (tile, rel) pairs → join geometry → cogrouped clip (one
+    geometry row per group, Arrow-batched)."""
+    import pandas as pd
+
+    from osm_spark.kernels.cells import cell_bounds
+    from osm_spark.kernels.clip import clip_multipolygon_to_box
+    from osm_spark.spatial.cells_sql import cell_parent_expr
+
+    pairs = (
+        polygon_cells.select(
+            cell_parent_expr(F.col("cell"), tile_level).alias("tile"),
+            "rel_id",
+            "poly_idx",
+        )
+        .distinct()
+    )
+    def clip_group(key, tiles_pdf: pd.DataFrame, loc_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(tiles_pdf) == 0 or len(loc_pdf) == 0:
+            return pd.DataFrame(
+                {"tile": [], "rel_id": [], "clipped": [], "n_polygons": []}
+            ).astype({"tile": "int64", "rel_id": "int64", "n_polygons": "int32"})
+        shape = [
+            [[[float(v) for v in pt] for pt in ring] for ring in poly]
+            for poly in loc_pdf["shape"].iloc[0]
+        ]
+        rows = []
+        for t in sorted(set(int(t) for t in tiles_pdf["tile"])):
+            lon0, lat0, lon1, lat1 = cell_bounds(t)
+            clipped = clip_multipolygon_to_box(shape, lon0, lat0, lon1, lat1)
+            if clipped:
+                rows.append((t, key[0], clipped, len(clipped)))
+        return pd.DataFrame(
+            rows, columns=["tile", "rel_id", "clipped", "n_polygons"]
+        )
+
+    return (
+        pairs.select("tile", "rel_id")
+        .distinct()
+        .groupBy("rel_id")
+        .cogroup(locations.select("rel_id", "shape").groupBy("rel_id"))
+        .applyInPandas(clip_group, BOUNDARY_TILE_SCHEMA)
+    )
+
+
 def mvt_tiles(assignments: DataFrame, points: DataFrame) -> DataFrame:
     """Mapbox-Vector-Tile emission stub.
 

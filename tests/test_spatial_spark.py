@@ -215,6 +215,33 @@ def test_geojson_tiles_deterministic(spark, world, spatial):
     assert fc["features"][0]["geometry"]["type"] == "Point"
 
 
+def test_boundary_tiles_area_conserved(spark, world, spatial):
+    """Clipped per-tile geometry partitions each relation's area."""
+    from osm_spark.kernels.clip import multipolygon_area
+    from osm_spark.spatial.tiles import boundary_tiles
+
+    bt = boundary_tiles(world["locations"], spatial["polygon_cells"], tile_level=6)
+    rows = bt.collect()
+    assert all(r.n_polygons >= 1 for r in rows)
+    got = {}
+    for r in rows:
+        shape = [
+            [[[float(v) for v in pt] for pt in ring] for ring in poly]
+            for poly in r.clipped
+        ]
+        got[r.rel_id] = got.get(r.rel_id, 0.0) + multipolygon_area(shape)
+    exp = {}
+    for r in world["locations"].collect():
+        shape = [
+            [[[float(v) for v in pt] for pt in ring] for ring in poly]
+            for poly in r.shape
+        ]
+        exp[r.rel_id] = multipolygon_area(shape)
+    assert set(got) == set(exp)
+    for rel in exp:
+        assert abs(got[rel] - exp[rel]) < 1e-6 * max(exp[rel], 1.0), rel
+
+
 def test_multimodal_plumbing(spark, pages):
     from osm_spark.text.multimodal import attach_media, extract_features
 
