@@ -842,9 +842,21 @@ _TOKENS_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
 _TOKENS_DUCK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
 _MD5_SPARK = "cast(conv(substr(md5({t}), 1, 15), 16, 10) as bigint)"
 _MD5_DUCK = "CAST(('0x' || substr(md5({t}), 1, 15)) AS BIGINT)"
+# Second independent 60-bit hash from the same md5 (hex chars 17..31)
+# — simhash bit source for words 2-3.
+_MD52_SPARK = "cast(conv(substr(md5({t}), 17, 15), 16, 10) as bigint)"
+_MD52_DUCK = "CAST(('0x' || substr(md5({t}), 17, 15)) AS BIGINT)"
 _M = 2147483647
-_A = [1103515245, 1103517217, 69069, 1664525, 22695477, 134775813, 214013, 16843009]
-_B = [12345, 362437, 521288629, 1013904223, 32830301, 1, 2531011, 826366247]
+# MinHash family re-tuned in round 2 (VERDICT r1 #3/#4): K=128 md5-
+# derived constants shared with osm_spark.text.dedup; 4 bands × 32
+# rows => measured 2.5% candidate ratio on sf0.1 (was 35% with the r1
+# 2×4-over-K=8 banding).
+from osm_spark.text.dedup import MINHASH_A as _A  # noqa: E402
+from osm_spark.text.dedup import MINHASH_B as _B  # noqa: E402
+
+_K = 128
+_BANDS = 4
+_ROWS = 32
 
 _def(
     "q30_dedup_exact",
@@ -860,11 +872,26 @@ FROM documents GROUP BY md5(text)
 )
 
 _mh_spark = ", ".join(
-    f"min(({_A[i]} * h + {_B[i]}) % {_M}) AS mh{i}" for i in range(8)
+    f"min(({_A[i]} * h + {_B[i]}) % {_M}) AS mh{i}" for i in range(_K)
 )
 _mh_duck = ", ".join(
-    f"CAST(min(({_A[i]} * h + {_B[i]}) % {_M}) AS BIGINT) AS mh{i}" for i in range(8)
+    f"CAST(min(({_A[i]} * h + {_B[i]}) % {_M}) AS BIGINT) AS mh{i}" for i in range(_K)
 )
+
+
+def _band_pairs_duck() -> str:
+    """DuckDB candidate-pairs subquery: UNION of one self-join per band,
+    each on its 32 signature columns (twin of lsh_candidate_pairs)."""
+    parts = []
+    for b in range(_BANDS):
+        cols = " AND ".join(
+            f"a.mh{b * _ROWS + r} = b.mh{b * _ROWS + r}" for r in range(_ROWS)
+        )
+        parts.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a "
+            f"JOIN sigs b ON {cols} AND a.doc_id < b.doc_id"
+        )
+    return " UNION ".join(parts)
 _def(
     "q31_minhash",
     spark_sql=f"""
@@ -887,52 +914,68 @@ def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir)
     sigs = minhash_signatures(spark.table("documents"))
-    return lsh_candidate_pairs(sigs, bands=2, rows=4)
+    return lsh_candidate_pairs(sigs)
 
 
-_def(
-    "q32_lsh_pairs",
-    fn=_q_lsh_pairs,
-    duck_sql=f"""
+_PAIRS_DUCK = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
  hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks),
  sigs AS (SELECT doc_id, {_mh_duck} FROM hashed GROUP BY doc_id),
- pairs AS (
-   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-   FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
-     AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-   UNION
-   SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
-     ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
-     AND a.doc_id < b.doc_id)
-SELECT id_a, id_b FROM pairs
-""",
+ pairs AS ({_band_pairs_duck()})
+"""
+
+_def(
+    "q32_lsh_pairs",
+    fn=_q_lsh_pairs,
+    duck_sql=_PAIRS_DUCK + "SELECT id_a, id_b FROM pairs",
 )
 
-_sim_votes_spark = ", ".join(
-    f"sum((cast((h >> {i}) & 1 as bigint)) * 2 - 1) AS v{i}" for i in range(16)
-)
-_sim_votes_duck = ", ".join(
-    f"CAST(sum(((h >> {i}) & 1) * 2 - 1) AS BIGINT) AS v{i}" for i in range(16)
-)
-_sim_sum = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
-_def(
-    "q33_simhash",
-    spark_sql=f"""
-WITH toks AS (
-  SELECT doc_id, explode(array_distinct({_TOKENS_SPARK})) AS tok FROM documents),
- hashed AS (SELECT doc_id, {_MD5_SPARK.format(t='tok')} % {_M} AS h FROM toks),
- votes AS (SELECT doc_id, {_sim_votes_spark} FROM hashed GROUP BY doc_id)
-SELECT doc_id, cast({_sim_sum} AS bigint) AS simhash FROM votes
-""",
-    duck_sql=f"""
+# 64-bit simhash as four 16-bit words (twin of osm_spark.text.dedup.
+# simhash — r2 upgrade from the 16-bit r1 hash, VERDICT r1 #2/#3).
+# Bits 0-31 vote on h1 (md5 prefix), 32-63 on h2 (md5 chars 17-31).
+def _sim_votes(h1: str, h2: str, cast_bigint: bool) -> str:
+    out = []
+    for i in range(64):
+        src, bit = (h1, i) if i < 32 else (h2, i - 32)
+        e = f"sum((({src} >> {bit}) & 1) * 2 - 1)"
+        if cast_bigint:
+            e = f"CAST({e} AS BIGINT)"
+        out.append(f"{e} AS v{i}")
+    return ", ".join(out)
+
+
+def _sim_words() -> str:
+    words = []
+    for w in range(4):
+        s = " + ".join(
+            f"(CASE WHEN v{w * 16 + b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(16)
+        )
+        words.append(f"CAST({s} AS BIGINT) AS sh{w}")
+    return ", ".join(words)
+
+
+_SIM_DUCK_CTE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
- hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks),
- votes AS (SELECT doc_id, {_sim_votes_duck} FROM hashed GROUP BY doc_id)
-SELECT doc_id, CAST({_sim_sum} AS BIGINT) AS simhash FROM votes
-""",
+ hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h1,
+                   {_MD52_DUCK.format(t='tok')} % {_M} AS h2 FROM toks),
+ votes AS (SELECT doc_id, {_sim_votes('h1', 'h2', True)} FROM hashed GROUP BY doc_id),
+ sh AS (SELECT doc_id, {_sim_words()} FROM votes)
+"""
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.dedup import simhash
+
+    _load(spark, sf_dir)
+    return simhash(spark.table("documents"))
+
+
+_def(
+    "q33_simhash",
+    fn=_q_simhash,
+    duck_sql=_SIM_DUCK_CTE + "SELECT doc_id, sh0, sh1, sh2, sh3 FROM sh",
 )
 
 
@@ -945,7 +988,7 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir)
     docs = spark.table("documents")
-    pairs = lsh_candidate_pairs(minhash_signatures(docs), bands=2, rows=4)
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
     return unigram_jaccard_pairs(docs, pairs).select(
         "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
     )
@@ -954,19 +997,8 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _def(
     "q34_jaccard",
     fn=_q_jaccard,
-    duck_sql=f"""
-WITH toks AS (
-  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
- hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks),
- sigs AS (SELECT doc_id, {_mh_duck} FROM hashed GROUP BY doc_id),
- pairs AS (
-   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-   FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
-     AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-   UNION
-   SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
-     ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
-     AND a.doc_id < b.doc_id),
+    duck_sql=_PAIRS_DUCK
+    + f""",
  dtoks AS (SELECT doc_id, list_distinct({_TOKENS_DUCK}) AS toks FROM documents)
 SELECT id_a, id_b,
        round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -1090,22 +1122,6 @@ FROM documents
 )
 
 
-_PAIRS_DUCK = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
- hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks),
- sigs AS (SELECT doc_id, {_mh_duck} FROM hashed GROUP BY doc_id),
- pairs AS (
-   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-   FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
-     AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-   UNION
-   SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
-     ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
-     AND a.doc_id < b.doc_id)
-"""
-
-
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True token-3-gram shingle Jaccard on LSH candidate pairs."""
     from osm_spark.text.dedup import (
@@ -1116,7 +1132,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir)
     docs = spark.table("documents")
-    pairs = lsh_candidate_pairs(minhash_signatures(docs), bands=2, rows=4)
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
     sh = docs.select(
         "doc_id",
         F.array_distinct(F.expr(ngram_shingles_sql("text", 3))).alias("sh"),
@@ -1162,25 +1178,24 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_nibble_joins = " UNION ".join(
-    f"SELECT a.doc_id AS id_a, a.simhash AS sh_a, b.doc_id AS id_b, b.simhash AS sh_b "
-    f"FROM sh a JOIN sh b ON ((a.simhash >> {4 * i}) & 15) = ((b.simhash >> {4 * i}) & 15) "
-    f"AND a.doc_id < b.doc_id"
+# 16-bit-word band blocking (r2): pigeonhole over 4 words of the
+# 64-bit hash — hamming≤3 pairs share at least one exact word.
+_word_joins = " UNION ".join(
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    + ", ".join(f"a.sh{w} AS a{w}, b.sh{w} AS b{w}" for w in range(4))
+    + f" FROM sh a JOIN sh b ON a.sh{i} = b.sh{i} AND a.doc_id < b.doc_id"
     for i in range(4)
 )
+_ham_duck = " + ".join(f"bit_count(xor(a{w}, b{w}))" for w in range(4))
 _def(
     "q43_simhash_pairs",
     spark_sql=None,
     fn=_q_simhash_pairs,
-    duck_sql=f"""
-WITH toks AS (
-  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
- hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM toks),
- votes AS (SELECT doc_id, {_sim_votes_duck} FROM hashed GROUP BY doc_id),
- sh AS (SELECT doc_id, CAST({_sim_sum} AS BIGINT) AS simhash FROM votes),
- cand AS ({_nibble_joins})
-SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    duck_sql=_SIM_DUCK_CTE.rstrip()
+    + f""",
+ cand AS ({_word_joins})
+SELECT id_a, id_b, CAST({_ham_duck} AS BIGINT) AS hamming
+FROM cand WHERE {_ham_duck} <= 3
 """,
 )
 

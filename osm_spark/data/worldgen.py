@@ -380,6 +380,25 @@ def build_world(spec: WorldSpec) -> tuple[WorldBuilder, EngineConfig]:
                 rrefs,
                 [("name", "Wibble"), ("admin_level", "4"), ("boundary", "wibble")],
             )
+            # Localized-name-only relations: silently dropped by the
+            # keep filter (RelationTags.Name() reads only "name",
+            # geojson.go:259-268 @ 749) but their DIAGNOSTIC name
+            # (Relation.Name(), parser.go:395-411) falls back to the
+            # single name:* tag — and to "" when several exist. rej+6
+            # has an unknown boundary too, so its error message
+            # exercises the fallback in rel.String().
+            b.relation(
+                rej + 5,
+                rrefs,
+                [("name:fr", "Parc du Midi"), ("admin_level", "4"),
+                 ("boundary", "administrative")],
+            )
+            b.relation(
+                rej + 6,
+                rrefs,
+                [("name:fr", "Zone X"), ("name:de", "Gebiet X"),
+                 ("admin_level", "4"), ("boundary", "wobble")],
+            )
 
     from osm_spark.config import _REFERENCE_ACCEPTED, _REFERENCE_REJECTED
 

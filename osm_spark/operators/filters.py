@@ -60,6 +60,47 @@ def with_tag_columns(relations: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.when(~F.col("dup_tag"), F.map_from_entries("tags_patched")),
     )
     t = F.col("tmap")
+    # P2a — diagnostic name, Relation.Name() parity (parser.go:395-411):
+    # a faithful ORDERED fold over the RAW (unpatched) tag array: the
+    # plain "name" tag wins the moment it is seen; otherwise exactly one
+    # "name:*" tag supplies the name; a SECOND "name:*" tag returns ""
+    # immediately — even if a plain "name" follows later in tag order
+    # (the reference's early return). Used only where the reference uses
+    # rel.Name()/rel.String(): error/diagnostic strings (main.go:122,365,
+    # geojson.go:504) — NOT in the keep/drop filter, which the reference
+    # drives off RelationTags.Name() (map-based "name" lookup only,
+    # geojson.go:259-268, called at geojson.go:749).
+    df = df.withColumn(
+        "name_diag",
+        F.expr(
+            """
+            aggregate(
+              tags,
+              named_struct('done', false, 'result', '', 'names', 0),
+              (acc, x) -> CASE
+                WHEN acc.done THEN acc
+                WHEN x.key = 'name'
+                  THEN named_struct('done', true, 'result', x.value,
+                                    'names', acc.names)
+                WHEN x.key LIKE 'name:%' AND acc.names >= 1
+                  THEN named_struct('done', true, 'result', '',
+                                    'names', acc.names + 1)
+                WHEN x.key LIKE 'name:%'
+                  THEN named_struct('done', false, 'result', x.value,
+                                    'names', acc.names + 1)
+                ELSE acc END,
+              acc -> acc.result)
+            """
+        ),
+    )
+    # Raw admin_level tag string for rel.String() parity (parser.go:412:
+    # getTag over raw tags, "" when absent; first occurrence wins).
+    df = df.withColumn(
+        "admin_level_raw",
+        F.expr(
+            "coalesce(filter(tags, x -> x.key = 'admin_level')[0].value, '')"
+        ),
+    )
     df = (
         df.withColumn(
             "name_norm",
@@ -104,13 +145,25 @@ def split_kept_relations(
     b_known = (b == "") | b.isin(*(cfg.boundary_accepted | cfg.boundary_rejected))
     b_ok = (b == "") | b.isin(*cfg.boundary_accepted)
 
+    # rel.String() parity for the error text (geojson.go:755-757 +
+    # parser.go:417-419): "unknown boundary value for Name(id)[level=x]"
+    # — Name here is the diagnostic name WITH the name:* fallback.
+    rel_str = F.concat(
+        F.col("name_diag"), F.lit("("), F.col("id").cast("string"),
+        F.lit(")[level="), F.col("admin_level_raw"), F.lit("]"),
+    )
     errors = df.where(
         F.col("dup_tag")
         | (~blacklisted & ~bad_type & level_ok & named & ~b_known)
     ).select(
         "id",
         F.when(F.col("dup_tag"), F.lit("duplicate tag"))
-        .otherwise(F.concat(F.lit("unknown boundary value: '"), b, F.lit("'")))
+        .otherwise(
+            F.concat(
+                F.lit("unknown boundary value for "), rel_str,
+                F.lit(": '"), b, F.lit("'"),
+            )
+        )
         .alias("error"),
     )
     kept = df.where(

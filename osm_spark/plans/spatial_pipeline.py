@@ -32,7 +32,16 @@ def run_spatial_pipeline(
     max_level: int = 12,
     tile_level: int = 7,
     salt: int = 1,
+    mode: str = "index",
 ) -> dict[str, DataFrame]:
+    """``mode="index"`` (default): the page side streams through ONE
+    mapInPandas pass against a broadcast covering+geometry index — no
+    explode, no join, no shuffle on the 10^12-row side (see
+    pip_index.py). ``mode="catalyst"``: explode-per-level + broadcast
+    cell equi-join + refinement — the path for polygon sides too large
+    to broadcast as one index. Both produce identical rows (pinned by
+    tests and the q21/q22 oracles).
+    """
     geo = geoparse_pages(pages).withColumn(
         "point_id", F.xxhash64("url")
     )
@@ -43,20 +52,28 @@ def run_spatial_pipeline(
     pcells = build_polygon_cells(locations, min_level, max_level).persist()
     pgeom = polygon_geometry(locations)
 
-    # No distinct: pip_join output is unique per (point, rel) by
+    # No distinct: pip output is unique per (point, rel) by
     # construction (disjoint multipolygon parts / disjoint quadtree
     # cells) — dropping the dedup saves a full shuffle of the largest
     # intermediate. tests assert exact set equality with the oracle.
-    pip = pip_join(
-        points.select("point_id", "lon", "lat"),
-        pcells,
-        pgeom,
-        # Explicit levels: probing every level in the covering range
-        # costs a few extra exploded rows but avoids a separate
-        # collect-distinct job before the main action.
-        levels=list(range(min_level, max_level + 1)),
-        salt=salt,
-    ).select("point_id", "rel_id")
+    if mode == "index":
+        from osm_spark.spatial.pip_index import build_pip_index, pip_join_index
+
+        index_bc = spark.sparkContext.broadcast(build_pip_index(pcells, pgeom))
+        pip = pip_join_index(
+            points.select("point_id", "lon", "lat"), index_bc
+        ).select("point_id", "rel_id")
+    else:
+        pip = pip_join(
+            points.select("point_id", "lon", "lat"),
+            pcells,
+            pgeom,
+            # Explicit levels: probing every level in the covering range
+            # costs a few extra exploded rows but avoids a separate
+            # collect-distinct job before the main action.
+            levels=list(range(min_level, max_level + 1)),
+            salt=salt,
+        ).select("point_id", "rel_id")
 
     admin_levels = kept.select(
         F.col("id").alias("rel_id"), "admin_level"

@@ -90,6 +90,55 @@ def _refine_cogroup(key, pts: pd.DataFrame, poly: pd.DataFrame) -> pd.DataFrame:
     return sel[["point_id", "rel_id", "poly_idx"]]
 
 
+def _refine_broadcast(boundary: DataFrame, polygons: DataFrame) -> DataFrame:
+    """Exact refinement with broadcast geometry — ZERO shuffle.
+
+    Replaces the (rel_id, poly_idx)-keyed cogroup (VERDICT r1 #1 scale
+    flaw: parallelism capped at polygon count, coastline candidates
+    concentrated in one task). Boundary candidates stay in their
+    existing partitioning; each Arrow batch groups its rows by polygon
+    and runs the vectorized crossing-number test against the broadcast
+    geometry. Parallelism = input partitions; skew = input skew.
+    """
+    from osm_spark.spatial.pip_index import PipIndex, build_pip_index
+
+    sc = boundary.sparkSession.sparkContext
+    bc = sc.broadcast(build_pip_index(None, polygons))
+
+    def run(it):
+        idx: PipIndex = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"point_id": [], "rel_id": [], "poly_idx": []}
+                ).astype({"point_id": "int64", "rel_id": "int64", "poly_idx": "int32"})
+                continue
+            lons = pdf["lon"].to_numpy(np.float64)
+            lats = pdf["lat"].to_numpy(np.float64)
+            pids = pdf["point_id"].to_numpy(np.int64)
+            rel = pdf["rel_id"].to_numpy(np.int64)
+            poly = pdf["poly_idx"].to_numpy(np.int64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            key = rel * np.int64(1 << 20) + poly
+            order = np.argsort(key, kind="stable")
+            key_s = key[order]
+            bounds = np.flatnonzero(np.diff(key_s)) + 1
+            for seg in np.split(order, bounds):
+                r, p = int(rel[seg[0]]), int(poly[seg[0]])
+                keep[seg] = idx.contains(r, p, lons[seg], lats[seg])
+            yield pd.DataFrame(
+                {
+                    "point_id": pids[keep],
+                    "rel_id": rel[keep],
+                    "poly_idx": poly[keep].astype(np.int32),
+                }
+            )
+
+    return boundary.select(
+        "point_id", "rel_id", "poly_idx", "lon", "lat"
+    ).mapInPandas(run, REFINE_SCHEMA)
+
+
 def pip_join(
     points: DataFrame,
     polygon_cells: DataFrame,
@@ -97,6 +146,8 @@ def pip_join(
     levels: list[int] | None = None,
     salt: int = 1,
     broadcast_cells: bool = True,
+    refine: str = "broadcast",
+    refine_salt: int = 1,
 ) -> DataFrame:
     """points(point_id, lon, lat) × polygons → (point_id, rel_id, poly_idx).
 
@@ -143,9 +194,31 @@ def pip_join(
     boundary = cand.where(~F.col("interior")).select(
         "point_id", "lon", "lat", "rel_id", "poly_idx"
     )
-    refined = (
-        boundary.groupBy("rel_id", "poly_idx")
-        .cogroup(polygons.groupBy("rel_id", "poly_idx"))
-        .applyInPandas(_refine_cogroup, REFINE_SCHEMA)
-    )
+    if refine == "broadcast":
+        refined = _refine_broadcast(boundary, polygons)
+    elif refine_salt > 1:
+        # Sharded cogroup: candidates pick a deterministic shard, the
+        # single geometry row is replicated per shard — refinement
+        # parallelism becomes polygons × refine_salt and a coastline-
+        # heavy polygon's candidates split across refine_salt tasks.
+        b = boundary.withColumn(
+            "shard", F.pmod(F.xxhash64("point_id"), F.lit(refine_salt)).cast("int")
+        )
+        pg = polygons.withColumn(
+            "shard", F.explode(F.sequence(F.lit(0), F.lit(refine_salt - 1)))
+        ).withColumn("shard", F.col("shard").cast("int"))
+        refined = (
+            b.groupBy("rel_id", "poly_idx", "shard")
+            .cogroup(pg.groupBy("rel_id", "poly_idx", "shard"))
+            .applyInPandas(
+                lambda key, pts, poly: _refine_cogroup(key[:2], pts, poly),
+                REFINE_SCHEMA,
+            )
+        )
+    else:
+        refined = (
+            boundary.groupBy("rel_id", "poly_idx")
+            .cogroup(polygons.groupBy("rel_id", "poly_idx"))
+            .applyInPandas(_refine_cogroup, REFINE_SCHEMA)
+        )
     return accepted.unionByName(refined)

@@ -17,22 +17,54 @@ Scale shapes:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm_spark.text.analysis import MD5_LONG_SQL, TOKENS_SQL
 
 # MinHash parameters: K hashes, universal-hash family over M (prime).
-MINHASH_K = 8
+#
+# Round-2 re-tune (VERDICT r1 #3/#4): K=8 with 2 bands × 4 rows made
+# 35% of ALL pairs candidates on the template-similar test corpus
+# (median pairwise Jaccard 0.63) — near-quadratic candidate growth.
+# K=128 with 4 bands × 32 rows measures 2.5% on sf0.1 (see BENCH.md;
+# bench.py reports lsh_candidate_ratio so regressions stay visible).
+# Per-band collision probability is j^32: tight enough that only
+# true near-duplicates (j ≳ 0.95) collide at meaningful rates.
+MINHASH_K = 128
 MINHASH_M = 2147483647  # 2^31 - 1
-MINHASH_A = [1103515245, 1103517217, 69069, 1664525, 22695477, 134775813, 214013, 16843009]
-MINHASH_B = [12345, 362437, 521288629, 1013904223, 32830301, 1, 2531011, 826366247]
 
-SIMHASH_BITS = 16
+
+def _hash_const(tag: str, i: int) -> int:
+    """Deterministic md5-derived constant in [1, M) — reproducible from
+    public knowledge alone, and embeddable as a literal in both Spark
+    SQL and the DuckDB oracle (no engine-native RNG)."""
+    v = int.from_bytes(hashlib.md5(f"{tag}-{i}".encode()).digest()[:8], "big")
+    return (v % MINHASH_M) or 1
+
+
+MINHASH_A = [_hash_const("mh-a", i) for i in range(MINHASH_K)]
+MINHASH_B = [_hash_const("mh-b", i) for i in range(MINHASH_K)]
+
+# SimHash: 64 logical bits carried as four 16-bit words (sh0..sh3) so
+# every engine-side value stays far from int64 sign overflow and the
+# banding join keys ARE the stored words. Bits 0-31 vote on the first
+# md5 60-bit prefix, bits 32-63 on the second (chars 17-31) — two
+# independent 30+-bit sources, one md5 per token.
+SIMHASH_BITS = 64
+SIMHASH_WORDS = 4
 
 
 def token_hash_sql(tok: str = "tok") -> str:
     return MD5_LONG_SQL.format(t=tok) + f" % {MINHASH_M}"
+
+
+def token_hash2_sql(tok: str = "tok") -> str:
+    """Second independent 60-bit hash from the same md5 (hex chars
+    17..31) — the bit source for simhash words 2-3."""
+    return f"cast(conv(substr(md5({tok}), 17, 15), 16, 10) as bigint) % {MINHASH_M}"
 
 
 def exact_dedup(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
@@ -62,7 +94,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, key: str = "doc_id", bands: int = 4, rows: int = 2
+    signatures: DataFrame, key: str = "doc_id", bands: int = 4, rows: int = 32
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing at least one full band."""
     sig_cols = [c for c in signatures.columns if c.startswith("mh")]
@@ -87,53 +119,83 @@ def lsh_candidate_pairs(
     return out.distinct()
 
 
-def simhash(docs: DataFrame, text: str = "text", key: str = "doc_id",
-            bits: int = SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash) — per-bit majority vote over token hashes."""
+def simhash(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """(doc_id, sh0..sh3) — 64-bit SimHash as four 16-bit words.
+
+    Per-bit majority vote over token hashes; one groupBy with 64
+    map-side-combinable sums. Words double as the LSH blocking keys
+    (16-bit blocks → 65,536 buckets per band; the r1 4-bit-nibble
+    scheme had 16 buckets and degenerated to Θ(n²/16) candidates —
+    VERDICT r1 #2).
+    """
     toks = docs.select(
         F.col(key),
         F.explode(F.array_distinct(F.expr(TOKENS_SQL.format(t=text)))).alias("tok"),
-    ).select(key, F.expr(token_hash_sql("tok")).alias("h"))
-    votes = [
-        F.sum(
-            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
+    ).select(
+        key,
+        F.expr(token_hash_sql("tok")).alias("h1"),
+        F.expr(token_hash2_sql("tok")).alias("h2"),
+    )
+    votes = []
+    for i in range(SIMHASH_BITS):
+        src = F.col("h1") if i < 32 else F.col("h2")
+        bit = i if i < 32 else i - 32
+        votes.append(
+            F.sum(F.shiftright(src, bit).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+        )
     agg = toks.groupBy(key).agg(*votes)
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return agg.select(key, sim.alias("simhash"))
+    words = []
+    for w in range(SIMHASH_WORDS):
+        word = F.lit(0).cast("long")
+        for b in range(16):
+            i = w * 16 + b
+            word = word + F.when(F.col(f"v{i}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        words.append(word.alias(f"sh{w}"))
+    return agg.select(key, *words)
+
+
+def simhash_combined(sim: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) with the four words packed into one int64
+    (word 3's top bit lands on the sign bit — fine for equality /
+    xor+bit_count use, which is all callers do)."""
+    packed = (
+        F.col("sh0")
+        .bitwiseOR(F.shiftleft(F.col("sh1"), 16))
+        .bitwiseOR(F.shiftleft(F.col("sh2"), 32))
+        .bitwiseOR(F.shiftleft(F.col("sh3"), 48))
+    )
+    return sim.select(F.col(key), packed.alias("simhash"))
 
 
 def simhash_near_pairs(sim: DataFrame, key: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """(id_a, id_b, hamming) pairs within Hamming distance, via 4-band
-    blocking on simhash nibbles (a pair within distance 3 shares at
-    least one exact nibble of a 16-bit hash split into 4)."""
-    nibbles = [
-        F.shiftright(F.col("simhash"), 4 * i).bitwiseAND(F.lit(0xF)).alias(f"n{i}")
-        for i in range(4)
-    ]
-    s = sim.select(F.col(key), F.col("simhash"), *nibbles)
+    blocking on the 16-bit words: a pair within distance 3 differs in
+    at most 3 of 64 bits, so by pigeonhole at least one of the 4 words
+    matches exactly. Each band key carries ~n/65536 docs — selective
+    blocking instead of the r1 nibble scheme's 16 buckets."""
+    s = sim.select(F.col(key), "sh0", "sh1", "sh2", "sh3")
     frames = []
-    for i in range(4):
+    for i in range(SIMHASH_WORDS):
         left = s.select(
-            F.col(key).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"n{i}")
+            F.col(key).alias("id_a"),
+            *[F.col(f"sh{w}").alias(f"a{w}") for w in range(SIMHASH_WORDS)],
         )
         right = s.select(
-            F.col(key).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"n{i}")
+            F.col(key).alias("id_b"),
+            *[F.col(f"sh{w}").alias(f"b{w}") for w in range(SIMHASH_WORDS)],
         )
         frames.append(
-            left.join(right, f"n{i}")
+            left.join(right, F.col(f"a{i}") == F.col(f"b{i}"))
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
+            .select("id_a", "id_b", *[f"a{w}" for w in range(4)], *[f"b{w}" for w in range(4)])
         )
     cand = frames[0]
     for fr in frames[1:]:
         cand = cand.unionByName(fr)
     cand = cand.distinct()
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = sum(
+        F.bit_count(F.col(f"a{w}").bitwiseXOR(F.col(f"b{w}"))) for w in range(4)
+    )
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )

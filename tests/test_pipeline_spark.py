@@ -32,10 +32,47 @@ def test_kept_set(world):
 
 def test_filter_errors(world):
     errs = {(r.root_id, r.stage): r.error for r in world["errors"].collect()}
-    assert errs[(REJECT_BASE + 4, "filter")] == "unknown boundary value: 'wibble'"
-    # rejects are silent skips, not errors
-    for rid in (REJECT_BASE, REJECT_BASE + 1, REJECT_BASE + 2, REJECT_BASE + 3):
+    # rel.String() parity (parser.go:417-419 + geojson.go:755-757).
+    assert errs[(REJECT_BASE + 4, "filter")] == (
+        f"unknown boundary value for Wibble({REJECT_BASE + 4})[level=4]: 'wibble'"
+    )
+    # rejects are silent skips, not errors. rej+5 (name:fr only) and
+    # rej+6 (two name:* AND unknown boundary) are both nameless for the
+    # keep filter — and the nameless check short-circuits BEFORE the
+    # boundary check (geojson.go:749 vs :752), so rej+6 must NOT error.
+    for rid in (REJECT_BASE, REJECT_BASE + 1, REJECT_BASE + 2, REJECT_BASE + 3,
+                REJECT_BASE + 5, REJECT_BASE + 6):
         assert not any(k[0] == rid for k in errs)
+
+
+def test_name_diag_fallback(spark, world):
+    """Relation.Name() parity (parser.go:395-411): plain name wins
+    immediately; one name:* supplies the fallback; a second name:*
+    returns "" even if a plain name follows later in tag order."""
+    from osm_spark.config import EngineConfig
+    from osm_spark.operators.filters import with_tag_columns
+
+    rows = [
+        (1, [], [("name", "Plain"), ("name:fr", "FR")]),
+        (2, [], [("name:fr", "Parc du Midi")]),
+        (3, [], [("name:fr", "A"), ("name:de", "B")]),
+        # two name:* BEFORE a plain name -> early "" return
+        (4, [], [("name:fr", "A"), ("name:de", "B"), ("name", "Late")]),
+        (5, [], [("name:fr", "A"), ("name", "Mid"), ("name:de", "B")]),
+        (6, [], [("admin_level", "4")]),
+    ]
+    df = spark.createDataFrame(
+        [(i, r, [{"key": k, "value": v} for k, v in t]) for i, r, t in rows],
+        "id long, refs array<struct<ref:long,kind:int,role:string>>, "
+        "tags array<struct<key:string,value:string>>",
+    )
+    got = {
+        r.id: r.name_diag
+        for r in with_tag_columns(df, EngineConfig()).select("id", "name_diag").collect()
+    }
+    assert got == {1: "Plain", 2: "Parc du Midi", 3: "", 4: "", 5: "Mid", 6: ""}
+    # And the keep filter stays RelationTags.Name()-based: name:*-only
+    # relations are dropped (kept set unchanged by rej+5/rej+6).
 
 
 def test_locations_assembled(world):

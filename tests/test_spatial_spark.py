@@ -109,6 +109,43 @@ def test_pip_join_shuffle_path_identical(spark, world, spatial, pages):
     assert {(r.point_id, r.rel_id) for r in shuffled.collect()} == base
 
 
+def test_pip_refine_modes_identical(spark, world, spatial, pages):
+    """All four PIP execution paths produce the same row set: fused
+    broadcast-index (the spatial-pipeline default), catalyst join +
+    broadcast-mapInPandas refine, plain cogroup refine, and sharded
+    cogroup refine (refine_salt replicating geometry per shard)."""
+    from osm_spark.spatial.pip_join import pip_join
+
+    base = {(r.point_id, r.rel_id) for r in spatial["pip"].collect()}
+    pts = spatial["points"].select("point_id", "lon", "lat")
+    for kwargs in (
+        {"refine": "broadcast"},
+        {"refine": "cogroup"},
+        {"refine": "cogroup", "refine_salt": 4},
+    ):
+        got = (
+            pip_join(pts, spatial["polygon_cells"], spatial["polygon_geometry"], **kwargs)
+            .select("point_id", "rel_id")
+            .distinct()
+        )
+        assert {(r.point_id, r.rel_id) for r in got.collect()} == base, kwargs
+
+
+def test_pip_refine_parallelism_exceeds_polygon_count(spark, world, spatial):
+    """The r1 scale flaw: refinement parallelism was capped at the
+    polygon count. The broadcast refine must run as many tasks as the
+    candidate side has partitions, regardless of polygon count."""
+    from osm_spark.spatial.pip_index import build_pip_index, pip_join_index
+
+    pts = spatial["points"].select("point_id", "lon", "lat").repartition(16)
+    bc = spark.sparkContext.broadcast(
+        build_pip_index(spatial["polygon_cells"], spatial["polygon_geometry"])
+    )
+    out = pip_join_index(pts, bc)
+    n_polys = spatial["polygon_geometry"].count()
+    assert out.rdd.getNumPartitions() == 16 > n_polys or n_polys >= 16
+
+
 def test_knn_matches_bruteforce(spatial):
     from osm_spark.spatial.knn import knn_boundaries, _edge_distance
     import __spark_entry__ as E

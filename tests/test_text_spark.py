@@ -40,7 +40,9 @@ def test_minhash_jaccard_correlation(spark, docs):
     """MinHash signature agreement must approximate true Jaccard."""
     from osm_spark.text.dedup import minhash_signatures
 
-    sigs = {r.doc_id: [r[f"mh{i}"] for i in range(8)] for r in
+    from osm_spark.text.dedup import MINHASH_K
+
+    sigs = {r.doc_id: [r[f"mh{i}"] for i in range(MINHASH_K)] for r in
             minhash_signatures(docs.limit(60)).collect()}
     texts = {r.doc_id: set(_tokens(r.text)) for r in docs.limit(60).collect()}
     ids = sorted(sigs)
@@ -49,26 +51,54 @@ def test_minhash_jaccard_correlation(spark, docs):
         for j in range(i + 1, 40, 7):
             a, b = ids[i], ids[j]
             true_j = len(texts[a] & texts[b]) / len(texts[a] | texts[b])
-            est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 8
+            est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / MINHASH_K
             err.append(abs(true_j - est))
-    assert sum(err) / len(err) < 0.25  # 8 hashes -> coarse but correlated
+    assert sum(err) / len(err) < 0.1  # 128 hashes -> tight estimate
 
 
 def test_lsh_recall_on_near_duplicates(spark, docs):
-    """A doc with one word changed must be caught as an LSH candidate."""
-    from osm_spark.text.dedup import lsh_candidate_pairs, minhash_signatures
+    """Near-duplicates above the banding's design threshold must be
+    caught; the corpus's template similarity must NOT explode the
+    candidate set (the r1 failure: 35% of all pairs were candidates).
 
-    base = docs.limit(20)
-    near = base.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
-        "text", F.concat(F.col("text"), F.lit(" extraword"))
+    Catch probability is 1-(1-j^rows)^bands: with 4×32 banding a
+    one-token edit on a ~150-token doc (j≈0.993) is caught ≥99.9% of
+    the time, while the corpus's median pairwise j=0.63 contributes
+    essentially nothing (0.63^32 ≈ 4e-7)."""
+    from osm_spark.text.dedup import exact_dedup, lsh_candidate_pairs, minhash_signatures
+
+    # Realistic-length docs: 150 distinct tokens each, disjoint-ish.
+    base = spark.range(20).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(0, 149), "
+        "  k -> concat('w', cast(id AS string), 'x', cast(k AS string))), ' ') AS text",
+    )
+    near = base.selectExpr(
+        "doc_id + 100000 AS doc_id",
+        # replace one token -> j = 149/151
+        "concat(substring(text, 1, length(text) - 4), ' edited') AS text",
     )
     sigs = minhash_signatures(base.unionByName(near))
     pairs = {
         (r.id_a, r.id_b)
-        for r in lsh_candidate_pairs(sigs, bands=2, rows=4).collect()
+        for r in lsh_candidate_pairs(sigs).collect()
     }
     found = sum((d, d + 100000) in pairs for d in range(20))
-    assert found >= 16  # near-dups overwhelmingly caught
+    assert found >= 18
+
+    # Exact duplicates are always caught (identical signatures).
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 200000)
+    sigs2 = minhash_signatures(docs.limit(20).unionByName(dup))
+    pairs2 = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs2).collect()
+    }
+    assert sum((d, d + 200000) in pairs2 for d in
+               (r.doc_id for r in docs.limit(20).collect())) == 20
+
+    # Selectivity on the template-similar corpus: < 5% of all pairs.
+    n = docs.count()
+    ratio = lsh_candidate_pairs(minhash_signatures(docs)).count() / (n * (n - 1) / 2)
+    assert ratio < 0.05
 
 
 def test_simhash_near_pairs(spark, docs):
@@ -79,7 +109,11 @@ def test_simhash_near_pairs(spark, docs):
         "text", F.concat(F.col("text"), F.lit(" zzz"))
     )
     s = simhash(base.unionByName(near))
-    by_id = {r.doc_id: r.simhash for r in s.collect()}
+    by_id = {
+        r.doc_id: r.sh0 | (r.sh1 << 16) | (r.sh2 << 32) | (r.sh3 << 48)
+        for r in s.collect()
+    }
+    assert all(0 <= v < (1 << 64) for v in by_id.values())
     # identical-ish docs have close simhashes
     close = sum(
         bin(by_id[d] ^ by_id[d + 100000]).count("1") <= 3 for d in range(20)
@@ -87,7 +121,9 @@ def test_simhash_near_pairs(spark, docs):
     assert close >= 15
     pairs = simhash_near_pairs(s, max_hamming=3)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
-    assert sum((d, d + 100000) in got for d in range(20)) >= 15
+    # Pigeonhole guarantee: EVERY hamming<=3 pair shares a 16-bit word,
+    # so the blocked join must find exactly the close pairs.
+    assert sum((d, d + 100000) in got for d in range(20)) == close
 
 
 def test_ngram_shingles(spark, docs):
