@@ -157,9 +157,16 @@ def main() -> None:
         from osm_spark.text.dedup import lsh_candidate_pairs, minhash_signatures
 
         sigs = minhash_signatures(spark.table("documents"))
-        return lsh_candidate_pairs(sigs, bands=2, rows=4).count()
+        return lsh_candidate_pairs(sigs).count()
 
     timed("minhash_lsh", run_minhash)
+
+    # Candidate-pair selectivity — the r1 review's scale flag. Reported
+    # so banding regressions are visible round over round.
+    n_docs = spark.table("documents").count()
+    lsh_candidate_ratio = round(
+        counts["minhash_lsh"] / (n_docs * (n_docs - 1) / 2), 5
+    )
 
     def run_ann():
         from osm_spark.text.ann import cosine_topk
@@ -169,6 +176,37 @@ def main() -> None:
         return cosine_topk(emb, q, k=5).count()
 
     timed("ann_topk", run_ann)
+
+    # The ANN SCALE path (bucketed LSH + exact re-rank) — the bench
+    # headline for ANN; brute force above stays as the baseline only.
+    ann_recall = {}
+
+    approx_holder = {}
+
+    def run_ann_lsh():
+        from osm_spark.text.ann import hyperplane_lsh_topk
+
+        emb = spark.table("embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        approx = hyperplane_lsh_topk(
+            emb, q, k=5, n_planes=6, n_tables=8, multiprobe_bits=1
+        ).select("query_id", "neighbor_id").persist()
+        approx_holder["df"] = approx
+        return approx.count()
+
+    timed("ann_lsh", run_ann_lsh)
+
+    # Recall vs the already-timed exact baseline (outside the timing).
+    from osm_spark.text.ann import cosine_topk
+
+    emb = spark.table("embeddings")
+    exact = cosine_topk(
+        emb, emb.where(F.col("vec_id") % 50 == 0), k=5
+    ).select("query_id", "neighbor_id").persist()
+    hit = exact.join(
+        approx_holder["df"], ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    ann_recall["recall_at_5"] = round(hit / max(exact.count(), 1), 4)
 
     total = round(sum(timings.values()), 3)
     pip_rows_per_sec = (
@@ -186,6 +224,8 @@ def main() -> None:
                 "cpus": cpus,
                 "n_pages": n_pages,
                 "pip_rows_per_sec": pip_rows_per_sec,
+                "lsh_candidate_ratio": lsh_candidate_ratio,
+                "ann_recall_at_5": ann_recall.get("recall_at_5"),
             }
         )
     )

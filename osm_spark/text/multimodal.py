@@ -27,9 +27,14 @@ MEDIA_SCHEMA = (
 FEATURES_SCHEMA = "media_id long, kind string, n_bytes int, features array<float>"
 
 
-def attach_media(df: DataFrame, payload_col: str, kind: str) -> DataFrame:
-    """Normalize an arbitrary binary column into the media schema."""
+def attach_media(
+    df: DataFrame, payload_col: str, kind: str, keep: list[str] | None = None
+) -> DataFrame:
+    """Normalize an arbitrary binary column into the media schema.
+    ``keep``: passthrough columns (e.g. the source url) carried along
+    for downstream joins / oracle keys."""
     return df.select(
+        *[F.col(c) for c in (keep or [])],
         F.xxhash64(payload_col).alias("media_id"),
         F.lit(kind).alias("kind"),
         F.col(payload_col).alias("payload"),

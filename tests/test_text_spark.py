@@ -165,11 +165,13 @@ def test_lsh_ann_recall(spark, emb):
     from osm_spark.text.ann import cosine_topk, hyperplane_lsh_topk
 
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    # LSH parameters scale with collection size: 5 planes (32 buckets)
-    # suits a 500-vector table; production tables use 12-16 planes.
+    # The corpus is iid-random — LSH's worst case (no cluster
+    # structure). q41's calibrated configuration (6 planes x 8 tables
+    # x multiprobe-1, md5-derived hyperplanes) must clear the 0.8
+    # mean-recall bound it asserts in the correctness gate.
     exact = cosine_topk(emb, queries, k=5).collect()
     approx = hyperplane_lsh_topk(
-        emb, queries, k=5, n_planes=5, n_tables=4
+        emb, queries, k=5, n_planes=6, n_tables=8, multiprobe_bits=1
     ).collect()
     exact_sets = {}
     for r in exact:
@@ -180,7 +182,7 @@ def test_lsh_ann_recall(spark, emb):
     recalls = [
         len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe LSH recall
+    assert sum(recalls) / len(recalls) >= 0.8
 
 
 def test_langid_and_quality(spark, docs):
