@@ -161,6 +161,41 @@ def is_simple_ring(points: list[Point]) -> bool:
     return True
 
 
+def split_pinched_ring(points: list[Point]) -> list[list[Point]]:
+    """Exact-arithmetic ``Buffer(0)`` analog for SELF-TOUCHING rings
+    (poly.go:160-177): a ring that revisits a vertex (a "pinch", the
+    dominant invalid-outer class on the planet file) decomposes into
+    the loops between the repeated visits — which is precisely what
+    GEOS Buffer(0) yields for pinched rings. Degenerate loops (< 3
+    distinct points, i.e. spikes) are dropped, as Buffer(0) drops them.
+
+    Proper edge CROSSINGS (bowties) have no exact decomposition at
+    vertices; such rings come back unchanged (callers detect via
+    is_simple_ring and flag the divergence).
+
+    Input and output rings are closed (first == last).
+    """
+    seen: dict[Point, int] = {}
+    stack: list[Point] = []
+    loops: list[list[Point]] = []
+    for p in points[:-1]:
+        j = seen.get(p)
+        if j is not None:
+            loop = stack[j:] + [p]
+            for q in stack[j:]:
+                seen.pop(q, None)
+            del stack[j:]
+            if len(loop) >= 4:
+                loops.append(loop)
+        seen[p] = len(stack)
+        stack.append(p)
+    if stack:
+        stack.append(stack[0])
+        if len(stack) >= 4:
+            loops.append(stack)
+    return loops
+
+
 def is_valid_ring(line: Linestring) -> bool:
     """Closed + enough points (ring.go:200-212).
 
@@ -271,3 +306,24 @@ def make_rings(lines: list[Linestring]) -> list[Linestring]:
             raise RingError(f"cannot close ring: {line.id}")
         rings.append(r)
     return rings
+
+
+def linestrings_to_json(lines: list[Linestring]) -> str:
+    """G14 — MultiLineString debug JSON (linestringToJson,
+    ring.go:271-294): fixed-point coords to degrees, compact JSON.
+    Number formatting matches Go's json.Marshal of float64 (integral
+    values print without a trailing .0; shortest round-trip otherwise).
+    """
+
+    def num(v: float) -> str:
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+
+    coords = ",".join(
+        "[" + ",".join(
+            f"[{num(p[0] / 1e7)},{num(p[1] / 1e7)}]" for p in line.points
+        ) + "]"
+        for line in lines
+    )
+    return '{"type":"MultiLineString","coordinates":[' + coords + "]}"

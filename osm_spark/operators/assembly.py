@@ -72,7 +72,17 @@ def build_geometry(lines: list[Linestring]):
     """Role guard + ring closing + polygon nesting (buildGeometry
     geojson.go:103-120). Note: ways with ignored ring roles (e.g.
     admin_centre) are NOT dropped — the reference only skips the role
-    *validation* for them; they still participate in ring assembly."""
+    *validation* for them; they still participate in ring assembly.
+
+    Returns (polygons, warnings). Buffer(0) handling (poly.go:177):
+    self-TOUCHING rings (repeated vertex) are split exactly into their
+    loops — byte-equivalent to the GEOS repair for the pinch class —
+    with a warning recorded; rings with proper edge CROSSINGS have no
+    exact repair and pass through unchanged with a divergence warning
+    (the reference's own test vector geojson_test.go:43 assembles to a
+    crossing ring and is accepted, so dropping would break parity)."""
+    from osm_spark.kernels.rings import is_simple_ring, split_pinched_ring
+
     for line in lines:
         if line.role in ("inner", "outer", ""):
             continue
@@ -80,16 +90,41 @@ def build_geometry(lines: list[Linestring]):
             continue
         raise AssemblyError(f"unsupported ring role: {line.role}")
     rings = make_rings(lines)
-    return make_polygons(rings)
+    warnings: list[str] = []
+    checked: list[Linestring] = []
+    for ring in rings:
+        if is_simple_ring(ring.points):
+            checked.append(ring)
+            continue
+        parts = split_pinched_ring(ring.points)
+        if len(parts) > 1 and all(is_simple_ring(p) for p in parts):
+            for p in parts:
+                piece = Linestring(ring.id, p, ring.role)
+                checked.append(piece)
+            warnings.append(
+                f"repaired self-touching ring (buffer(0) analog, "
+                f"{len(parts)} loops): way {ring.id}"
+            )
+        else:
+            checked.append(ring)
+            warnings.append(
+                f"non-simple ring kept unrepaired (buffer(0) divergence): "
+                f"way {ring.id}"
+            )
+    return make_polygons(checked), warnings
 
 
 def assemble_relation(groups: list[list[Linestring]]):
-    """Assemble one relation from per-group ring sets; returns the
-    4-nested float multipolygon coordinates (winding-normalized)."""
+    """Assemble one relation from per-group ring sets; returns
+    (coords, warnings) — the 4-nested float multipolygon coordinates
+    (winding-normalized) plus buffer(0)-repair warnings."""
     polygons = []
+    warnings: list[str] = []
     for lines in groups:
-        polygons.extend(build_geometry(lines))
-    return polygons_to_coords(polygons)
+        polys, w = build_geometry(lines)
+        polygons.extend(polys)
+        warnings.extend(w)
+    return polygons_to_coords(polygons), warnings
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +389,7 @@ def resolve_members(
 
 LOCATION_SCHEMA = (
     "rel_id long, shape array<array<array<array<double>>>>, "
-    "n_polygons int, error string"
+    "n_polygons int, error string, warning string"
 )
 
 
@@ -380,18 +415,20 @@ def _assemble_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                 for (_, way_id, role, lons, lats) in rows
             ]
             groups.append(lines)
-        coords = assemble_relation(groups)
+        coords, warns = assemble_relation(groups)
         return pd.DataFrame(
             {
                 "rel_id": [rel_id],
                 "shape": [coords],
                 "n_polygons": [len(coords)],
                 "error": [None],
+                "warning": ["; ".join(warns) if warns else None],
             }
         )
     except Exception as exc:  # per-relation print-and-continue
         return pd.DataFrame(
-            {"rel_id": [rel_id], "shape": [None], "n_polygons": [0], "error": [str(exc)]}
+            {"rel_id": [rel_id], "shape": [None], "n_polygons": [0],
+             "error": [str(exc)], "warning": [None]}
         )
 
 
@@ -403,7 +440,14 @@ def assemble_locations(members: DataFrame) -> tuple[DataFrame, DataFrame]:
     locations = out.where(F.col("error").isNull()).select(
         "rel_id", "shape", "n_polygons"
     )
+    # Buffer(0) repair/divergence warnings surface on the error
+    # side-channel (reference prints and continues; the relation still
+    # produces a location — only `error` rows drop it).
     errors = out.where(F.col("error").isNotNull()).select(
         F.col("rel_id").alias("root_id"), "error"
+    ).unionByName(
+        out.where(F.col("warning").isNotNull()).select(
+            F.col("rel_id").alias("root_id"), F.col("warning").alias("error")
+        )
     )
     return locations, errors

@@ -135,13 +135,8 @@ def boundary_tiles(
 
 
 def mvt_tiles(assignments: DataFrame, points: DataFrame) -> DataFrame:
-    """Mapbox-Vector-Tile emission stub.
+    """Binary Mapbox-Vector-Tile emission (r2: stub replaced by the
+    pure-python protobuf wire writer in osm_spark.spatial.mvt)."""
+    from osm_spark.spatial.mvt import mvt_tiles as _mvt
 
-    The MVT protobuf writer needs a varint encoder (no protobuf lib in
-    this environment); the distributed shape — per-tile grouping with
-    local coordinate quantization — is geojson_tiles. Implement the
-    byte encoder before using this in production."""
-    raise NotImplementedError(
-        "MVT binary encoding not implemented in this environment; "
-        "use geojson_tiles (same tile partitioning/aggregation)."
-    )
+    return _mvt(assignments, points)

@@ -280,3 +280,74 @@ def test_point_in_polygon_with_hole():
     assert not point_in_polygon(poly, 2 * s, 2 * s)  # in hole
     assert not point_in_polygon(poly, 10 * s, 10 * s)  # outside
     assert not point_in_polygon(poly, 0, 0)  # on boundary
+
+
+def test_split_pinched_ring():
+    """G5 — buffer(0) analog for self-touching rings (poly.go:177)."""
+    from osm_spark.kernels.rings import is_simple_ring, split_pinched_ring
+
+    # Figure-8 pinched at (2,2): two square loops sharing one vertex.
+    pinched = [
+        (0, 0), (2, 0), (2, 2), (4, 2), (4, 4), (2, 4), (2, 2), (0, 2), (0, 0)
+    ]
+    assert not is_simple_ring(pinched)
+    parts = split_pinched_ring(pinched)
+    assert len(parts) == 2
+    for p in parts:
+        assert p[0] == p[-1] and len(p) >= 4 and is_simple_ring(p)
+    sets = sorted(sorted(set(p)) for p in parts)
+    assert [(2, 2), (2, 4), (4, 2), (4, 4)] in sets
+    assert [(0, 0), (0, 2), (2, 0), (2, 2)] in sets
+
+    # Bowtie (proper edge crossing, no repeated vertex): unchanged.
+    bowtie = [(0, 0), (4, 4), (4, 0), (0, 4), (0, 0)]
+    assert not is_simple_ring(bowtie)
+    assert split_pinched_ring(bowtie) == [bowtie]
+
+    # Spike loop (zero-area back-and-forth) dropped like buffer(0).
+    spiked = [(0, 0), (4, 0), (2, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    # revisit of (4,0) forms the degenerate loop (4,0),(2,0),(4,0)
+    parts = split_pinched_ring(spiked)
+    assert [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)] in parts
+
+
+def test_build_geometry_buffer0_paths():
+    from osm_spark.operators.assembly import build_geometry
+
+    # Pinched outer -> exactly repaired into 2 polygons + warning.
+    pinched = make_test_ring(
+        [(0, 0), (2, 0), (2, 2), (4, 2), (4, 4), (2, 4), (2, 2), (0, 2)]
+    )
+    polys, warns = build_geometry([pinched])
+    assert len(polys) == 2
+    assert len(warns) == 1 and "buffer(0) analog" in warns[0]
+
+    # Bowtie -> passes through (geojson_test.go:43 parity) + divergence.
+    bowtie = make_test_ring([(0, 0), (4, 4), (4, 0), (0, 4)])
+    polys, warns = build_geometry([bowtie])
+    assert len(polys) == 1
+    assert len(warns) == 1 and "divergence" in warns[0]
+
+    # Valid ring -> no warnings.
+    ok = make_test_ring([(0, 0), (0, 5), (5, 5), (5, 0)])
+    polys, warns = build_geometry([ok])
+    assert len(polys) == 1 and warns == []
+
+
+def test_linestrings_to_json():
+    """G14 — multiline debug encoder (ring.go:271-294)."""
+    import json
+
+    from osm_spark.kernels.rings import linestrings_to_json
+
+    lines = [
+        Linestring(1, [(-1770000000, -840000000), (-1690000000, -840000000)]),
+        Linestring(2, [(12345678, -9876543), (0, 0)]),
+    ]
+    s = linestrings_to_json(lines)
+    d = json.loads(s)
+    assert d["type"] == "MultiLineString"
+    assert d["coordinates"][0] == [[-177, -84], [-169, -84]]
+    assert d["coordinates"][1] == [[1.2345678, -0.9876543], [0, 0]]
+    # integral coords print Go-style without trailing .0
+    assert '[-177,-84]' in s

@@ -292,3 +292,48 @@ def test_multimodal_plumbing(spark, pages):
     assert {r.media_id: tuple(r.features) for r in feats} == {
         r.media_id: tuple(r.features) for r in again
     }
+
+
+def test_mvt_golden_bytes():
+    """Hand-derived protobuf wire bytes for a 1-feature tile (the
+    encoder must produce exactly the spec bytes, not just roundtrip)."""
+    from osm_spark.spatial.mvt import encode_point_tile
+
+    got = encode_point_tile((0.0, 0.0, 1.0, 1.0), [(7, 42, 0.5, 0.75)])
+    feature = bytes(
+        [0x08, 0x07,                    # id = 7
+         0x12, 0x02, 0x00, 0x00,        # tags = [key 0, value 0] packed
+         0x18, 0x01,                    # type = POINT
+         0x22, 0x05, 0x09,              # geometry: MoveTo count 1
+         0x80, 0x20,                    # zigzag(2048) = 4096
+         0x80, 0x10]                    # zigzag(1024) = 2048
+    )
+    layer = (
+        bytes([0x78, 0x02])                       # version = 2
+        + bytes([0x0A, 0x06]) + b"points"         # name
+        + bytes([0x12, len(feature)]) + feature   # feature
+        + bytes([0x1A, 0x06]) + b"rel_id"         # key
+        + bytes([0x22, 0x02, 0x20, 0x2A])         # value int 42
+        + bytes([0x28, 0x80, 0x20])               # extent 4096
+    )
+    expected = bytes([0x1A, len(layer)]) + layer
+    assert got == expected
+
+
+def test_mvt_tiles_deterministic(spark, world, spatial):
+    from osm_spark.spatial.mvt import mvt_tiles
+    from osm_spark.spatial.tiles import tile_assignments
+
+    admin = world["kept"].select(F.col("id").alias("rel_id"), "admin_level")
+    t = tile_assignments(spatial["pip"], spatial["points"], admin, tile_level=6)
+    rows1 = {
+        (r.tile, r.admin_level): (bytes(r.mvt), r.n_features)
+        for r in mvt_tiles(t, spatial["points"]).collect()
+    }
+    rows2 = {
+        (r.tile, r.admin_level): (bytes(r.mvt), r.n_features)
+        for r in mvt_tiles(t.repartition(13), spatial["points"].repartition(7)).collect()
+    }
+    assert rows1 == rows2
+    assert sum(n for _, n in rows1.values()) == t.count()
+    assert all(len(b) > 0 for b, _ in rows1.values())
