@@ -1168,6 +1168,36 @@ FROM pairs JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id
 )
 
 
+def _q_shingle_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full shingle→minhash→band→bucket-join chain (word-3-gram
+    shingling — the standard web-dedup configuration; q31/q32 are the
+    cheaper unigram screen)."""
+    from osm_spark.text.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_shingles_sql,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    sigs = minhash_signatures(docs, unit_sql=ngram_shingles_sql("text", 3))
+    return lsh_candidate_pairs(sigs)
+
+
+_def(
+    "q44_shingle_lsh_pairs",
+    fn=_q_shingle_lsh,
+    duck_sql=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS tok FROM documents),
+ hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h FROM sh),
+ sigs AS (SELECT doc_id, {_mh_duck} FROM hashed GROUP BY doc_id),
+ pairs AS ({_band_pairs_duck()})
+SELECT id_a, id_b FROM pairs
+""",
+)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_spark.text.dedup import simhash, simhash_near_pairs
 
@@ -1283,6 +1313,74 @@ _def(
     duck_sql="""
 SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS mean_recall_ge_08
 FROM embeddings WHERE vec_id % 50 = 0
+""",
+)
+
+
+def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact mode — the
+    correctness baseline the LSH-bucketed scale path is pytest-pinned
+    against; cosine_near_pairs(mode='lsh') is the 10^12-row shape)."""
+    from osm_spark.text.ann import cosine_near_pairs
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return cosine_near_pairs(emb, threshold=0.3, mode="exact").select(
+        "id_a", "id_b", F.round("sim", 9).alias("sim")
+    )
+
+
+_def(
+    "q42_cosine_near_dup",
+    fn=_q_cosine_near_dup,
+    duck_sql="""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+ sims AS (
+   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce(list_transform(range(1, len(a.v) + 1),
+              i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(range(1, len(a.v) + 1),
+                i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(range(1, len(b.v) + 1),
+                i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), (x, y) -> x + y)))
+          AS sim
+   FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(sim, 9) AS sim FROM sims WHERE sim >= 0.3
+""",
+)
+
+
+def _q_mvt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary MVT tile emission with a checkable invariant: the blob is
+    protobuf (not SQL-reproducible) but the per-(tile, admin_level)
+    feature count and tile ids are — and the golden-bytes pytest pins
+    the encoder itself."""
+    from osm_spark.spatial.mvt import mvt_tiles
+    from osm_spark.spatial.tiles import tile_assignments
+
+    sp = _spatial(spark)
+    out = _world(spark)
+    admin_levels = out["kept"].select(F.col("id").alias("rel_id"), "admin_level")
+    t = tile_assignments(sp["pip"], sp["points"], admin_levels, tile_level=7)
+    m = mvt_tiles(t, sp["points"])
+    return m.select(
+        "tile", F.col("admin_level").cast("int").alias("admin_level"), "n_features"
+    )
+
+
+_def(
+    "q53_mvt_tiles",
+    fn=_q_mvt,
+    duck_sql=_pages_oracle_cte()
+    + f""",
+ pip AS (SELECT url, lon_u, lat_u, rel_id FROM ({_pip_membership_sql()})
+         GROUP BY url, lon_u, lat_u, rel_id),
+ al AS ({_ADMIN_LEVEL_SQL})
+SELECT {_tile_expr_duck('(lon_u / 1000000.0)', '(lat_u / 1000000.0)', 7)} AS tile,
+       CAST(al.admin_level AS INT) AS admin_level,
+       CAST(count(*) AS INT) AS n_features
+FROM pip JOIN al USING (rel_id)
+GROUP BY 1, 2
 """,
 )
 

@@ -49,6 +49,54 @@ def cosine_topk(
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    mode: str = "lsh",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    sim >= threshold.
+
+    mode="exact": all-pairs block join — the correctness baseline
+    (q42's oracle twin; infeasible at 10^12).
+    mode="lsh": candidates restricted to pairs sharing any LSH table
+    bucket, exact cosine verify — the scale path (recall < 1 by
+    construction; pytest pins recall against exact on the test corpus).
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("qv"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("ev"))
+    if mode == "exact":
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        bk = with_lsh_buckets(embeddings, n_planes, n_tables, vec_col=vec_col)
+        ea = bk.select(
+            F.col(id_col).alias("id_a"), F.explode("buckets").alias("bucket")
+        )
+        eb = bk.select(
+            F.col(id_col).alias("id_b"), F.explode("buckets").alias("bucket")
+        )
+        # Dedup candidate ids BEFORE attaching vectors — the distinct
+        # runs on two longs, not on 64-float arrays.
+        cand = (
+            ea.join(eb, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    dot = F.expr(DOT_SQL.format(a="qv", b="ev"))
+    nq = F.expr(NORM_SQL.format(a="qv"))
+    ne = F.expr(NORM_SQL.format(a="ev"))
+    return (
+        pairs.select("id_a", "id_b", (dot / (nq * ne)).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
     """Deterministic md5-derived hyperplanes.
 

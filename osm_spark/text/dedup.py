@@ -77,12 +77,21 @@ def exact_dedup(docs: DataFrame, text: str = "text", key: str = "doc_id") -> Dat
 
 
 def minhash_signatures(
-    docs: DataFrame, text: str = "text", key: str = "doc_id", k: int = MINHASH_K
+    docs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = MINHASH_K,
+    unit_sql: str | None = None,
 ) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) — K minhashes over the distinct token set."""
+    """(doc_id, mh0..mh{k-1}) — K minhashes over the distinct set of
+    hashing units. Default unit = unigram tokens; pass
+    ``unit_sql=ngram_shingles_sql(text, n)`` for the shingle→minhash→
+    band→bucket-join chain (word n-gram shingling is the standard
+    web-dedup configuration; unigrams are the cheaper screen)."""
+    units = unit_sql if unit_sql is not None else TOKENS_SQL.format(t=text)
     toks = docs.select(
         F.col(key),
-        F.explode(F.array_distinct(F.expr(TOKENS_SQL.format(t=text)))).alias("tok"),
+        F.explode(F.array_distinct(F.expr(units))).alias("tok"),
     )
     h = F.expr(token_hash_sql("tok"))
     toks = toks.select(key, h.alias("h"))

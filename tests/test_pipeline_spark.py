@@ -238,3 +238,43 @@ def test_member_role_error(world, spark):
     errs = {(r.root_id): r.error for r in errors.collect()}
     assert errs.get(M) == "cannot handle relation relation: bogus"
     assert errs.get(D) == "cannot handle relation relation: bogus"
+
+
+def test_diagnostic_commands(spark, world, tmp_path):
+    """§2.8 diagnostics: printnodes/printxmlnodes/recursiverel/resetdb
+    (main.go:525-647, 711-725)."""
+    from osm_spark.data.worldgen import WorldSpec, world_dataframes
+    from osm_spark.plans.commands import (
+        printnodes,
+        printxmlnodes,
+        recursiverel,
+        resetdb,
+    )
+
+    nodes, ways, rels, cfg = world_dataframes(spark, WorldSpec(n_countries=1))
+
+    pn = printnodes(nodes).collect()
+    assert len(pn) == nodes.count()
+    # Go fmt %f rendering: six fixed decimals.
+    assert all(len(r.lat.split(".")[1]) == 6 for r in pn[:10])
+
+    xml = spark.createDataFrame(
+        [('  <node id="135821" lat="45.191733" lon="5.7346073" />',),
+         ("<way>not a node</way>",)],
+        "line string",
+    )
+    xn = printxmlnodes(xml).collect()
+    assert len(xn) == 1 and xn[0].id == 135821 and xn[0].lat == "45.191733"
+
+    rr = {r.rel_str: r.n_ways for r in recursiverel(rels, cfg).collect()}
+    # Only the metro relation is built from other relations (2 rel
+    # members, 0 way members); union members have role=subarea -> excluded.
+    assert rr == {f"Metropolitan 0({METRO_BASE})[level=3]": 0}
+
+    ckdir = str(tmp_path / "ck")
+    from osm_spark.plans.pipeline import run_boundaries_pipeline
+
+    run_boundaries_pipeline(spark, nodes, ways, rels, cfg, checkpoint_dir=ckdir)
+    assert resetdb(ckdir, "centroids") is True
+    assert resetdb(ckdir, "centroids") is False  # already gone
+    assert resetdb(ckdir, "boundaries") is True

@@ -240,3 +240,36 @@ def test_streaming_windowed_counts(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_cosine_near_pairs_lsh_vs_exact(spark, emb):
+    """The LSH-bucketed near-dup path: never a false positive (exact
+    verify), and near-CERTAIN recall in its design regime — true
+    near-duplicates (sim ≈ 1), where per-table bucket collision is
+    (1 - θ/π)^planes ≈ 0.95. (At sim ~0.3 on iid-random vectors pair
+    recall is physics-bound to ~0.35 with any selective bucketing —
+    that regime belongs to exact mode, q42's oracle.)"""
+    from osm_spark.text.ann import cosine_near_pairs
+
+    base = emb.select("vec_id", "embedding").limit(20)
+    near = base.selectExpr(
+        "vec_id + 100000 AS vec_id",
+        # tiny deterministic perturbation of one component: sim ≈ 0.999+
+        "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+        "THEN cast(x + 0.01 AS float) ELSE x END) AS embedding",
+    )
+    both = base.unionByName(near)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_pairs(both, 0.99, mode="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_pairs(both, 0.99, mode="lsh").collect()
+    }
+    assert lsh <= exact  # exact verify removes every false positive
+    planted = {
+        (r.vec_id, r.vec_id + 100000) for r in base.select("vec_id").collect()
+    }
+    assert planted <= exact
+    assert len(lsh & planted) >= 18  # near-dup recall in-design-regime

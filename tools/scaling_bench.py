@@ -13,9 +13,38 @@ Writes JSON to stdout and appends a markdown row block to BENCH.md.
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
 import subprocess
 import sys
+import time
+
+
+def _burn(q) -> None:
+    import numpy as np
+
+    a = np.random.rand(600, 600)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 5:
+        a = a @ a
+        a /= np.linalg.norm(a)
+        n += 1
+    q.put(n)
+
+
+def hw_ceiling(procs: int) -> float:
+    """Spark-free hardware probe: total matmul iterations/sec achieved
+    by ``procs`` independent processes. The sandbox VM's EFFECTIVE core
+    count varies with host contention; Spark scaling efficiency is only
+    interpretable against the ceiling measured AT THE SAME TIME."""
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=_burn, args=(q,)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return sum(q.get() for _ in ps) / 5.0
 
 
 def run(cpus: int, sf_dir: str) -> dict:
@@ -48,11 +77,32 @@ def main() -> None:
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
+    # Hardware ceiling bracketing each leg: ceiling speedup is the best
+    # ANY perfectly-parallel job could achieve in this window.
+    hw_small_pre = hw_ceiling(n_small)
+    hw_big_pre = hw_ceiling(n_big)
     small = run(n_small, sf_dir)
     big = run(n_big, sf_dir)
+    hw_small_post = hw_ceiling(n_small)
+    hw_big_post = hw_ceiling(n_big)
+    hw_speedup = round(
+        ((hw_big_pre + hw_big_post) / 2) / ((hw_small_pre + hw_small_post) / 2), 3
+    )
 
     factor = n_big / n_small
-    report = {"sf_dir": sf_dir, "n_small": n_small, "n_big": n_big, "queries": {}}
+    report = {
+        "sf_dir": sf_dir,
+        "n_small": n_small,
+        "n_big": n_big,
+        "hw_ceiling_iters_per_sec": {
+            "small_pre": round(hw_small_pre, 1),
+            "big_pre": round(hw_big_pre, 1),
+            "small_post": round(hw_small_post, 1),
+            "big_post": round(hw_big_post, 1),
+        },
+        "hw_ceiling_speedup": hw_speedup,
+        "queries": {},
+    }
     total_s = small["value"]
     total_b = big["value"]
     report["total"] = {
@@ -60,14 +110,22 @@ def main() -> None:
         "big_sec": total_b,
         "speedup": round(total_s / total_b, 3),
         "efficiency": round(total_s / total_b / factor, 3),
+        "efficiency_vs_hw": (
+            round(total_s / total_b / hw_speedup, 3) if hw_speedup else None
+        ),
     }
     for q in small["queries"]:
         ts, tb = small["queries"][q], big["queries"][q]
+        sp = round(ts / tb, 3) if tb else None
         report["queries"][q] = {
             "small_sec": ts,
             "big_sec": tb,
-            "speedup": round(ts / tb, 3) if tb else None,
+            "speedup": sp,
             "efficiency": round(ts / tb / factor, 3) if tb else None,
+            # vs what the box could actually deliver in this window
+            "efficiency_vs_hw": (
+                round(sp / hw_speedup, 3) if sp and hw_speedup else None
+            ),
         }
     report["counts_match"] = small["counts"] == big["counts"]
     report["pip_rows_per_sec"] = {
