@@ -213,14 +213,22 @@ def build_pip_index(
 PIP_SCHEMA = "point_id long, rel_id long, poly_idx int"
 
 
-def pip_join_index(points: DataFrame, index_bc) -> DataFrame:
+def pip_join_index(points: DataFrame, index_bc, keep: tuple = ()) -> DataFrame:
     """Fused zero-shuffle PIP join: points(point_id, lon, lat) ×
-    broadcast PipIndex → (point_id, rel_id, poly_idx).
+    broadcast PipIndex → (point_id, rel_id, poly_idx[, keep...]).
 
     ``index_bc``: a SparkContext.broadcast of a PipIndex (pass the
     broadcast, not the index, so each executor deserializes once per
     JVM instead of once per task closure).
+
+    ``keep``: extra point columns echoed onto each output row — lets
+    STREAMING callers carry the url through without a (illegal)
+    stream-stream self-join afterwards.
     """
+    keep = tuple(keep)
+    schema = PIP_SCHEMA
+    for c in keep:
+        schema += f", {c} {points.schema[c].dataType.simpleString()}"
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx: PipIndex = index_bc.value
@@ -229,7 +237,9 @@ def pip_join_index(points: DataFrame, index_bc) -> DataFrame:
             lats = pdf["lat"].to_numpy(np.float64)
             pids = pdf["point_id"].to_numpy(np.int64)
             pt, rel, poly, interior = idx.candidates(lons, lats)
-            acc = [(pids[pt[interior]], rel[interior], poly[interior])]
+            # (point-row-index, rel, poly) pieces; point indices kept so
+            # passthrough columns gather once at the end.
+            acc = [(pt[interior], rel[interior], poly[interior])]
             b = ~interior
             bpt, brel, bpoly = pt[b], rel[b], poly[b]
             if len(bpt):
@@ -241,18 +251,18 @@ def pip_join_index(points: DataFrame, index_bc) -> DataFrame:
                 for seg in np.split(np.arange(len(key)), bounds):
                     r, p = int(brel[seg[0]]), int(bpoly[seg[0]])
                     sel = idx.contains(r, p, lons[bpt[seg]], lats[bpt[seg]])
-                    acc.append(
-                        (pids[bpt[seg][sel]], brel[seg][sel], bpoly[seg][sel])
-                    )
-            yield pd.DataFrame(
-                {
-                    "point_id": np.concatenate([a[0] for a in acc]),
-                    "rel_id": np.concatenate([a[1] for a in acc]),
-                    "poly_idx": np.concatenate([a[2] for a in acc]).astype(np.int32),
-                }
-            )
+                    acc.append((bpt[seg][sel], brel[seg][sel], bpoly[seg][sel]))
+            rows = np.concatenate([a[0] for a in acc])
+            out = {
+                "point_id": pids[rows],
+                "rel_id": np.concatenate([a[1] for a in acc]),
+                "poly_idx": np.concatenate([a[2] for a in acc]).astype(np.int32),
+            }
+            for c in keep:
+                out[c] = pdf[c].to_numpy()[rows]
+            yield pd.DataFrame(out)
 
-    return points.select("point_id", "lon", "lat").mapInPandas(run, PIP_SCHEMA)
+    return points.select("point_id", "lon", "lat", *keep).mapInPandas(run, schema)
 
 
 KNN_SCHEMA = "point_id long, rel_id long, poly_idx int, dist double"

@@ -4,12 +4,14 @@ The reference has no streaming (its o5m "stream" is a batch file scan,
 SURVEY.md §2.7); this is the extension's continuous-ingest slice. Two
 shapes, per the engine's design note (SURVEY §2.7):
 
-- ``stream_tile_assignments``: readStream over a pages directory →
-  foreachBatch running the SAME batch operators (geoparse → PIP join →
-  tiles) against the static polygon side, appending to a parquet/Iceberg
-  sink. foreachBatch is the right tool because the PIP refinement uses a
-  cogrouped pandas UDF, which streaming does not support natively —
-  and it gives exactly-once append semantics with the checkpoint.
+- ``stream_pip_enrich`` (r2, preferred): the fused broadcast-index PIP
+  (pip_index.py) is a STATELESS mapInPandas transform, so spatial
+  enrichment runs natively inside the streaming plan — no foreachBatch
+  required: readStream → geoparse (Catalyst) → index PIP → append sink.
+- ``stream_tile_assignments``: foreachBatch running the full batch
+  spatial pipeline per micro-batch — the shape for sinks needing
+  multi-output batch semantics (tiles + metrics together) with
+  exactly-once append via the checkpoint.
 - ``windowed_page_counts``: a native streaming aggregation (watermark +
   tumbling window over warc_ts) for freshness metrics — late data
   handled by the watermark.
@@ -23,6 +25,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_pip_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    locations: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    min_level: int = 4,
+    max_level: int = 12,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+):
+    """Native streaming spatial enrichment: every page landing in
+    ``source_dir`` gets its (url, rel_id) admin assignments appended to
+    ``sink_dir``. The whole transform chain — geoparse regex, point_id
+    hash, broadcast-index PIP — is stateless, so it runs inside the
+    streaming plan itself (restart-safe via the stream checkpoint, no
+    foreachBatch)."""
+    from osm_spark.spatial.covering import build_polygon_cells, polygon_geometry
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.pip_index import build_pip_index, pip_join_index
+
+    index_bc = spark.sparkContext.broadcast(
+        build_pip_index(
+            build_polygon_cells(locations, min_level, max_level),
+            polygon_geometry(locations),
+        )
+    )
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    geo = geoparse_pages(stream).withColumn("point_id", F.xxhash64("url"))
+    # url rides through the index pass itself — a post-hoc join back to
+    # the stream would be a stream-stream self-join (illegal in append
+    # mode without watermarks).
+    enriched = pip_join_index(
+        geo.select("point_id", "lon", "lat", "url"), index_bc, keep=("url",)
+    ).select("url", "rel_id")
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_tile_assignments(

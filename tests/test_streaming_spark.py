@@ -145,3 +145,34 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         assert batch_counts.get((r.user_id, r.session_id)) == r.n_events
     # sessions closed in-stream must be a subset but non-trivial
     assert len(got) > 0
+
+
+def test_stream_pip_enrich_native(spark, world, tmp_path):
+    """The fused broadcast-index PIP runs NATIVELY inside the streaming
+    plan (stateless mapInPandas — no foreachBatch); streamed (url,
+    rel_id) assignments equal the batch spatial pipeline's."""
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+    from osm_spark.streaming.pages_stream import stream_pip_enrich
+
+    pages = pages_df(spark, PagesSpec(n_pages=1200, n_countries=1))
+    src = str(tmp_path / "src")
+    pages.repartition(5).write.parquet(src)
+
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    q = stream_pip_enrich(
+        spark, src, world["locations"], sink, ck,
+        max_level=11, max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+
+    streamed = {(r.url, r.rel_id) for r in spark.read.parquet(sink).collect()}
+    sp = run_spatial_pipeline(
+        spark, pages, world["locations"], world["kept"], max_level=11
+    )
+    batch = {
+        (r.url, r.rel_id)
+        for r in sp["pip"].join(sp["points"], "point_id").select("url", "rel_id").collect()
+    }
+    assert streamed == batch
