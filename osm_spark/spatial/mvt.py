@@ -76,6 +76,40 @@ def encode_point_feature(fid: int, tag_idx: list[int], x: int, y: int) -> bytes:
     return body
 
 
+def encode_polygon_feature(
+    fid: int, tag_idx: list[int], rings: list[list[tuple[int, int]]]
+) -> bytes:
+    """POLYGON geometry: per ring MoveTo(1) + LineTo(n-1) + ClosePath,
+    coordinates as zigzag deltas from a cursor that persists across
+    rings (spec 4.3.4.4). Rings come CLOSED (first == last, dropped);
+    callers supply exterior rings CW and holes CCW in tile (y-down)
+    space — which is what the y-flip of our CCW/CW geographic
+    convention naturally produces."""
+    geom: list[int] = []
+    cx = cy = 0
+    for ring in rings:
+        pts = ring[:-1] if len(ring) > 1 and ring[0] == ring[-1] else ring
+        if len(pts) < 3:
+            continue
+        geom.append((1) | (1 << 3))  # MoveTo count 1
+        geom.append(_zigzag(pts[0][0] - cx))
+        geom.append(_zigzag(pts[0][1] - cy))
+        cx, cy = pts[0]
+        geom.append((2) | ((len(pts) - 1) << 3))  # LineTo count n-1
+        for x, y in pts[1:]:
+            geom.append(_zigzag(x - cx))
+            geom.append(_zigzag(y - cy))
+            cx, cy = x, y
+        geom.append(7)  # ClosePath count 1
+    body = (
+        _tag(1, 0) + _varint(fid)
+        + _packed(2, tag_idx)
+        + _tag(3, 0) + _varint(3)  # GeomType POLYGON
+        + _packed(4, geom)
+    )
+    return body
+
+
 def encode_layer(
     name: str,
     features: list[bytes],
@@ -125,6 +159,38 @@ def encode_point_tile(
     return encode_tile([encode_layer(layer_name, feats, keys, values, extent)])
 
 
+def encode_boundary_tile(
+    bounds: tuple[float, float, float, float],
+    rows: list[tuple[int, list]],
+    layer_name: str = "boundaries",
+    extent: int = EXTENT,
+) -> bytes:
+    """One MVT blob of clipped admin polygons for a tile:
+    rows = (rel_id, multipolygon coords in degrees). Quantizes to the
+    tile-local integer grid with the y flip; each relation becomes one
+    POLYGON feature (its rings concatenated, exterior-first per part)."""
+    lon0, lat0, lon1, lat1 = bounds
+
+    def q(pt):
+        x = int((pt[0] - lon0) / (lon1 - lon0) * extent)
+        y = int((lat1 - pt[1]) / (lat1 - lat0) * extent)
+        return (min(max(x, 0), extent), min(max(y, 0), extent))
+
+    keys = ["rel_id"]
+    values: list = []
+    vidx: dict = {}
+    feats = []
+    for rel, shape in rows:
+        rings = [[q(pt) for pt in ring] for poly in shape for ring in poly]
+        if rel not in vidx:
+            vidx[rel] = len(values)
+            values.append(rel)
+        feats.append(
+            encode_polygon_feature(rel & ((1 << 63) - 1), [0, vidx[rel]], rings)
+        )
+    return encode_tile([encode_layer(layer_name, feats, keys, values, extent)])
+
+
 MVT_SCHEMA = "tile long, admin_level int, mvt binary, n_features int"
 
 
@@ -156,3 +222,36 @@ def mvt_tiles(assignments: DataFrame, points: DataFrame) -> DataFrame:
         )
 
     return joined.groupBy("tile", "admin_level").applyInPandas(encode, MVT_SCHEMA)
+
+
+MVT_BOUNDARY_SCHEMA = "tile long, mvt binary, n_features int"
+
+
+def mvt_boundary_tiles(boundary_tiles_df: DataFrame) -> DataFrame:
+    """(tile, mvt, n_features) — binary MVT of per-tile CLIPPED admin
+    polygon geometry (input = spatial.tiles.boundary_tiles output).
+    Same distributed shape as mvt_tiles: group by tile, local encode."""
+    import pandas as pd
+
+    from osm_spark.kernels.cells import cell_bounds
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = int(pdf["tile"].iloc[0])
+        rows = sorted(
+            (
+                int(r.rel_id),
+                [
+                    [[[float(v) for v in pt] for pt in ring] for ring in poly]
+                    for poly in r.clipped
+                ],
+            )
+            for r in pdf.itertuples()
+        )
+        blob = encode_boundary_tile(cell_bounds(tile), rows)
+        return pd.DataFrame(
+            {"tile": [tile], "mvt": [blob], "n_features": [len(rows)]}
+        )
+
+    return boundary_tiles_df.groupBy("tile").applyInPandas(
+        encode, MVT_BOUNDARY_SCHEMA
+    )

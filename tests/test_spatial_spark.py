@@ -337,3 +337,45 @@ def test_mvt_tiles_deterministic(spark, world, spatial):
     assert rows1 == rows2
     assert sum(n for _, n in rows1.values()) == t.count()
     assert all(len(b) > 0 for b, _ in rows1.values())
+
+
+def test_mvt_polygon_golden_bytes():
+    """Hand-derived wire bytes for one square polygon feature."""
+    from osm_spark.spatial.mvt import encode_polygon_feature
+
+    # Square (0,0)->(10,0)->(10,10)->(0,10), closed.
+    got = encode_polygon_feature(
+        5, [0, 0], [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]]
+    )
+    expected = bytes(
+        [0x08, 0x05,              # id = 5
+         0x12, 0x02, 0x00, 0x00,  # tags [0, 0]
+         0x18, 0x03,              # type = POLYGON
+         0x22, 0x0B,              # geometry, 11 varints
+         0x09, 0x00, 0x00,        # MoveTo (0,0)
+         0x1A,                    # LineTo count 3 = (2 | 3<<3)
+         0x14, 0x00,              # (+10, 0)
+         0x00, 0x14,              # (0, +10)
+         0x13, 0x00,              # (-10, 0)
+         0x07]                    # ClosePath
+    )
+    assert got == expected
+
+
+def test_mvt_boundary_tiles(spark, world, spatial):
+    from osm_spark.spatial.mvt import mvt_boundary_tiles
+    from osm_spark.spatial.tiles import boundary_tiles
+
+    bt = boundary_tiles(world["locations"], spatial["polygon_cells"], tile_level=6)
+    rows = {r.tile: (bytes(r.mvt), r.n_features) for r in mvt_boundary_tiles(bt).collect()}
+    assert rows
+    # every tile's blob decodes as a length-delimited Tile message with
+    # one layer and n_features features
+    for tile, (blob, n) in rows.items():
+        assert blob[0] == 0x1A and n >= 1
+    # determinism across partitioning
+    rows2 = {
+        r.tile: (bytes(r.mvt), r.n_features)
+        for r in mvt_boundary_tiles(bt.repartition(9)).collect()
+    }
+    assert rows == rows2
