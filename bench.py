@@ -26,6 +26,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Pin BLAS threading before ANY numpy import (see osm_spark.session):
+# Spark supplies the parallelism; per-worker BLAS thread pools of
+# n_cpu threads each thrash the box quadratically.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,6 +31,18 @@ def get_spark(
             _pkg_root + (os.pathsep + _pp if _pp else "")
         )
 
+    # ONE BLAS thread per python worker — Spark provides the
+    # parallelism (one worker per core); letting OpenBLAS ALSO spawn
+    # n_cpu threads per worker runs cores² threads that thrash each
+    # other. Measured on this box: a single default-BLAS numpy process
+    # ran 0.6× the speed of a single-threaded one, and 8 workers × 32
+    # BLAS threads made local[8] SLOWER than local[2] end to end.
+    # Standard production-PySpark practice; same reason Spark sets
+    # spark.task.cpus=1 by default.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
@@ -61,6 +73,12 @@ def get_spark(
                 + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
             ),
         )
+        # Cluster-mode twin of the driver-env pin above (local-mode
+        # workers inherit the driver env; separate executors need it
+        # via executorEnv).
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -19,6 +19,15 @@ import subprocess
 import sys
 import time
 
+# Single-threaded BLAS for probe processes (set BEFORE numpy loads —
+# forked children inherit the parent's loaded OpenBLAS config). A
+# default-BLAS probe process spawns n_cpu threads and the k-process
+# "ceiling" measures thread-thrash, not the machine: measured here,
+# 1-proc default-BLAS ran 0.6x the single-threaded speed and the 2->8
+# "ceiling" read 1.2x on a box that scales 7.2x with the pin.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def _burn(q) -> None:
     import numpy as np
