@@ -959,8 +959,8 @@ def _sim_words() -> str:
 _SIM_DUCK_CTE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents),
- hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} % {_M} AS h1,
-                   {_MD52_DUCK.format(t='tok')} % {_M} AS h2 FROM toks),
+ hashed AS (SELECT doc_id, {_MD5_DUCK.format(t='tok')} AS h1,
+                   {_MD52_DUCK.format(t='tok')} AS h2 FROM toks),
  votes AS (SELECT doc_id, {_sim_votes('h1', 'h2', True)} FROM hashed GROUP BY doc_id),
  sh AS (SELECT doc_id, {_sim_words()} FROM votes)
 """

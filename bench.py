@@ -157,6 +157,9 @@ def main() -> None:
             k=3,
             level=6,
             radius=2,
+            # Reuse the PIP join's broadcast index — no second driver
+            # collect of the geometry (VERDICT r2 fix #3).
+            index_bc=sp["index_bc"],
         ).count()
 
     timed("knn", run_knn)

@@ -385,8 +385,10 @@ def build_world(spec: WorldSpec) -> tuple[WorldBuilder, EngineConfig]:
             # geojson.go:259-268 @ 749) but their DIAGNOSTIC name
             # (Relation.Name(), parser.go:395-411) falls back to the
             # single name:* tag — and to "" when several exist. rej+6
-            # has an unknown boundary too, so its error message
-            # exercises the fallback in rel.String().
+            # exercises that two-name:* → "" diagnostic fold (pinned by
+            # the with_tag_columns tests); per ignoreRelation order the
+            # empty map-name drops it BEFORE the boundary check, so its
+            # unknown boundary never reaches the error side-output.
             b.relation(
                 rej + 5,
                 rrefs,

@@ -196,6 +196,98 @@ def split_pinched_ring(points: list[Point]) -> list[list[Point]]:
     return loops
 
 
+def _round_div(n: int, d: int) -> int:
+    """Exact nearest-integer of n/d, ties rounded half AWAY FROM ZERO
+    (the stated coordinate-rounding rule for crossing repair — chosen
+    to be sign-symmetric so mirrored rings snap to mirrored grids)."""
+    if d < 0:
+        n, d = -n, -d
+    if n >= 0:
+        return (2 * n + d) // (2 * d)
+    return -((-2 * n + d) // (2 * d))
+
+
+def _first_proper_crossing(points: list[Point]):
+    """First pair of non-adjacent edges (i < j) that PROPERLY cross
+    (strict sign changes on both orientation pairs — touching at a
+    vertex or collinear overlap is the pinch class, not this one),
+    plus the exact rational intersection snapped to the integer grid.
+
+    Returns (i, j, sx, sy) or None. O(n^2) exact scan — crossing rings
+    are a rare repair class, never the hot path.
+    """
+    n = len(points) - 1
+    for i in range(n):
+        a, b = points[i], points[i + 1]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # closing adjacency
+            c, d = points[j], points[j + 1]
+            o1 = _orient(*c, *d, *a)
+            o2 = _orient(*c, *d, *b)
+            o3 = _orient(*a, *b, *c)
+            o4 = _orient(*a, *b, *d)
+            if o1 * o2 < 0 and o3 * o4 < 0:
+                rx, ry = b[0] - a[0], b[1] - a[1]
+                sx_, sy_ = d[0] - c[0], d[1] - c[1]
+                den = rx * sy_ - ry * sx_
+                tnum = (c[0] - a[0]) * sy_ - (c[1] - a[1]) * sx_
+                # intersection = a + (tnum/den)·(b-a), exact rational.
+                px = _round_div(a[0] * den + tnum * rx, den)
+                py = _round_div(a[1] * den + tnum * ry, den)
+                return i, j, px, py
+    return None
+
+
+def split_crossing_ring(points: list[Point], max_rounds: int = 12) -> list[list[Point]]:
+    """``Buffer(0)`` analog for properly-CROSSING rings (bowties) —
+    the class ``split_pinched_ring`` passes through (VERDICT r2 #5;
+    reference repairs via GEOS Buffer(0), poly.go:160-177).
+
+    Coordinate-rounding semantics (the crossing point of two
+    integer-grid edges is rational, not representable): each crossing
+    is snapped to the nearest fixed-point 1e-7-degree grid coordinate,
+    per axis, ties half away from zero (``_round_div``). The snapped
+    vertex is inserted into BOTH crossing edges, turning the proper
+    crossing into an exact self-touch; iterating until no proper
+    crossings remain (snapping can leave a < 1e-7-degree sliver
+    crossing between the new sub-edges) and then splitting at repeated
+    vertices yields the loop decomposition. Max positional error is
+    half a grid cell (~5.6 mm at the equator) per crossing.
+
+    Loop semantics: ALL loops with >= 3 distinct vertices are kept,
+    regardless of winding — ST_MakeValid semantics. GEOS Buffer(0)
+    itself drops the minority-wound lobe of a figure-8 (documented in
+    the PostGIS ST_MakeValid notes); keeping both preserves area and
+    matches what this engine already does for the pinch class, and the
+    divergence is visible in build_geometry's warning text.
+
+    Rings that still have proper crossings after ``max_rounds`` snap
+    passes (adversarial micro-slivers) are returned as-is for the
+    caller to flag.
+    """
+    pts = list(points)
+    for _ in range(max_rounds):
+        hit = _first_proper_crossing(pts)
+        if hit is None:
+            break
+        i, j, sx, sy = hit
+        s = (sx, sy)
+        new = pts[: i + 1]
+        if s != pts[i] and s != pts[i + 1]:
+            new.append(s)
+        new.extend(pts[i + 1 : j + 1])
+        if s != pts[j] and s != pts[j + 1]:
+            new.append(s)
+        new.extend(pts[j + 1 :])
+        if len(new) == len(pts):
+            # Snap collapsed onto existing vertices of both edges: no
+            # representable progress; bail for the caller to flag.
+            break
+        pts = new
+    return split_pinched_ring(pts)
+
+
 def is_valid_ring(line: Linestring) -> bool:
     """Closed + enough points (ring.go:200-212).
 

@@ -76,12 +76,18 @@ def build_geometry(lines: list[Linestring]):
 
     Returns (polygons, warnings). Buffer(0) handling (poly.go:177):
     self-TOUCHING rings (repeated vertex) are split exactly into their
-    loops — byte-equivalent to the GEOS repair for the pinch class —
-    with a warning recorded; rings with proper edge CROSSINGS have no
-    exact repair and pass through unchanged with a divergence warning
-    (the reference's own test vector geojson_test.go:43 assembles to a
-    crossing ring and is accepted, so dropping would break parity)."""
-    from osm_spark.kernels.rings import is_simple_ring, split_pinched_ring
+    loops — byte-equivalent to the GEOS repair for the pinch class;
+    rings with proper edge CROSSINGS (bowties) are split at the
+    snap-to-grid crossing points (split_crossing_ring — documented
+    rounding rule, ≤ half a 1e-7-degree cell of positional error,
+    ST_MakeValid keep-both-lobes semantics where GEOS Buffer(0) drops
+    the minority-wound lobe). Anything still non-simple after both
+    repairs passes through unchanged with a divergence warning."""
+    from osm_spark.kernels.rings import (
+        is_simple_ring,
+        split_crossing_ring,
+        split_pinched_ring,
+    )
 
     for line in lines:
         if line.role in ("inner", "outer", ""):
@@ -96,13 +102,27 @@ def build_geometry(lines: list[Linestring]):
         if is_simple_ring(ring.points):
             checked.append(ring)
             continue
+        def _accepted(parts: list) -> bool:
+            # Accept multi-loop splits AND single-loop spike removals
+            # (A-B-C-B-D-A → A-B-D-A): GEOS Buffer(0) strips the spike
+            # in both cases, so a changed single loop is a repair, not
+            # a pass-through (ADVICE r2 #2).
+            return bool(parts) and all(is_simple_ring(p) for p in parts) and (
+                len(parts) > 1 or parts[0] != ring.points
+            )
+
         parts = split_pinched_ring(ring.points)
-        if len(parts) > 1 and all(is_simple_ring(p) for p in parts):
+        kind = "self-touching"
+        if not _accepted(parts):
+            # Proper-crossing class: snap-to-grid split (VERDICT r2 #5).
+            parts = split_crossing_ring(ring.points)
+            kind = "self-crossing (snap-to-grid)"
+        if _accepted(parts):
             for p in parts:
                 piece = Linestring(ring.id, p, ring.role)
                 checked.append(piece)
             warnings.append(
-                f"repaired self-touching ring (buffer(0) analog, "
+                f"repaired {kind} ring (buffer(0) analog, "
                 f"{len(parts)} loops): way {ring.id}"
             )
         else:

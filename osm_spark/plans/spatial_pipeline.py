@@ -14,8 +14,12 @@ pure Catalyst expressions + one equi-join; geometry only ever meets the
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("osm_spark.spatial")
 
 from osm_spark.spatial.covering import build_polygon_cells, polygon_geometry
 from osm_spark.spatial.geoparse import geoparse_pages
@@ -32,15 +36,20 @@ def run_spatial_pipeline(
     max_level: int = 12,
     tile_level: int = 7,
     salt: int = 1,
-    mode: str = "index",
+    mode: str = "auto",
+    index_max_bytes: int | None = None,
 ) -> dict[str, DataFrame]:
-    """``mode="index"`` (default): the page side streams through ONE
-    mapInPandas pass against a broadcast covering+geometry index — no
-    explode, no join, no shuffle on the 10^12-row side (see
-    pip_index.py). ``mode="catalyst"``: explode-per-level + broadcast
-    cell equi-join + refinement — the path for polygon sides too large
-    to broadcast as one index. Both produce identical rows (pinned by
-    tests and the q21/q22 oracles).
+    """``mode="index"``: the page side streams through ONE mapInPandas
+    pass against a broadcast covering+geometry index — no explode, no
+    join, no shuffle on the 10^12-row side (see pip_index.py).
+    ``mode="catalyst"``: anchor-pruned max-level cell equi-join +
+    refinement — the path for polygon sides too large to broadcast as
+    one index. ``mode="auto"`` (default) measures the covering + ring
+    sizes (two tiny aggregates over the SMALL side, nothing collected)
+    and picks: index when the estimated broadcast fits
+    ``index_max_bytes`` (default pip_index.INDEX_MAX_BYTES), catalyst
+    otherwise; the decision is logged. All modes produce identical
+    rows (pinned by tests and the q21/q22 oracles).
     """
     geo = geoparse_pages(pages).withColumn(
         "point_id", F.xxhash64("url")
@@ -51,6 +60,32 @@ def run_spatial_pipeline(
 
     pcells = build_polygon_cells(locations, min_level, max_level).persist()
     pgeom = polygon_geometry(locations)
+
+    if mode == "auto":
+        from osm_spark.spatial.pip_index import (
+            INDEX_MAX_BYTES,
+            estimate_index_bytes,
+        )
+
+        limit = INDEX_MAX_BYTES if index_max_bytes is None else index_max_bytes
+        n_cells = pcells.count()
+        geom_stats = pgeom.select(
+            F.aggregate(
+                "poly", F.lit(0), lambda acc, ring: acc + F.size(ring)
+            ).alias("n_pts")
+        ).agg(
+            F.coalesce(F.sum("n_pts"), F.lit(0)).alias("pts"),
+            F.count("*").alias("polys"),
+        ).first()
+        est = estimate_index_bytes(
+            n_cells, int(geom_stats["pts"]), int(geom_stats["polys"])
+        )
+        mode = "index" if est <= limit else "catalyst"
+        _log.info(
+            "PIP mode auto -> %s (estimated index %.1f MB vs %.0f MB budget;"
+            " %d cells, %d ring points)",
+            mode, est / 1e6, limit / 1e6, n_cells, int(geom_stats["pts"]),
+        )
 
     # No distinct: pip output is unique per (point, rel) by
     # construction (disjoint multipolygon parts / disjoint quadtree
@@ -64,14 +99,14 @@ def run_spatial_pipeline(
             points.select("point_id", "lon", "lat"), index_bc
         ).select("point_id", "rel_id")
     else:
+        # pip_join reads the probe levels + boundary flags from pcells
+        # itself (one tiny aggregate over the persisted small side) and
+        # probes max_level with NO page-side explode; interior levels
+        # explode only (point_id, cell) after the anchor prune.
         pip = pip_join(
             points.select("point_id", "lon", "lat"),
             pcells,
             pgeom,
-            # Explicit levels: probing every level in the covering range
-            # costs a few extra exploded rows but avoids a separate
-            # collect-distinct job before the main action.
-            levels=list(range(min_level, max_level + 1)),
             salt=salt,
         ).select("point_id", "rel_id")
 

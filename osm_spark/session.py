@@ -15,6 +15,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+_blas_limiter = None
+
 
 def get_spark(
     app_name: str = "osm-spark",
@@ -39,9 +41,25 @@ def get_spark(
     # BLAS threads made local[8] SLOWER than local[2] end to end.
     # Standard production-PySpark practice; same reason Spark sets
     # spark.task.cpus=1 by default.
+    # NOTE: env pins only take effect in processes that have not yet
+    # initialized their BLAS — i.e. the forked python WORKERS (the ones
+    # that matter for task throughput). If the caller imported numpy
+    # before get_spark(), the DRIVER's already-started OpenBLAS pool is
+    # unaffected; threadpoolctl (if available) clamps that live pool
+    # too. Entry points that do driver-side numpy (bench.py, tools/*)
+    # additionally pin the env before any import.
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
                 "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    global _blas_limiter
+    try:  # pragma: no cover - optional dependency
+        from threadpoolctl import threadpool_limits
+
+        # Keep the controller alive: its destructor restores the old
+        # limits, so a throwaway instance would be a no-op.
+        _blas_limiter = threadpool_limits(limits=1)
+    except Exception:
+        _blas_limiter = None
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")

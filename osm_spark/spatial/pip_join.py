@@ -118,11 +118,21 @@ def _refine_broadcast(boundary: DataFrame, polygons: DataFrame) -> DataFrame:
             pids = pdf["point_id"].to_numpy(np.int64)
             rel = pdf["rel_id"].to_numpy(np.int64)
             poly = pdf["poly_idx"].to_numpy(np.int64)
+            # Sub-group by covering cell when the caller carried it
+            # through: tight groups make the kernel's segment slice
+            # effective (see PipIndex.contains).
+            cell = (
+                pdf["cell"].to_numpy(np.int64)
+                if "cell" in pdf.columns
+                else np.zeros(len(pdf), dtype=np.int64)
+            )
             keep = np.zeros(len(pdf), dtype=bool)
             key = rel * np.int64(1 << 20) + poly
-            order = np.argsort(key, kind="stable")
-            key_s = key[order]
-            bounds = np.flatnonzero(np.diff(key_s)) + 1
+            order = np.lexsort((cell, key))
+            key_s, cell_s = key[order], cell[order]
+            bounds = np.flatnonzero(
+                (np.diff(key_s) != 0) | (np.diff(cell_s) != 0)
+            ) + 1
             for seg in np.split(order, bounds):
                 r, p = int(rel[seg[0]]), int(poly[seg[0]])
                 keep[seg] = idx.contains(r, p, lons[seg], lats[seg])
@@ -134,9 +144,10 @@ def _refine_broadcast(boundary: DataFrame, polygons: DataFrame) -> DataFrame:
                 }
             )
 
-    return boundary.select(
-        "point_id", "rel_id", "poly_idx", "lon", "lat"
-    ).mapInPandas(run, REFINE_SCHEMA)
+    cols = ["point_id", "rel_id", "poly_idx", "lon", "lat"]
+    if "cell" in boundary.columns:
+        cols.append("cell")
+    return boundary.select(*cols).mapInPandas(run, REFINE_SCHEMA)
 
 
 def pip_join(
@@ -159,40 +170,117 @@ def pip_join(
 
     ``levels``: covering levels to probe; default = distinct levels in
     polygon_cells (collected — small dimension).
+
+    Page-side shape (VERDICT r2 fix #3 — the old path exploded every
+    point to ~9 covering levels, multiplying the 10^12-row side before
+    the join):
+
+    1. ANCHOR PRUNE: one Morton encode per point; a broadcast semi-join
+       against the covering's distinct ancestors at the coarsest probed
+       level drops every point outside the covered footprint (at planet
+       scale: the oceans) before any explode or shuffle.
+    2. WIDE PROBE at the boundary-bearing levels only (for
+       build_polygon_cells coverings that is exactly max_level, so no
+       explode at all): carries lon/lat for exact refinement.
+    3. NARROW PROBE at the interior-only levels: exploded rows are just
+       (point_id, cell) — matches are accepted without geometry, so
+       lon/lat never replicate.
+
+    Which levels bear boundary cells is read from the data (one tiny
+    aggregate over the small cell side), so the split is correct for
+    any covering, not only ours.
     """
+    from osm_spark.spatial.cells_sql import cell_expr, cell_parent_expr
+
+    lv_rows = (
+        polygon_cells.groupBy(
+            polygon_cells.cell.bitwiseAND(F.lit(0x3F)).alias("lvl")
+        )
+        .agg(F.max(~F.col("interior")).alias("has_boundary"))
+        .collect()
+    )
+    data_levels = {int(r["lvl"]): bool(r["has_boundary"]) for r in lv_rows}
     if levels is None:
-        levels = [
-            int(r["lvl"])
-            for r in polygon_cells.select(
-                polygon_cells.cell.bitwiseAND(F.lit(0x3F)).alias("lvl")
-            )
-            .distinct()
-            .collect()
-        ]
-        levels = sorted(levels)
+        levels = sorted(data_levels)
+    probe_levels = [lv for lv in sorted(levels) if lv in data_levels]
+    if not probe_levels:
+        probe_levels = sorted(levels)
+    wide_levels = [lv for lv in probe_levels if data_levels.get(lv, True)]
+    narrow_levels = [lv for lv in probe_levels if not data_levels.get(lv, True)]
 
     pc = polygon_cells
-    p = points.select(
+    anchor_lv = probe_levels[0]
+    anchors = (
+        pc.where(pc.cell.bitwiseAND(F.lit(0x3F)) >= anchor_lv)
+        .select(cell_parent_expr(F.col("cell"), anchor_lv).alias("anchor"))
+        .distinct()
+    )
+    pts = points.select(
         "point_id",
         "lon",
         "lat",
-        F.explode(point_cells_expr(F.col("lon"), F.col("lat"), levels)).alias("cell"),
-    )
+        cell_expr(F.col("lon"), F.col("lat"), anchor_lv).alias("anchor"),
+    ).join(F.broadcast(anchors), "anchor", "left_semi")
+
+    def salted(p: DataFrame) -> DataFrame:
+        return p.withColumn(
+            "salt_id", F.pmod(F.xxhash64("point_id"), F.lit(salt))
+        )
+
     if salt > 1:
         pc = pc.withColumn(
             "salt_id", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
-        p = p.withColumn("salt_id", F.pmod(F.xxhash64("point_id"), F.lit(salt)))
         join_keys = ["cell", "salt_id"]
     else:
         join_keys = ["cell"]
-
     pc_side = F.broadcast(pc) if broadcast_cells else pc
-    cand = p.join(pc_side, join_keys)
+
+    cand_parts = []
+    if wide_levels:
+        if len(wide_levels) == 1:
+            wide_cell = cell_expr(F.col("lon"), F.col("lat"), wide_levels[0])
+            p_wide = pts.select(
+                "point_id", "lon", "lat", wide_cell.alias("cell")
+            )
+        else:
+            p_wide = pts.select(
+                "point_id",
+                "lon",
+                "lat",
+                F.explode(
+                    point_cells_expr(F.col("lon"), F.col("lat"), wide_levels)
+                ).alias("cell"),
+            )
+        if salt > 1:
+            p_wide = salted(p_wide)
+        cand_parts.append(p_wide.join(pc_side, join_keys))
+    if narrow_levels:
+        p_narrow = pts.select(
+            "point_id",
+            F.explode(
+                point_cells_expr(F.col("lon"), F.col("lat"), narrow_levels)
+            ).alias("cell"),
+        )
+        if salt > 1:
+            p_narrow = salted(p_narrow)
+        # Interior-only levels: every match is accepted outright, so the
+        # join needs no lon/lat. (`where("interior")` is a no-op by the
+        # has_boundary split but keeps correctness unconditional.)
+        cand_parts.append(
+            p_narrow.join(pc_side, join_keys)
+            .where("interior")
+            .withColumn("lon", F.lit(None).cast("double"))
+            .withColumn("lat", F.lit(None).cast("double"))
+        )
+
+    cand = cand_parts[0]
+    for part in cand_parts[1:]:
+        cand = cand.unionByName(part.select(*cand.columns))
 
     accepted = cand.where("interior").select("point_id", "rel_id", "poly_idx")
     boundary = cand.where(~F.col("interior")).select(
-        "point_id", "lon", "lat", "rel_id", "poly_idx"
+        "point_id", "lon", "lat", "rel_id", "poly_idx", "cell"
     )
     if refine == "broadcast":
         refined = _refine_broadcast(boundary, polygons)

