@@ -1364,7 +1364,10 @@ def _q_mvt(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tile_assignments(sp["pip"], sp["points"], admin_levels, tile_level=7)
     m = mvt_tiles(t, sp["points"])
     return m.select(
-        "tile", F.col("admin_level").cast("int").alias("admin_level"), "n_features"
+        "tile",
+        F.col("admin_level").cast("int").alias("admin_level"),
+        "n_features",
+        "fid_digest",
     )
 
 
@@ -1378,7 +1381,9 @@ _def(
  al AS ({_ADMIN_LEVEL_SQL})
 SELECT {_tile_expr_duck('(lon_u / 1000000.0)', '(lat_u / 1000000.0)', 7)} AS tile,
        CAST(al.admin_level AS INT) AS admin_level,
-       CAST(count(*) AS INT) AS n_features
+       CAST(count(*) AS INT) AS n_features,
+       md5(string_agg(rel_id || ':' || lon_u || ':' || lat_u, ','
+                      ORDER BY rel_id || ':' || lon_u || ':' || lat_u)) AS fid_digest
 FROM pip JOIN al USING (rel_id)
 GROUP BY 1, 2
 """,

@@ -191,7 +191,7 @@ def encode_boundary_tile(
     return encode_tile([encode_layer(layer_name, feats, keys, values, extent)])
 
 
-MVT_SCHEMA = "tile long, admin_level int, mvt binary, n_features int"
+MVT_SCHEMA = "tile long, admin_level int, mvt binary, n_features int, fid_digest string"
 
 
 def mvt_tiles(assignments: DataFrame, points: DataFrame) -> DataFrame:
@@ -212,12 +212,25 @@ def mvt_tiles(assignments: DataFrame, points: DataFrame) -> DataFrame:
             for r in pdf.itertuples()
         )
         blob = encode_point_tile(cell_bounds(tile), rows)
+        # Digest of the feature multiset actually encoded into the blob,
+        # keyed on engine-portable values (rel + micro-degree coords, not
+        # the xxhash64 point_id) so a SQL oracle can hash-check the MVT
+        # grouping itself, not just the count (VERDICT r2 #9). round()
+        # exactly inverts the lon_u/1e6 parse (within 1 ulp, |u| << 2^53).
+        import hashlib
+
+        keys = sorted(
+            f"{rel}:{round(lon * 1e6)}:{round(lat * 1e6)}"
+            for _pid, rel, lon, lat in rows
+        )
+        digest = hashlib.md5(",".join(keys).encode()).hexdigest()
         return pd.DataFrame(
             {
                 "tile": [tile],
                 "admin_level": [level],
                 "mvt": [blob],
                 "n_features": [len(rows)],
+                "fid_digest": [digest],
             }
         )
 
