@@ -652,6 +652,32 @@ _def(
 )
 
 
+def _q_pip_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalyst-fallback PIP join (anchor-pruned max-level probe,
+    the path for polygon sides too large to broadcast), driver-pinned
+    against the SAME oracle as q21 — so the driver gate, not only
+    pytest path-equality, certifies index/catalyst row identity."""
+    key = ("spatial_catalyst", id(spark))
+    if key not in _WORLD_CACHE:
+        from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+
+        out = _world(spark)
+        _WORLD_CACHE[key] = run_spatial_pipeline(
+            spark, _pages_df(spark), out["locations"], out["kept"],
+            max_level=11, mode="catalyst",
+        )
+    sp = _WORLD_CACHE[key]
+    return sp["pip"].join(sp["points"], "point_id").select("url", "rel_id")
+
+
+_def(
+    "q54_pip_catalyst",
+    fn=_q_pip_catalyst,
+    duck_sql=_pages_oracle_cte()
+    + f"SELECT url, rel_id FROM ({_pip_membership_sql()}) GROUP BY url, rel_id",
+)
+
+
 def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = _spatial(spark)
     out = _world(spark)
@@ -1310,6 +1336,49 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _def(
     "q41_lsh_ann",
     fn=_q_lsh_ann,
+    duck_sql="""
+SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS mean_recall_ge_08
+FROM embeddings WHERE vec_id % 50 = 0
+""",
+)
+
+
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall oracle for the IVF ANN scale path (the brief's "IVF or
+    LSH-bucketed variant"): IVF top-5 vs exact top-5, asserting mean
+    recall@5 >= 0.8. Deterministic end to end (md5-seeded spherical
+    k-means, fixed Lloyd iterations, lowest-id tie-breaks), so the
+    oracle is a literal: (n_queries, true).
+
+    Same iid-random worst-case corpus as q41: parameters are
+    corpus-calibrated (see ann.py ivf_topk docstring); on clustered
+    real embeddings n_probe/n_lists shrinks by orders of magnitude.
+    """
+    from osm_spark.text.ann import cosine_topk, ivf_topk
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        emb, queries, k=5, n_lists=16, n_probe=8, n_iters=5
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact")).join(
+        hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left"
+    ).select(
+        "query_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= 0.8).alias("mean_recall_ge_08"),
+    )
+
+
+_def(
+    "q45_ivf_ann",
+    fn=_q_ivf_ann,
     duck_sql="""
 SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS mean_recall_ge_08
 FROM embeddings WHERE vec_id % 50 = 0

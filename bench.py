@@ -12,6 +12,9 @@ Queries (the engine's load-bearing paths):
 - tpch_q1 / reassembly: relational aggregate shapes over lineitem
 - minhash_lsh:       signatures + banded candidate pairs (documents)
 - ann_topk:          brute-force cosine top-k (embeddings)
+- ann_lsh / ann_ivf: the two ANN scale paths (hyperplane-LSH buckets,
+                     IVF coarse quantization), each with a recall and
+                     candidate-selectivity instrument
 
 The driver records this output as BENCH_r{N}.json.
 
@@ -271,6 +274,24 @@ def main() -> None:
 
     timed("ann_lsh", run_ann_lsh)
 
+    # The second ANN scale path: IVF coarse quantization (sample-
+    # trained spherical k-means quantizer, distributed assignment +
+    # list-probe search). Timed end to end INCLUDING quantizer
+    # training — at corpus scale training is the amortized one-time
+    # cost, assignment/search the per-row path.
+    def run_ann_ivf():
+        from osm_spark.text.ann import ivf_topk
+
+        emb = spark.table("embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        approx = ivf_topk(
+            emb, q, k=5, n_lists=16, n_probe=8, n_iters=5
+        ).persist()
+        approx_holder["ivf"] = approx
+        return approx.count()
+
+    timed("ann_ivf", run_ann_ivf)
+
     # Recall vs the already-timed exact baseline (outside the timing).
     from osm_spark.text.ann import cosine_topk
 
@@ -278,10 +299,26 @@ def main() -> None:
     exact = cosine_topk(
         emb, emb.where(F.col("vec_id") % 50 == 0), k=5
     ).select("query_id", "neighbor_id").persist()
+    n_exact = exact.count()
     hit = exact.join(
         approx_holder["df"], ["query_id", "neighbor_id"], "left_semi"
     ).count()
-    ann_recall["recall_at_5"] = round(hit / max(exact.count(), 1), 4)
+    ann_recall["recall_at_5"] = round(hit / max(n_exact, 1), 4)
+    ivf_hit = exact.join(
+        approx_holder["ivf"].select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"], "left_semi",
+    ).count()
+    ann_recall["ivf_recall_at_5"] = round(ivf_hit / max(n_exact, 1), 4)
+    # Candidate selectivity: fraction of the corpus each query re-ranks
+    # (expectation n_probe/n_lists; the scale lever, like the LSH ratio).
+    n_emb = emb.count()
+    ivf_cand = (
+        approx_holder["ivf"].select("query_id", "n_candidates").distinct()
+        .agg(F.avg("n_candidates")).first()[0]
+    )
+    ann_recall["ivf_candidate_ratio"] = round(
+        float(ivf_cand or 0) / max(n_emb, 1), 4
+    )
 
     # --- min-of-k for the headline queries (VERDICT r2 #8) -----------
     # Single-shot numbers on a shared host can record phantom
@@ -330,6 +367,8 @@ def main() -> None:
                 "pip_rows_per_sec": pip_rows_per_sec,
                 "lsh_candidate_ratio": lsh_candidate_ratio,
                 "ann_recall_at_5": ann_recall.get("recall_at_5"),
+                "ivf_recall_at_5": ann_recall.get("ivf_recall_at_5"),
+                "ivf_candidate_ratio": ann_recall.get("ivf_candidate_ratio"),
                 "min_of_k": min_of_k,
                 "contention_probe": {
                     "probes": probes,

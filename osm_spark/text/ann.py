@@ -8,11 +8,21 @@
   the query's bucket (plus multi-probe neighbors), exact re-rank.
   At 10^12 rows the brute-force block join is infeasible; bucketing
   bounds candidates per query to a few buckets.
+- ivf_topk: the second scale path — IVF (inverted-file) coarse
+  quantization. The quantizer (spherical k-means) trains on a bounded
+  deterministic SAMPLE driver-side — the standard IVF design (FAISS
+  trains its quantizer on a sample too): training is O(sample ×
+  n_lists) regardless of corpus size, while the corpus-scale work
+  (list assignment, probe, re-rank) is fully distributed — assignment
+  is one Arrow-batched matmul per batch, search is a bucket equi-join
+  on list_id with JVM-side exact re-rank. Candidates per query ≈
+  corpus × n_probe / n_lists.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -145,6 +155,142 @@ def with_lsh_buckets(
             _bucket_col(vec_col, planes) + F.lit(t << 48)
         )
     return embeddings.withColumn("buckets", F.array(*cols))
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    n_iters: int = 5,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on the deterministic
+    sample ``id % sample_mod == 0`` collected to the driver.
+
+    Sample-bounded by construction: at 10^12 rows, pick ``sample_mod``
+    so the sample stays ~10^5-10^6 rows (quantizer quality saturates
+    far below that; the corpus never reaches the driver).
+
+    Fully deterministic so the q45 recall oracle holds: seeds are the
+    ``n_lists`` sample rows with lexicographically smallest
+    md5("ivf-{id}"); Lloyd assignment breaks similarity ties by lowest
+    list id (np.argmax first-max); an emptied list keeps its previous
+    centroid. Returns (n_lists, dim) float64, rows L2-normalized.
+    """
+    import hashlib
+
+    pdf = (
+        embeddings.where(F.col(id_col) % sample_mod == 0)
+        .select(id_col, vec_col)
+        .toPandas()
+    )
+    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    Xn = X / norms
+    keys = np.argsort(
+        [hashlib.md5(f"ivf-{int(i)}".encode()).hexdigest() for i in pdf[id_col]],
+        kind="stable",
+    )
+    C = Xn[keys[:n_lists]].copy()
+    for _ in range(n_iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(n_lists):
+            members = Xn[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0.0:
+                    C[j] = v / n
+    return C
+
+
+def _ivf_probes_col(centroids: np.ndarray, n_probe: int, vec_col: str):
+    """array<int> column of the ``n_probe`` nearest centroid ids
+    (cosine, ties to the lower id). Arrow-batched numpy matmul — one
+    (batch × n_lists) GEMM per batch, centroids ride the task closure
+    (n_lists × dim × 8 B — a few KB)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids  # captured; small by construction
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (X / norms) @ C.T
+        ids = np.arange(C.shape[0])
+        out = []
+        for row in sims:
+            order = np.lexsort((ids, -row))
+            out.append(order[:n_probe].astype(np.int32))
+        return pd.Series(out)
+
+    return probes(F.col(vec_col))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    centroids: np.ndarray | None = None,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: every corpus vector is assigned to its
+    nearest coarse centroid's inverted list; a query probes its
+    ``n_probe`` nearest lists and exact-re-ranks only those lists'
+    members. Output (query_id, rank, neighbor_id, sim, n_candidates).
+
+    Scale shape: list assignment = one Arrow matmul pass over the
+    corpus (no shuffle); probe = equi-join on list_id (the corpus side
+    can be bucketed/partitioned by list_id once and reused across
+    query batches); re-rank dot products are JVM-side. Candidate
+    fraction ≈ n_probe / n_lists of the corpus per query — the
+    selectivity lever, benched as ivf_candidate_ratio.
+
+    Pass ``centroids`` to reuse a trained quantizer (the production
+    pattern: train once, search many)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_lists, n_iters, sample_mod, id_col, vec_col
+        )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ev"),
+        _ivf_probes_col(centroids, 1, vec_col)[0].alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_ivf_probes_col(centroids, n_probe, vec_col)).alias("list_id"),
+    )
+    dot = F.expr(DOT_SQL.format(a="qv", b="ev"))
+    nq = F.expr(NORM_SQL.format(a="qv"))
+    ne = F.expr(NORM_SQL.format(a="ev"))
+    # Each corpus vector lives in exactly one list and a query probes
+    # distinct lists, so (query, neighbor) pairs are already unique —
+    # no dedup aggregation needed (unlike the multi-table LSH path).
+    cand = (
+        q.join(e, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", (dot / (nq * ne)).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    n_cand = Window.partitionBy("query_id")
+    return (
+        cand.withColumn("n_candidates", F.count("*").over(n_cand))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def hyperplane_lsh_topk(

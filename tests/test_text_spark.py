@@ -189,6 +189,43 @@ def test_lsh_ann_recall(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.8
 
 
+def test_ivf_ann_recall_determinism_and_selectivity(spark, emb):
+    import numpy as np
+
+    from osm_spark.text.ann import cosine_topk, ivf_topk, train_ivf_centroids
+
+    # Quantizer training is bit-deterministic (md5-seeded init, fixed
+    # Lloyd iterations) — the q45 oracle depends on this.
+    c1 = train_ivf_centroids(emb, n_lists=16, n_iters=5)
+    c2 = train_ivf_centroids(emb, n_lists=16, n_iters=5)
+    assert np.array_equal(c1, c2)
+    assert c1.shape[0] == 16
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(
+        emb, queries, k=5, n_lists=16, n_probe=8, centroids=c1
+    ).collect()
+
+    # Selectivity: candidates per query bounded well below brute force
+    # (n_probe/n_lists = 1/2 of the corpus in expectation; allow skewed
+    # lists some slack on the tiny test corpus).
+    n = emb.count()
+    assert max(r.n_candidates for r in approx) <= 0.8 * n
+
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    # q45's calibrated bound on the iid worst-case corpus.
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
 def test_langid_and_quality(spark, docs):
     from osm_spark.text.analysis import with_langid, with_quality_score
 
