@@ -9,7 +9,11 @@ already checkpointed are skipped.
 Checkpoint format is parquet in-sandbox; the writer goes through
 ``_write``/``_read`` so an Iceberg catalog (``format="iceberg"``,
 ``spark.sql.catalog...`` configured) is a config change, not a code
-change. Every stage appends a row to the metrics table
+change. ``fmt="manifest"`` selects the in-repo snapshot/manifest format
+(sources/manifest_table.py) which provides the Iceberg *semantics* the
+north rule depends on — atomic commits, append isolation for the J6
+resume anti-join, time travel, per-file lineage — without the Iceberg
+runtime. Every stage appends a row to the metrics table
 (stage, rows, content_hash) — the north rule's per-stage row-count/hash
 lineage; the hash is an order-insensitive xor-of-row-hashes computed
 JVM-side.
@@ -86,9 +90,16 @@ class Checkpointer:
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _table(self, name: str):
+        from osm_spark.sources.manifest_table import ManifestTable
+
+        return ManifestTable(self.spark, self.path(name))
+
     def exists(self, name: str) -> bool:
         if self.root is None:
             return False
+        if self.fmt == "manifest":
+            return self._table(name).exists()
         p = self.path(name)
         return os.path.exists(p) and (
             os.path.exists(os.path.join(p, "_SUCCESS")) or self.fmt != "parquet"
@@ -107,9 +118,14 @@ class Checkpointer:
         an action needs them."""
         if self.root is None:
             return df.persist()
-        p = self.path(name)
-        df.write.format(self.fmt).mode(mode).save(p)
-        out = self.spark.read.format(self.fmt).load(p)
+        if self.fmt == "manifest":
+            t = self._table(name)
+            t.write(df, mode=mode)
+            out = t.read()
+        else:
+            p = self.path(name)
+            df.write.format(self.fmt).mode(mode).save(p)
+            out = self.spark.read.format(self.fmt).load(p)
         if self.collect_metrics:
             parts = partition_lineage(out)
             self.metrics.append(
@@ -135,18 +151,24 @@ class Checkpointer:
         return out
 
     def read(self, name: str) -> DataFrame:
+        if self.fmt == "manifest":
+            return self._table(name).read()
         return self.spark.read.format(self.fmt).load(self.path(name))
 
     def flush_metrics(self) -> None:
         if self.root is None or not self.metrics:
             return
-        self.spark.createDataFrame(
+        mdf = self.spark.createDataFrame(
             [
                 (m["stage"], m["partition"], m["rows"], m["content_hash"], m["ts"])
                 for m in self.metrics
             ],
             "stage string, partition int, rows long, content_hash long, ts double",
-        ).write.format(self.fmt).mode("append").save(self.path("metrics"))
+        )
+        if self.fmt == "manifest":
+            self._table("metrics").write(mdf, mode="append")
+        else:
+            mdf.write.format(self.fmt).mode("append").save(self.path("metrics"))
 
 
 def run_boundaries_pipeline(
@@ -157,14 +179,20 @@ def run_boundaries_pipeline(
     cfg: EngineConfig,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    checkpoint_format: str = "parquet",
 ) -> dict[str, DataFrame]:
     """Full reference pipeline: indexways → indexrelations(filter) →
     indexlocations → indexcenters → geojson-projection.
 
+    ``checkpoint_format="manifest"`` checkpoints through the snapshot/
+    manifest table format (atomic commits, append isolation, time
+    travel — see sources/manifest_table.py); ``"parquet"`` writes plain
+    directories.
+
     Returns dict with: ways_geom, kept, locations, centroids, boundaries,
     errors (union of all per-relation error side-outputs).
     """
-    ck = Checkpointer(spark, checkpoint_dir)
+    ck = Checkpointer(spark, checkpoint_dir, fmt=checkpoint_format)
 
     if resume and ck.exists("ways_geom"):
         ways_geom = ck.read("ways_geom")

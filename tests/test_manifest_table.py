@@ -1,0 +1,170 @@
+"""Snapshot/manifest table format (sources/manifest_table.py): the
+guarantees the north rule's checkpoint-resume + lineage story rests on —
+atomic commits, append isolation, time travel, per-file lineage, and
+the full boundaries pipeline checkpointing/resuming through the format.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark.sources.manifest_table import (
+    CommitConflict,
+    ManifestTable,
+    _file_lineage,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_roundtrip_and_orphans_invisible(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    assert not t.exists()
+    with pytest.raises(FileNotFoundError):
+        t.read()
+    t.write(_df(spark, 0, 100))
+    assert t.current_version() == 1
+    got = t.read()
+    assert got.count() == 100
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+    # A file dropped into the data dir outside a commit (orphan from a
+    # dead writer) is invisible: readers use the manifest's explicit
+    # file list, never a glob.
+    orphan_dir = tmp_path / "t" / "data" / "cdeadbeef"
+    _df(spark, 1000, 2000).write.parquet(str(orphan_dir))
+    assert t.read().count() == 100
+
+
+def test_append_isolation_and_time_travel(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 50))
+    # Reader resolves snapshot 1's file list NOW; the append below must
+    # not affect it (J6 resume reads `locations` while appending to it).
+    reader_v1 = t.read()
+    t.write(_df(spark, 50, 80), mode="append")
+    assert t.current_version() == 2
+    assert t.read().count() == 80
+    assert reader_v1.count() == 50
+    assert t.read(version=1).count() == 50
+    h = t.history()
+    assert [s["operation"] for s in h] == ["overwrite", "append"]
+    assert [s["total_rows"] for s in h] == [50, 80]
+    # Appended snapshot references the parent's identical file entries.
+    v1_files = {e["path"] for e in t.lineage(1)}
+    v2_files = {e["path"] for e in t.lineage(2)}
+    assert v1_files < v2_files
+
+
+def test_atomicity_failed_commit_leaves_table_readable(
+    spark, tmp_path, monkeypatch
+):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 10))
+
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        raise OSError("simulated writer death at the commit point")
+
+    monkeypatch.setattr(os, "replace", dying_replace)
+    with pytest.raises(OSError, match="simulated"):
+        t.write(_df(spark, 0, 999))
+    monkeypatch.setattr(os, "replace", real_replace)
+    # Table unchanged; orphaned data files invisible.
+    assert t.current_version() == 1
+    assert t.read().count() == 10
+
+
+def test_commit_conflict_detected(spark, tmp_path, monkeypatch):
+    import osm_spark.sources.manifest_table as mt
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 10))
+
+    real = mt._file_lineage
+
+    def racing_lineage(s, files):
+        # Another writer advances the table inside our load->commit
+        # window (simulated by bumping VERSION directly).
+        with open(t._version_file(), "w") as fh:
+            fh.write("7")
+        return real(s, files)
+
+    monkeypatch.setattr(mt, "_file_lineage", racing_lineage)
+    with pytest.raises(CommitConflict):
+        t.write(_df(spark, 0, 5))
+    assert t.current_version() == 7  # the "other writer" won
+
+
+def test_lineage_sums_and_manifest_hash(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    df = _df(spark, 0, 1000).repartition(4)
+    t.write(df)
+    snap = t.snapshot()
+    assert snap["summary"]["total_rows"] == 1000
+    assert sum(e["rows"] for e in snap["files"]) == 1000
+    assert snap["summary"]["total_files"] == len(snap["files"]) >= 4
+    # Per-file hashes are real content fingerprints: identical content
+    # re-committed reproduces the same per-file multiset-of-hashes sum.
+    t2 = ManifestTable(spark, str(tmp_path / "t2"))
+    t2.write(_df(spark, 0, 1000).repartition(4))
+    def total(tab):
+        return sum(e["content_hash"] ^ e["rows"] for e in tab.lineage())
+    assert total(t) == total(t2)
+
+
+def test_empty_commit_keeps_schema(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 5).where(F.lit(False)))
+    got = t.read()
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+
+
+def test_vacuum_drops_expired_and_orphans(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 10))
+    v1_files = [e["path"] for e in t.lineage(1)]
+    t.write(_df(spark, 0, 20))  # overwrite: v1 files now expired
+    deleted = t.vacuum(keep_last=1)
+    assert set(v1_files) <= set(deleted)
+    assert t.read().count() == 20
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+
+
+def test_pipeline_checkpoints_and_resumes_via_manifest(spark, tmp_path):
+    from osm_spark.data.worldgen import WorldSpec, world_dataframes
+    from osm_spark.plans.pipeline import content_hash, run_boundaries_pipeline
+
+    nodes, ways, rels, cfg = world_dataframes(spark, WorldSpec(n_countries=1))
+    root = str(tmp_path / "ck")
+    out1 = run_boundaries_pipeline(
+        spark, nodes, ways, rels, cfg,
+        checkpoint_dir=root, checkpoint_format="manifest",
+    )
+    b1, h1 = out1["boundaries"].count(), content_hash(out1["boundaries"])
+    out2 = run_boundaries_pipeline(
+        spark, nodes, ways, rels, cfg,
+        checkpoint_dir=root, checkpoint_format="manifest", resume=True,
+    )
+    assert out2["boundaries"].count() == b1
+    assert content_hash(out2["boundaries"]) == h1
+    loc = ManifestTable(spark, os.path.join(root, "locations"))
+    ops = [s["operation"] for s in loc.history()]
+    assert ops[0] == "overwrite" and "append" in ops
+    # Resume found everything checkpointed: the append added 0 rows.
+    hist = loc.history()
+    assert hist[-1]["total_rows"] == hist[0]["total_rows"]
+    # Metrics flow through the manifest format too, with per-partition
+    # lineage rows (partition >= 0) under each whole-table row (-1).
+    metrics = ManifestTable(spark, os.path.join(root, "metrics")).read()
+    stages = {r["stage"] for r in metrics.collect()}
+    assert {"ways_geom", "locations", "centroids", "boundaries"} <= stages
+    assert metrics.where(F.col("partition") >= 0).count() > 0
