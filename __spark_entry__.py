@@ -1606,6 +1606,187 @@ FROM pages
 
 
 # ---------------------------------------------------------------------------
+# q55 — Douglas-Peucker simplification vs a recursive-CTE SQL oracle
+# ---------------------------------------------------------------------------
+#
+# The DP kernel (osm_spark/kernels/simplify.py — the SCALE.md broadcast-
+# budget mitigation) is iterative/stack-based; its oracle here is the
+# SAME algorithm re-expressed as a DuckDB RECURSIVE CTE: intervals
+# (ring, lo, hi) split at the farthest interior point (score DESC, idx
+# ASC tie-break — matching np.argmax first-hit) while cross^2 >
+# tol^2*len2, kept vertices = all interval endpoints.  Input rings are
+# embedded as VALUES from one deterministic md5-seeded generator, so
+# both engines see bit-identical doubles; output coordinates are
+# pass-through copies (no arithmetic), so hash equality pins the kept
+# SET, the drop semantics (ring < 4 kept points collapses; collapsed
+# outer drops the polygon) and the renumbering — not float formatting.
+
+_Q55_TOL = 0.05
+
+
+def _q55_rings():
+    """Deterministic test rings: (rel_id, poly_idx, ring_idx, pts).
+
+    Covers: jittered circle (mixed above/below tol), collinear-run
+    square hole (collapses to corners, exercises exact argmax ties),
+    sub-tolerance sliver polygon (drops, forcing poly renumbering),
+    zigzag with alternating over/under-tol bumps, collapsing hole and
+    a fully-collapsing relation."""
+    import hashlib
+    import math
+
+    def u(tag, i):
+        h = hashlib.md5(f"q55:{tag}:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    def close(p):
+        return p + [p[0]]
+
+    out = []
+    # rel 1 / poly 0 / ring 0: noisy circle, jitter +-0.1 around r=1.
+    circ = [
+        [
+            (1.0 + 0.2 * (u("circ", i) - 0.5)) * math.cos(2 * math.pi * i / 72),
+            (1.0 + 0.2 * (u("circ", i) - 0.5)) * math.sin(2 * math.pi * i / 72),
+        ]
+        for i in range(72)
+    ]
+    out.append((1, 0, 0, close(circ)))
+    # rel 1 / poly 0 / ring 1: hole — square with collinear mid-edge
+    # runs; simplifies to its 4 corners.
+    sq = []
+    corners = [(-0.2, -0.2), (0.2, -0.2), (0.2, 0.2), (-0.2, 0.2)]
+    for (x0, y0), (x1, y1) in zip(corners, corners[1:] + corners[:1]):
+        for t in range(4):
+            sq.append([x0 + (x1 - x0) * t / 4, y0 + (y1 - y0) * t / 4])
+    out.append((1, 0, 1, close(sq)))
+    # rel 1 / poly 1: sub-tolerance sliver triangle — whole poly drops.
+    out.append((1, 1, 0, close([[3.0, 3.0], [3.0001, 3.0], [3.0, 3.0001]])))
+    # rel 1 / poly 2: plain unit square — survives, renumbers 2 -> 1.
+    out.append((1, 2, 0, close([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0]])))
+    # rel 2 / poly 0 / ring 0: square rim with alternating bumps:
+    # even i -> 0.02 (under tol, removed), odd i -> 0.2 (kept).
+    zig = []
+    for i in range(10):
+        x = i / 10 * 4.0
+        zig.append([x, 0.0])
+        amp = 0.02 if i % 2 == 0 else 0.2
+        zig.append([x + 0.2, amp])
+    zig += [[4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]
+    out.append((2, 0, 0, close(zig)))
+    # rel 2 / poly 0 / ring 1: collapsing hole.
+    out.append((2, 0, 1, close([[1.0, 1.0], [1.0001, 1.0], [1.0, 1.0001]])))
+    # rel 3: collapses entirely — no output rows for rel 3.
+    out.append((3, 0, 0, close([[9.0, 9.0], [9.0001, 9.0], [9.0, 9.0001]])))
+    return out
+
+
+def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.simplify import simplify_shapes
+
+    by_rel: dict = {}
+    for rid, pid, rix, pts in _q55_rings():
+        by_rel.setdefault(rid, {}).setdefault(pid, {})[rix] = pts
+    data = [
+        (
+            rid,
+            [
+                [rings[rix] for rix in sorted(rings)]
+                for _pid, rings in sorted(by_rel[rid].items())
+            ],
+        )
+        for rid in sorted(by_rel)
+    ]
+    df = spark.createDataFrame(
+        data, "rel_id long, shape array<array<array<array<double>>>>"
+    )
+    simp = simplify_shapes(df, _Q55_TOL)
+    return (
+        simp.select("rel_id", F.posexplode("shape").alias("poly_idx", "poly"))
+        .select(
+            "rel_id", "poly_idx", F.posexplode("poly").alias("ring_idx", "ring")
+        )
+        .select(
+            "rel_id", "poly_idx", "ring_idx",
+            F.posexplode("ring").alias("pt_idx", "pt"),
+        )
+        .select(
+            "rel_id", "poly_idx", "ring_idx", "pt_idx",
+            F.col("pt")[0].alias("lon"), F.col("pt")[1].alias("lat"),
+        )
+    )
+
+
+def _q55_oracle_sql() -> str:
+    # Quote-cast through VARCHAR: DuckDB parses bare decimal literals
+    # as DECIMAL (lossy beyond 18 digits) — strtod on the quoted repr
+    # round-trips the exact double instead.
+    vals = ", ".join(
+        f"({rid * 10000 + pid * 100 + rix}, {i}, "
+        f"CAST('{x!r}' AS DOUBLE), CAST('{y!r}' AS DOUBLE))"
+        for rid, pid, rix, pts in _q55_rings()
+        for i, (x, y) in enumerate(pts)
+    )
+    tol = f"CAST('{_Q55_TOL!r}' AS DOUBLE)"
+    return f"""
+WITH RECURSIVE pts(ring, idx, x, y) AS (VALUES {vals}),
+iv(ring, lo, hi) AS (
+  SELECT ring, 0, max(idx) FROM pts GROUP BY ring
+  UNION ALL
+  SELECT w.ring,
+         CASE WHEN s.s = 0 THEN w.lo ELSE w.idx END,
+         CASE WHEN s.s = 0 THEN w.idx ELSE w.hi END
+  FROM (
+    SELECT d.*,
+           row_number() OVER (PARTITION BY d.ring, d.lo, d.hi
+                              ORDER BY d.score DESC, d.idx ASC) AS rn
+    FROM (
+      SELECT i.ring, i.lo, i.hi, p.idx,
+             CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0
+                  THEN (p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y)
+                  ELSE ((b.x-a.x)*(a.y-p.y)-(a.x-p.x)*(b.y-a.y))
+                     * ((b.x-a.x)*(a.y-p.y)-(a.x-p.x)*(b.y-a.y)) END AS score,
+             CASE WHEN (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) = 0 THEN 1.0
+                  ELSE (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) END AS len2
+      FROM iv i
+      JOIN pts a ON a.ring = i.ring AND a.idx = i.lo
+      JOIN pts b ON b.ring = i.ring AND b.idx = i.hi
+      JOIN pts p ON p.ring = i.ring AND p.idx > i.lo AND p.idx < i.hi
+    ) d
+  ) w
+  CROSS JOIN (VALUES (0), (1)) s(s)
+  WHERE w.rn = 1 AND w.score > {tol} * {tol} * w.len2
+),
+kept AS (
+  -- inside WITH RECURSIVE, DuckDB reads "X UNION Y" as recursive-union
+  -- syntax and does NOT dedup -> explicit DISTINCT over UNION ALL
+  SELECT DISTINCT ring, idx FROM (
+    SELECT ring, lo AS idx FROM iv UNION ALL SELECT ring, hi AS idx FROM iv
+  )
+),
+valid_ring AS (SELECT ring FROM kept GROUP BY ring HAVING count(*) >= 4),
+valid_poly AS (SELECT ring // 100 AS rp FROM valid_ring WHERE ring % 100 = 0),
+fin AS (
+  SELECT k.ring, k.idx FROM kept k
+  JOIN valid_ring vr ON vr.ring = k.ring
+  JOIN valid_poly vp ON vp.rp = k.ring // 100
+)
+SELECT CAST(f.ring // 10000 AS BIGINT) AS rel_id,
+       CAST(dense_rank() OVER (PARTITION BY f.ring // 10000
+                               ORDER BY (f.ring // 100) % 100) - 1 AS INT) AS poly_idx,
+       CAST(dense_rank() OVER (PARTITION BY f.ring // 100
+                               ORDER BY f.ring % 100) - 1 AS INT) AS ring_idx,
+       CAST(row_number() OVER (PARTITION BY f.ring
+                               ORDER BY f.idx) - 1 AS INT) AS pt_idx,
+       p.x AS lon, p.y AS lat
+FROM fin f JOIN pts p ON p.ring = f.ring AND p.idx = f.idx
+"""
+
+
+_def("q55_simplify", fn=_q_simplify, duck_sql=_q55_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 

@@ -38,6 +38,7 @@ def run_spatial_pipeline(
     salt: int = 1,
     mode: str = "auto",
     index_max_bytes: int | None = None,
+    simplify_tol: float | None = None,
 ) -> dict[str, DataFrame]:
     """``mode="index"``: the page side streams through ONE mapInPandas
     pass against a broadcast covering+geometry index — no explode, no
@@ -50,7 +51,17 @@ def run_spatial_pipeline(
     ``index_max_bytes`` (default pip_index.INDEX_MAX_BYTES), catalyst
     otherwise; the decision is logged. All modes produce identical
     rows (pinned by tests and the q21/q22 oracles).
+
+    ``simplify_tol`` (degrees): when set, admin rings are
+    Douglas-Peucker-simplified at that tolerance BEFORE covering and
+    geometry extraction — the SCALE.md mitigation that keeps index
+    mode under the broadcast budget at planet fidelity.  Assignment
+    then differs only for points within ``tol`` of a boundary.
     """
+    if simplify_tol is not None:
+        from osm_spark.spatial.simplify import simplify_shapes
+
+        locations = simplify_shapes(locations, simplify_tol)
     geo = geoparse_pages(pages).withColumn(
         "point_id", F.xxhash64("url")
     )
