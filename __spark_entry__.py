@@ -678,6 +678,32 @@ _def(
 )
 
 
+def _q_pip_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lon-banded sharded index path (SCALE.md mitigation #3 —
+    index-mode semantics above the broadcast budget), driver-pinned
+    against the SAME oracle as q21/q54: all three PIP modes must
+    produce the identical membership set."""
+    key = ("spatial_sharded", id(spark))
+    if key not in _WORLD_CACHE:
+        from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+
+        out = _world(spark)
+        _WORLD_CACHE[key] = run_spatial_pipeline(
+            spark, _pages_df(spark), out["locations"], out["kept"],
+            max_level=11, mode="index-sharded", index_shards=3,
+        )
+    sp = _WORLD_CACHE[key]
+    return sp["pip"].join(sp["points"], "point_id").select("url", "rel_id")
+
+
+_def(
+    "q56_pip_sharded",
+    fn=_q_pip_sharded,
+    duck_sql=_pages_oracle_cte()
+    + f"SELECT url, rel_id FROM ({_pip_membership_sql()}) GROUP BY url, rel_id",
+)
+
+
 def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = _spatial(spark)
     out = _world(spark)

@@ -39,13 +39,17 @@ def run_spatial_pipeline(
     mode: str = "auto",
     index_max_bytes: int | None = None,
     simplify_tol: float | None = None,
+    index_shards: int | None = None,
 ) -> dict[str, DataFrame]:
     """``mode="index"``: the page side streams through ONE mapInPandas
     pass against a broadcast covering+geometry index — no explode, no
     join, no shuffle on the 10^12-row side (see pip_index.py).
     ``mode="catalyst"``: anchor-pruned max-level cell equi-join +
     refinement — the path for polygon sides too large to broadcast as
-    one index. ``mode="auto"`` (default) measures the covering + ring
+    one index. ``mode="index-sharded"``: longitude-banded sub-budget
+    indexes (``index_shards`` bands, or auto-sized from the estimate
+    vs budget) — index-mode semantics above the broadcast budget at
+    the cost of n filtered passes over the page source. ``mode="auto"`` (default) measures the covering + ring
     sizes (two tiny aggregates over the SMALL side, nothing collected)
     and picks: index when the estimated broadcast fits
     ``index_max_bytes`` (default pip_index.INDEX_MAX_BYTES), catalyst
@@ -108,6 +112,25 @@ def run_spatial_pipeline(
         index_bc = spark.sparkContext.broadcast(build_pip_index(pcells, pgeom))
         pip = pip_join_index(
             points.select("point_id", "lon", "lat"), index_bc
+        ).select("point_id", "rel_id")
+    elif mode == "index-sharded":
+        # Longitude-banded sub-budget indexes: index-mode semantics when
+        # the whole index exceeds the broadcast budget (SCALE.md
+        # mitigation #3). Each point probes exactly one band.
+        from osm_spark.spatial.pip_index import (
+            INDEX_MAX_BYTES,
+            pip_join_index_sharded,
+        )
+
+        pip = pip_join_index_sharded(
+            spark,
+            points.select("point_id", "lon", "lat"),
+            pcells,
+            pgeom,
+            max_bytes=(
+                INDEX_MAX_BYTES if index_max_bytes is None else index_max_bytes
+            ),
+            n_shards=index_shards,
         ).select("point_id", "rel_id")
     else:
         # pip_join reads the probe levels + boundary flags from pcells

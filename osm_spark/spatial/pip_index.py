@@ -312,25 +312,11 @@ def build_pip_index(
     index BEFORE collecting and falls back to the catalyst join).
     """
     if polygon_cells is None:
-        cells = np.empty(0, dtype=np.int64)
         pc = pd.DataFrame(
             {"cell": [], "rel_id": [], "poly_idx": [], "interior": []}
         )
     else:
         pc = polygon_cells.select("cell", "rel_id", "poly_idx", "interior").toPandas()
-        cells = pc["cell"].to_numpy(np.int64)
-    levels = np.sort(np.unique(cells & 0x3F)).tolist()
-    per_level = {}
-    for lv in levels:
-        m = (cells & 0x3F) == lv
-        c = cells[m]
-        order = np.argsort(c, kind="stable")
-        per_level[int(lv)] = (
-            c[order],
-            pc["rel_id"].to_numpy(np.int64)[m][order],
-            pc["poly_idx"].to_numpy(np.int64)[m][order],
-            pc["interior"].to_numpy(bool)[m][order],
-        )
     geom = {}
     for row in polygons.select("rel_id", "poly_idx", "poly").toPandas().itertuples():
         rings = [
@@ -344,7 +330,7 @@ def build_pip_index(
     n_ring_points = sum(
         len(xs) for rings in geom.values() for xs, _ys in rings
     )
-    est = estimate_index_bytes(len(cells), n_ring_points, len(geom))
+    est = estimate_index_bytes(len(pc), n_ring_points, len(geom))
     if est > max_bytes:
         import warnings
 
@@ -355,6 +341,25 @@ def build_pip_index(
             "and falls back to the catalyst join path",
             ResourceWarning,
             stacklevel=2,
+        )
+    return _compile_index(pc, geom)
+
+
+def _compile_index(pc: pd.DataFrame, geom: dict) -> PipIndex:
+    """Compile covering rows (pandas) + geometry dict into a PipIndex
+    (shared by the whole-index and per-shard builders)."""
+    cells = pc["cell"].to_numpy(np.int64)
+    levels = np.sort(np.unique(cells & 0x3F)).tolist()
+    per_level = {}
+    for lv in levels:
+        m = (cells & 0x3F) == lv
+        c = cells[m]
+        order = np.argsort(c, kind="stable")
+        per_level[int(lv)] = (
+            c[order],
+            pc["rel_id"].to_numpy(np.int64)[m][order],
+            pc["poly_idx"].to_numpy(np.int64)[m][order],
+            pc["interior"].to_numpy(bool)[m][order],
         )
     return PipIndex([int(lv) for lv in levels], per_level, geom)
 
@@ -418,6 +423,118 @@ def pip_join_index(points: DataFrame, index_bc, keep: tuple = ()) -> DataFrame:
             yield pd.DataFrame(out)
 
     return points.select("point_id", "lon", "lat", *keep).mapInPandas(run, schema)
+
+
+def pip_join_index_sharded(
+    spark,
+    points: DataFrame,
+    polygon_cells: DataFrame,
+    polygons: DataFrame,
+    max_bytes: int = INDEX_MAX_BYTES,
+    n_shards: int | None = None,
+    keep: tuple = (),
+) -> DataFrame:
+    """Index-mode PIP when the WHOLE index exceeds the broadcast budget:
+    shard the polygon side into longitude bands, broadcast one
+    sub-budget index per band, and route each point to exactly ONE
+    band by its own longitude (SCALE.md mitigation #3).
+
+    Memory: each broadcast is ≤ ~max_bytes (bands are weighted by ring
+    points, the dominant term), so executor Python-heap residency is
+    bounded regardless of total geometry size.  The driver still holds
+    the full small side transiently while slicing (pandas) — the same
+    footprint build_pip_index already has; what sharding removes is
+    the RESIDENT per-executor copy.
+
+    Cost model: points partition exactly (bands are disjoint,
+    [lo, hi)), so the page side is still touched once overall — but as
+    ``n_shards`` filtered passes over the source.  On a lon-clustered
+    layout those filters prune to ~1/n of the files each; on an
+    unclustered 10^12-row table prefer catalyst mode unless index-mode
+    latency is worth n_shards scans.  Polygons whose lon extent spans
+    a band edge are compiled into every band they touch — output rows
+    stay unique because each POINT probes one band only.
+
+    A point outside every band (lon outside all polygon extents) can
+    be inside no polygon; band filters drop it — same empty result the
+    unsharded index produces.  Antimeridian-crossing polygons are not
+    split specially (neither does the reference); their extent simply
+    spans most bands.
+    """
+    from functools import reduce as _reduce
+    from math import ceil
+
+    pc = polygon_cells.select("cell", "rel_id", "poly_idx", "interior").toPandas()
+    geom = {}
+    ext = []
+    for row in polygons.select("rel_id", "poly_idx", "poly").toPandas().itertuples():
+        rings = [
+            (
+                np.asarray([p[0] for p in ring], dtype=np.float64),
+                np.asarray([p[1] for p in ring], dtype=np.float64),
+            )
+            for ring in row.poly
+        ]
+        key = (int(row.rel_id), int(row.poly_idx))
+        geom[key] = rings
+        n_pts = sum(len(xs) for xs, _ys in rings)
+        ext.append(
+            (
+                key,
+                min(float(xs.min()) for xs, _ys in rings),
+                max(float(xs.max()) for xs, _ys in rings),
+                n_pts,
+            )
+        )
+    total_pts = sum(e[3] for e in ext)
+    if n_shards is None:
+        est = estimate_index_bytes(len(pc), total_pts, len(geom))
+        n_shards = max(1, ceil(est / max_bytes))
+    if n_shards <= 1 or not ext:
+        bc = spark.sparkContext.broadcast(_compile_index(pc, geom))
+        return pip_join_index(points, bc, keep=keep)
+
+    # Band edges: weighted quantiles of polygon lon-extent centers
+    # (weight = ring points, the broadcast-size driver), so each band's
+    # index lands near total/n_shards.
+    ext.sort(key=lambda e: (e[1] + e[2]) / 2)
+    edges = []
+    cum = 0
+    step = total_pts / n_shards
+    target = step
+    for key, lmin, lmax, w in ext:
+        cum += w
+        if cum >= target and len(edges) < n_shards - 1:
+            edges.append((lmin + lmax) / 2)
+            target += step
+    bounds = [float("-inf")] + edges + [float("inf")]
+
+    pc_key = pc["rel_id"].to_numpy(np.int64) * np.int64(1 << 20) + pc[
+        "poly_idx"
+    ].to_numpy(np.int64)
+    outs = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        shard_keys = [
+            key for key, lmin, lmax, _w in ext if lmax >= lo and lmin < hi
+        ]
+        if not shard_keys:
+            continue
+        want = np.asarray(
+            [r * (1 << 20) + p for r, p in shard_keys], dtype=np.int64
+        )
+        shard_pc = pc[np.isin(pc_key, want)]
+        idx = _compile_index(shard_pc, {k: geom[k] for k in shard_keys})
+        bc = spark.sparkContext.broadcast(idx)
+        band_points = points.filter(
+            (F.col("lon") >= F.lit(lo)) & (F.col("lon") < F.lit(hi))
+        )
+        outs.append(pip_join_index(band_points, bc, keep=keep))
+    if not outs:
+        return pip_join_index(
+            points.limit(0), spark.sparkContext.broadcast(_compile_index(pc, {})),
+            keep=keep,
+        )
+    return _reduce(DataFrame.unionByName, outs)
 
 
 KNN_SCHEMA = "point_id long, rel_id long, poly_idx int, dist double"

@@ -166,6 +166,31 @@ def test_auto_mode_selects_and_matches(spark, world, pages, spatial):
     assert {(r.point_id, r.rel_id) for r in sp_cat["pip"].collect()} == base
 
 
+def test_sharded_index_identical(spark, world, pages, spatial):
+    """mode="index-sharded" (lon-banded sub-budget indexes, SCALE.md
+    mitigation #3) matches the unsharded index row set exactly — both
+    with a forced shard count and with auto-sizing from a budget small
+    enough to force multiple bands."""
+    from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
+
+    base = {(r.point_id, r.rel_id) for r in spatial["pip"].collect()}
+    sp3 = run_spatial_pipeline(
+        spark, pages, world["locations"], world["kept"], max_level=11,
+        mode="index-sharded", index_shards=3,
+    )
+    assert {(r.point_id, r.rel_id) for r in sp3["pip"].collect()} == base
+    # Auto shard count: ~1/4 of the estimated index per band.
+    from osm_spark.spatial.pip_index import estimate_index_bytes
+
+    n_cells = spatial["polygon_cells"].count()
+    est = estimate_index_bytes(n_cells, 1, 1)
+    sp_auto = run_spatial_pipeline(
+        spark, pages, world["locations"], world["kept"], max_level=11,
+        mode="index-sharded", index_max_bytes=max(1, est // 4),
+    )
+    assert {(r.point_id, r.rel_id) for r in sp_auto["pip"].collect()} == base
+
+
 def test_build_index_size_guard(spark, world, spatial, recwarn):
     """build_pip_index warns (never dies) above the broadcast budget."""
     import warnings
