@@ -1813,6 +1813,112 @@ _def("q55_simplify", fn=_q_simplify, duck_sql=_q55_oracle_sql())
 
 
 # ---------------------------------------------------------------------------
+# q57 — Catalyst-native geometry measures vs an exact-integer SQL oracle
+# ---------------------------------------------------------------------------
+#
+# polygon_measures (spatial/measures.py) computes area / perimeter /
+# bbox / counts as pure Spark SQL expressions (transform + aggregate —
+# no Python anywhere).  The oracle recomputes shoelace + edge lengths
+# with window functions in DuckDB.  Parity is EXACT, not approximate:
+# the test shapes are rectilinear with integer-valued coordinates, so
+# every shoelace term, every edge length (sqrt of a perfect square)
+# and every sum is an exactly-representable double in both engines —
+# float summation order cannot matter.
+
+
+def _q57_shapes():
+    """Deterministic rectilinear multipolygons: (rel_id, [polys])."""
+    import hashlib
+
+    def u(tag, i, lo, hi):
+        h = hashlib.md5(f"q57:{tag}:{i}".encode()).hexdigest()[:8]
+        return lo + int(h, 16) % (hi - lo + 1)
+
+    def rect(x0, y0, w, h):
+        return [
+            [float(x0), float(y0)],
+            [float(x0 + w), float(y0)],
+            [float(x0 + w), float(y0 + h)],
+            [float(x0), float(y0 + h)],
+            [float(x0), float(y0)],
+        ]
+
+    def stair(x0, y0, tag, n_steps):
+        x, y = x0, y0
+        pts = [[float(x), float(y)]]
+        for i in range(n_steps):
+            x += u(tag + ":w", i, 3, 50)
+            pts.append([float(x), float(y)])
+            y += u(tag + ":h", i, 3, 50)
+            pts.append([float(x), float(y)])
+        pts.append([float(x0), float(y)])
+        pts.append([float(x0), float(y0)])
+        return pts
+
+    return [
+        # staircase with a 1x1 hole inside its first step
+        (1, [[stair(100, 200, "s1", 6), rect(101, 201, 1, 1)]]),
+        # multipolygon: plain rect + a second staircase
+        (2, [[rect(-500, -400, 37, 21)], [stair(1000, -2000, "s2", 3)]]),
+        # big rect with two holes
+        (3, [[rect(0, 0, 90, 70), rect(5, 5, 10, 8), rect(40, 30, 20, 15)]]),
+    ]
+
+
+def _q_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.measures import polygon_measures
+
+    df = spark.createDataFrame(
+        _q57_shapes(), "rel_id long, shape array<array<array<array<double>>>>"
+    )
+    return polygon_measures(df)
+
+
+def _q57_oracle_sql() -> str:
+    vals = ", ".join(
+        f"({rid}, {pid}, {rix}, {i}, "
+        f"CAST('{x!r}' AS DOUBLE), CAST('{y!r}' AS DOUBLE))"
+        for rid, polys in _q57_shapes()
+        for pid, rings in enumerate(polys)
+        for rix, ring in enumerate(rings)
+        for i, (x, y) in enumerate(ring)
+    )
+    return f"""
+WITH pts(rel, pid, rix, idx, x, y) AS (VALUES {vals}),
+edges AS (
+  SELECT rel, pid, rix, idx, x, y,
+         lead(x) OVER w AS x2, lead(y) OVER w AS y2
+  FROM pts WINDOW w AS (PARTITION BY rel, pid, rix ORDER BY idx)
+),
+ring AS (
+  SELECT rel, pid, rix,
+         sum(x * y2 - x2 * y) AS a2,
+         sum(sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))) AS perim
+  FROM edges WHERE x2 IS NOT NULL GROUP BY rel, pid, rix
+),
+pstats AS (
+  SELECT rel, pid, CAST(count(*) AS INT) AS n_points,
+         min(x) AS lon_min, min(y) AS lat_min,
+         max(x) AS lon_max, max(y) AS lat_max
+  FROM pts GROUP BY rel, pid
+)
+SELECT CAST(r.rel AS BIGINT) AS rel_id, CAST(r.pid AS INT) AS poly_idx,
+       sum(CASE WHEN r.rix = 0 THEN abs(r.a2) / 2.0
+                ELSE -abs(r.a2) / 2.0 END) AS area,
+       sum(r.perim) AS perimeter,
+       CAST(count(*) AS INT) AS n_rings,
+       any_value(p.n_points) AS n_points,
+       any_value(p.lon_min) AS lon_min, any_value(p.lat_min) AS lat_min,
+       any_value(p.lon_max) AS lon_max, any_value(p.lat_max) AS lat_max
+FROM ring r JOIN pstats p ON p.rel = r.rel AND p.pid = r.pid
+GROUP BY r.rel, r.pid
+"""
+
+
+_def("q57_geometry_measures", fn=_q_measures, duck_sql=_q57_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
