@@ -1918,6 +1918,45 @@ GROUP BY r.rel, r.pid
 _def("q57_geometry_measures", fn=_q_measures, duck_sql=_q57_oracle_sql())
 
 
+def _q_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (q52's sibling): 1 media row fans
+    out to min(8, duration//100+1) frame rows inside the Arrow batch.
+    The stub decoder is md5-derived, so the fan-out COUNT, timestamps
+    and first feature component are all DuckDB-reproducible — the
+    oracle checks the row multiplication itself, not just values."""
+    from osm_spark.text.multimodal import attach_media, sample_frames
+
+    media = attach_media(_pages_df(spark), "html", "video", keep=["url"])
+    frames = sample_frames(
+        media.select("media_id", "kind", "payload", "meta"),
+        interval_ms=100, max_frames=8, dim=8,
+    )
+    return frames.join(media.select("url", "media_id"), "media_id").select(
+        "url",
+        "frame_idx",
+        "ts_ms",
+        F.element_at("features", 1).cast("double").alias("f0"),
+    )
+
+
+_def(
+    "q58_frame_sample",
+    fn=_q_frames,
+    duck_sql=_pages_oracle_cte()
+    + """
+, m AS (
+  SELECT url, '<html><body>' || text || '</body></html>' AS payload,
+         least(8, length('<html><body>' || text || '</body></html>') // 100 + 1) AS n_frames
+  FROM pages
+)
+SELECT m.url, CAST(g.i AS INT) AS frame_idx, CAST(g.i * 100 AS INT) AS ts_ms,
+       CAST(CAST(CAST(('0x' || substr(md5(m.payload || ':' || g.i), 1, 2)) AS INTEGER) / 255.0 AS FLOAT) AS DOUBLE) AS f0
+FROM m CROSS JOIN generate_series(0, 7) AS g(i)
+WHERE g.i < m.n_frames
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -83,3 +83,78 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (1 row in -> N frame rows out)
+# ---------------------------------------------------------------------------
+
+FRAMES_SCHEMA = (
+    "media_id long, kind string, frame_idx int, ts_ms int, "
+    "features array<float>"
+)
+
+
+def decode_frame_stub(
+    payload: bytes, frame_idx: int, dim: int = 16, strict: bool = False
+) -> np.ndarray:
+    """Deterministic fake frame decoder: md5(payload ':' idx)-seeded
+    feature vector. Production: replace with ffmpeg seek+decode at the
+    frame timestamp; the signature (bytes, frame_idx) -> float32[dim]
+    is the wiring contract."""
+    if strict:
+        raise NotImplementedError(
+            "no video codec in this environment; plug ffmpeg here"
+        )
+    h = hashlib.md5((payload or b"") + b":" + str(frame_idx).encode()).digest()
+    seed = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+    reps = int(np.ceil(dim / len(seed)))
+    return (np.tile(seed, reps)[:dim] / 255.0).astype(np.float32)
+
+
+def sample_frames(
+    media: DataFrame,
+    interval_ms: int = 100,
+    max_frames: int = 8,
+    dim: int = 16,
+) -> DataFrame:
+    """Frame-sampling plumbing: one media row fans out to
+    min(max_frames, duration//interval + 1) frame rows, each with the
+    frame's (stub-)decoded features — the Spark shape of a video
+    pre-processing stage (fan-out INSIDE the Arrow batch, no explode /
+    shuffle; output batches stay bounded because max_frames caps the
+    multiplier).
+
+    duration comes from meta.duration_ms when present; a NULL duration
+    falls back to the payload byte length (deterministic, so the q58
+    oracle can reproduce the fan-out count in SQL)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, kinds, idxs, tss, feats = [], [], [], [], []
+            durations = [
+                m["duration_ms"] if m is not None and m["duration_ms"] is not None
+                else len(p or b"")
+                for m, p in zip(pdf["meta"], pdf["payload"])
+            ]
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], durations
+            ):
+                n = min(max_frames, int(dur) // interval_ms + 1)
+                for i in range(max(n, 1)):
+                    ids.append(mid)
+                    kinds.append(kind)
+                    idxs.append(i)
+                    tss.append(i * interval_ms)
+                    feats.append(decode_frame_stub(payload, i, dim).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
