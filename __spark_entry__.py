@@ -1958,6 +1958,91 @@ WHERE g.i < m.n_frames
 
 
 # ---------------------------------------------------------------------------
+# q59 — snapshot time travel through the driver gate
+# ---------------------------------------------------------------------------
+#
+# The manifest checkpoint format (sources/manifest_table.py — the
+# sandbox stand-in for the Iceberg semantics the north rule names) is
+# exercised END TO END: commit v1 (overwrite, 10 rows), commit v2
+# (append, +5), then TIME-TRAVEL read both snapshots and digest their
+# contents.  The oracle recomputes each snapshot's expected row
+# multiset digest in DuckDB from the same literal data — so a broken
+# snapshot isolation (v1 read seeing v2 rows, or append rewriting
+# parent files) hash-mismatches at the driver gate, not only in
+# pytest.  Digest keys are zero-padded so lexicographic string sort ==
+# numeric id order in both engines.
+
+
+def _q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from osm_spark.sources.manifest_table import ManifestTable
+
+    path = tempfile.mkdtemp(prefix="q59_manifest_")
+    try:
+        t = ManifestTable(spark, path)
+        v1 = spark.createDataFrame(
+            [(i, f"row-{i}") for i in range(10)], "id long, s string"
+        )
+        t.write(v1, mode="overwrite")
+        v2 = spark.createDataFrame(
+            [(i, f"row-{i}") for i in range(10, 15)], "id long, s string"
+        )
+        t.write(v2, mode="append")
+        out = []
+        for version in (1, 2):
+            row = (
+                t.read(version=version)
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.sort_array(
+                                F.collect_list(
+                                    F.concat(
+                                        F.lpad(F.col("id").cast("string"), 2, "0"),
+                                        F.lit(":"),
+                                        F.col("s"),
+                                    )
+                                )
+                            ),
+                        )
+                    ).alias("digest"),
+                )
+                .first()
+            )
+            out.append((version, row["n_rows"], row["digest"]))
+        # materialized eagerly (the temp table is deleted below) —
+        # three tiny rows, not a data path.
+        return spark.createDataFrame(
+            out, "version int, n_rows bigint, digest string"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _q59_oracle_sql() -> str:
+    vals = ", ".join(
+        f"({v}, {i}, 'row-{i}')"
+        for v, n in ((1, 10), (2, 15))
+        for i in range(n)
+    )
+    return f"""
+WITH data(version, id, s) AS (VALUES {vals})
+SELECT CAST(version AS INT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       md5(string_agg(lpad(CAST(id AS VARCHAR), 2, '0') || ':' || s, '|'
+                      ORDER BY lpad(CAST(id AS VARCHAR), 2, '0') || ':' || s)) AS digest
+FROM data GROUP BY version
+"""
+
+
+_def("q59_snapshot_travel", fn=_q_snapshot, duck_sql=_q59_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
