@@ -2043,6 +2043,46 @@ _def("q59_snapshot_travel", fn=_q_snapshot, duck_sql=_q59_oracle_sql())
 
 
 # ---------------------------------------------------------------------------
+# q60 — deterministic train/val/test split (hash bucketing)
+# ---------------------------------------------------------------------------
+#
+# text/sampling.py: content-hash bucketing (md5-prefix -> int64, the
+# repo's oracle-safe hash family) so sample/split membership is a pure
+# function of the key — reproducible across runs, engines, cluster
+# sizes and checkpoint resumes, unlike seed-based df.sample. The full
+# per-document assignment is hash-checked against DuckDB.
+
+
+def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.sampling import hash_split
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.col("doc_id").cast("string").alias("k")
+    )
+    out = hash_split(
+        docs, "k", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v1:"
+    )
+    return out.select("doc_id", "split")
+
+
+def _q60_oracle_sql() -> str:
+    from osm_spark.text.sampling import bucket_sql
+
+    b = bucket_sql("CAST(doc_id AS VARCHAR)", 10_000, salt="v1:")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < 9000 THEN 'train'
+            WHEN {b} < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+_def("q60_hash_split", fn=_q_split, duck_sql=_q60_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 

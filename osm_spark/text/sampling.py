@@ -1,0 +1,76 @@
+"""Deterministic hash sampling / splitting — training-data plumbing.
+
+Random sampling (``df.sample``) is seed- and partitioning-dependent:
+re-running the pipeline, changing parallelism, or resuming from a
+checkpoint yields a DIFFERENT sample, which silently breaks
+train/validation hygiene at 10^12 rows.  The standard fix is
+content-hash bucketing: a document's bucket is a pure function of its
+key, so membership is reproducible across runs, engines and cluster
+sizes, and a late-arriving shard lands in the same splits.
+
+Hashing follows the repo's oracle convention (md5-prefix → int64,
+never engine-native hash functions) so every operator here has an
+exact DuckDB twin (q60).  All expressions are pure Catalyst — the
+sample predicate pushes down to the scan like any other filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 12 hex chars = 48 bits: fits long exactly, uniform for bucketing.
+_PREFIX = 12
+
+
+def hash_bucket(key: Column, n_buckets: int, salt: str = "") -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5(salt + key)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key)), 1, _PREFIX), 16, 10
+    ).cast("long") % n_buckets
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, n_buckets: int = 10_000, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose bucket falls under ``rate`` (0..1].  Same key →
+    same verdict on every run/engine/cluster size."""
+    return df.where(hash_bucket(F.col(key), n_buckets, salt) < int(rate * n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, float],
+    n_buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row to exactly one named split by cumulative bucket
+    ranges (e.g. {"train": 0.9, "val": 0.05, "test": 0.05}).  Ranges
+    partition [0, n_buckets), so splits are disjoint and exhaustive
+    when the weights sum to 1."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key), n_buckets, salt)
+    cum = 0
+    bounds = []
+    for name, w in splits.items():
+        cum += w
+        bounds.append((name, int(round(cum * n_buckets))))
+    bounds[-1] = (bounds[-1][0], n_buckets)  # close any rounding gap
+    expr = None
+    for name, b in bounds:  # first matching upper bound wins
+        cond = bucket < F.lit(b)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn("split", expr)
+
+
+def bucket_sql(key_sql: str, n_buckets: int, salt: str = "") -> str:
+    """DuckDB twin of hash_bucket (for oracles)."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || {key_sql}), 1, {_PREFIX})) AS BIGINT)"
+        f" % {n_buckets}"
+    )

@@ -314,3 +314,37 @@ def test_cosine_near_pairs_lsh_vs_exact(spark, emb):
     }
     assert planted <= exact
     assert len(lsh & planted) >= 18  # near-dup recall in-design-regime
+
+
+def test_hash_split_deterministic_and_exhaustive(spark, docs):
+    """Content-hash splits: every row gets exactly one split, the
+    assignment is a pure function of the key (identical across runs
+    and partitionings), proportions track the weights, and the bucket
+    arithmetic matches an independent hashlib computation."""
+    import hashlib
+
+    from osm_spark.text.sampling import hash_bucket, hash_sample, hash_split
+
+    keyed = docs.select("doc_id", F.col("doc_id").cast("string").alias("k"))
+    splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r.doc_id: r.split for r in hash_split(keyed, "k", splits, salt="v1:").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(keyed.repartition(7), "k", splits, salt="v1:").collect()
+    }
+    assert a == b  # partitioning-independent
+    assert set(a.values()) <= {"train", "val", "test"}
+    n = len(a)
+    assert n == docs.count()  # exhaustive, no row dropped
+    train_frac = sum(1 for v in a.values() if v == "train") / n
+    assert 0.8 < train_frac < 0.97
+    # independent python oracle for the bucket arithmetic
+    some = next(iter(a))
+    expect = int(hashlib.md5(f"v1:{some}".encode()).hexdigest()[:12], 16) % 10_000
+    got = spark.createDataFrame([(str(some),)], "k string").select(
+        hash_bucket(F.col("k"), 10_000, "v1:").alias("b")
+    ).first()["b"]
+    assert got == expect
+    # hash_sample(rate=0.9) keeps exactly the train split (same prefix)
+    kept = {r.doc_id for r in hash_sample(keyed, "k", 0.9, salt="v1:").collect()}
+    assert kept == {k for k, v in a.items() if v == "train"}
