@@ -490,6 +490,12 @@ def pip_join_index_sharded(
     if n_shards is None:
         est = estimate_index_bytes(len(pc), total_pts, len(geom))
         n_shards = max(1, ceil(est / max_bytes))
+    # Each band is one filtered pass over the page source — cap the
+    # fan-out so a degenerate budget (or a unit-test max_bytes=1)
+    # cannot request thousands of scans; above the cap the per-band
+    # index simply exceeds the budget, which the per-shard
+    # build-warning surfaces, and catalyst mode is the better tool.
+    n_shards = min(n_shards, 64)
     if n_shards <= 1 or not ext:
         bc = spark.sparkContext.broadcast(_compile_index(pc, geom))
         return pip_join_index(points, bc, keep=keep)
