@@ -33,13 +33,19 @@ from pyspark.sql import functions as F
 
 
 def _ring_signed_area2(ring: Column) -> Column:
-    """2× signed shoelace area of one closed ring (array<point>)."""
+    """2× signed shoelace area of one closed ring (array<point>).
+
+    Guarded for degenerate (<2 point) rings: Spark's sequence(0, -1)
+    counts DOWN, which would index ring[-1] and poison the fold with
+    nulls — such rings contribute 0 instead."""
     n = F.size(ring)
     terms = F.transform(
         F.sequence(F.lit(0), n - 2),
         lambda i: ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1],
     )
-    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return F.when(
+        n >= 2, F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    ).otherwise(F.lit(0.0))
 
 
 def _ring_perimeter(ring: Column) -> Column:
@@ -51,7 +57,9 @@ def _ring_perimeter(ring: Column) -> Column:
             + (ring[i + 1][1] - ring[i][1]) * (ring[i + 1][1] - ring[i][1])
         ),
     )
-    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return F.when(
+        n >= 2, F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    ).otherwise(F.lit(0.0))
 
 
 def polygon_measures(locations: DataFrame) -> DataFrame:

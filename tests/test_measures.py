@@ -65,6 +65,20 @@ def test_measures_plan_is_catalyst_only(spark):
     assert "MapInPandas" not in plan
 
 
+def test_measures_degenerate_ring_is_zero(spark):
+    """1-point 'ring': sequence(0,-1) counts DOWN in Spark — the guard
+    must yield 0 area/perimeter, not a null-poisoned fold."""
+    from osm_spark.spatial.measures import polygon_measures
+
+    df = spark.createDataFrame(
+        [(1, [[[[3.0, 4.0]]]])],
+        "rel_id long, shape array<array<array<array<double>>>>",
+    )
+    r = polygon_measures(df).first()
+    assert r["area"] == 0.0 and r["perimeter"] == 0.0
+    assert r["n_points"] == 1
+
+
 def test_q57_matches_duckdb_oracle(spark):
     import duckdb
 
