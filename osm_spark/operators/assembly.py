@@ -68,7 +68,18 @@ class AssemblyError(ValueError):
 # ---------------------------------------------------------------------------
 
 
-def build_geometry(lines: list[Linestring]):
+def _ring_signed_area2(points) -> int:
+    """2× signed shoelace area on integer micro-degree points (exact)."""
+    a = 0
+    n = len(points)
+    for i in range(n):
+        x1, y1 = points[i]
+        x2, y2 = points[(i + 1) % n]
+        a += x1 * y2 - x2 * y1
+    return a
+
+
+def build_geometry(lines: list[Linestring], crossing_mode: str = "split"):
     """Role guard + ring closing + polygon nesting (buildGeometry
     geojson.go:103-120). Note: ways with ignored ring roles (e.g.
     admin_centre) are NOT dropped — the reference only skips the role
@@ -79,10 +90,18 @@ def build_geometry(lines: list[Linestring]):
     loops — byte-equivalent to the GEOS repair for the pinch class;
     rings with proper edge CROSSINGS (bowties) are split at the
     snap-to-grid crossing points (split_crossing_ring — documented
-    rounding rule, ≤ half a 1e-7-degree cell of positional error,
-    ST_MakeValid keep-both-lobes semantics where GEOS Buffer(0) drops
-    the minority-wound lobe). Anything still non-simple after both
-    repairs passes through unchanged with a divergence warning."""
+    rounding rule, ≤ half a 1e-7-degree cell of positional error).
+    ``crossing_mode`` picks the post-split contract (ADVICE r3 #4):
+
+    - ``"split"`` (default): ST_MakeValid semantics — keep every lobe.
+    - ``"drop-minority-lobe"``: strict GEOS Buffer(0) parity — keep
+      only the lobes whose winding matches the original ring's net
+      winding (sign of the total shoelace area); the minority-wound
+      lobe(s) are discarded, matching what the reference's Buffer(0)
+      produces for its bowtie-accepting vector (geojson_test.go:43).
+
+    Anything still non-simple after both repairs passes through
+    unchanged with a divergence warning."""
     from osm_spark.kernels.rings import (
         is_simple_ring,
         split_crossing_ring,
@@ -117,6 +136,17 @@ def build_geometry(lines: list[Linestring]):
             # Proper-crossing class: snap-to-grid split (VERDICT r2 #5).
             parts = split_crossing_ring(ring.points)
             kind = "self-crossing (snap-to-grid)"
+            if _accepted(parts) and crossing_mode == "drop-minority-lobe":
+                net = _ring_signed_area2(ring.points)
+                kept = [
+                    p for p in parts
+                    if net == 0 or _ring_signed_area2(p) * net > 0
+                ]
+                if kept:  # never drop everything
+                    dropped = len(parts) - len(kept)
+                    parts = kept
+                    if dropped:
+                        kind += f", {dropped} minority lobe(s) dropped"
         if _accepted(parts):
             for p in parts:
                 piece = Linestring(ring.id, p, ring.role)
@@ -134,14 +164,14 @@ def build_geometry(lines: list[Linestring]):
     return make_polygons(checked), warnings
 
 
-def assemble_relation(groups: list[list[Linestring]]):
+def assemble_relation(groups: list[list[Linestring]], crossing_mode: str = "split"):
     """Assemble one relation from per-group ring sets; returns
     (coords, warnings) — the 4-nested float multipolygon coordinates
     (winding-normalized) plus buffer(0)-repair warnings."""
     polygons = []
     warnings: list[str] = []
     for lines in groups:
-        polys, w = build_geometry(lines)
+        polys, w = build_geometry(lines, crossing_mode=crossing_mode)
         polygons.extend(polys)
         warnings.extend(w)
     return polygons_to_coords(polygons), warnings

@@ -147,7 +147,10 @@ class ManifestTable:
         v = self.current_version()
         out = []
         for i in range(1, (v or 0) + 1):
-            s = self.snapshot(i)
+            try:
+                s = self.snapshot(i)
+            except FileNotFoundError:
+                continue  # manifest expired by vacuum(); version retired
             out.append(
                 {
                     "version": s["version"],
@@ -210,13 +213,29 @@ class ManifestTable:
             },
         }
         os.makedirs(os.path.join(self.path, "snapshots"), exist_ok=True)
-        with open(self._snapshot_path(version), "w") as fh:
+        # Optimistic concurrency: CLAIMING the snapshot path is the atomic
+        # step. O_EXCL create means two writers racing from the same base
+        # version cannot both write v{N+1}.json — the loser gets
+        # FileExistsError → CommitConflict and never clobbers the winner's
+        # committed manifest. (Posix open(O_CREAT|O_EXCL) is atomic; this
+        # is the filesystem equivalent of Iceberg's catalog CAS.)
+        try:
+            fh = open(self._snapshot_path(version), "x")
+        except FileExistsError:
+            raise CommitConflict(
+                f"{self.path}: snapshot v{version} already claimed by a "
+                f"concurrent writer (base was {base_version})"
+            ) from None
+        with fh:
             json.dump(snap, fh)
-        # Optimistic concurrency: the table must not have moved since we
-        # loaded base_version. (Posix rename is atomic; the re-check
-        # closes the load→commit window to the same extent Iceberg's
-        # catalog compare-and-swap does for a filesystem catalog.)
+        # Belt-and-braces re-check (covers a concurrent writer that won a
+        # DIFFERENT version number, e.g. overwrite racing append). Release
+        # the claimed manifest so the version number stays claimable.
         if self.current_version() != base_version:
+            try:
+                os.remove(self._snapshot_path(version))
+            except FileNotFoundError:
+                pass
             raise CommitConflict(
                 f"{self.path}: version advanced past {base_version} during commit"
             )

@@ -155,31 +155,50 @@ def knn_boundaries(
     )
     cand_ids = _knn_candidates(probes, bcells, level, radius)
     if max_radius is not None and max_radius > radius:
+        # Caches live only for the loop: each superseded handle is
+        # unpersisted when replaced and everything is released on exit
+        # (ADVICE r3: per-call cache accumulation). The returned plan
+        # recomputes its lineage once — reuse only happens in-loop.
         bcells = bcells.persist()
         cand_ids = cand_ids.persist()
-        remaining = probes
+        remaining = None
         r = radius
-        while r < max_radius:
-            # Probes with < k distinct candidate relations (including
-            # zero-candidate probes, via the left join).
-            short = (
-                remaining.join(
-                    cand_ids.groupBy("point_id").agg(
-                        F.count_distinct("rel_id").alias("n_rel")
-                    ),
-                    "point_id",
-                    "left",
+        try:
+            while r < max_radius:
+                # Probes with < k distinct candidate relations (including
+                # zero-candidate probes, via the left join).
+                short = (
+                    (remaining if remaining is not None else probes).join(
+                        cand_ids.groupBy("point_id").agg(
+                            F.count_distinct("rel_id").alias("n_rel")
+                        ),
+                        "point_id",
+                        "left",
+                    )
+                    .where(F.coalesce(F.col("n_rel"), F.lit(0)) < k)
+                    .select("point_id", "lon", "lat")
                 )
-                .where(F.coalesce(F.col("n_rel"), F.lit(0)) < k)
-                .select("point_id", "lon", "lat")
-            )
-            remaining = short.persist()
-            if remaining.limit(1).count() == 0:
-                break
-            r = min(2 * r, max_radius)
-            cand_ids = cand_ids.unionByName(
-                _knn_candidates(remaining, bcells, level, r)
-            ).distinct().persist()
+                prev_remaining = remaining
+                remaining = short.persist()
+                empty = remaining.limit(1).count() == 0
+                if prev_remaining is not None:
+                    prev_remaining.unpersist(blocking=False)
+                if empty:
+                    break
+                r = min(2 * r, max_radius)
+                prev_cand = cand_ids
+                cand_ids = cand_ids.unionByName(
+                    _knn_candidates(remaining, bcells, level, r)
+                ).distinct().persist()
+                # Materialize before dropping the parent cache the union
+                # reads from, so the loop never recomputes from scratch.
+                cand_ids.count()
+                prev_cand.unpersist(blocking=False)
+        finally:
+            bcells.unpersist(blocking=False)
+            cand_ids.unpersist(blocking=False)
+            if remaining is not None:
+                remaining.unpersist(blocking=False)
     cand = cand_ids.join(probes, "point_id")
     if refine == "broadcast":
         from osm_spark.spatial.pip_index import build_pip_index, knn_distances_index

@@ -402,6 +402,34 @@ def test_build_geometry_buffer0_paths():
     assert len(polys) == 1 and warns == []
 
 
+def test_build_geometry_crossing_mode_drop_minority_lobe():
+    """ADVICE r3 #4 — strict GEOS Buffer(0) parity mode: an asymmetric
+    bowtie keeps only the majority-wound lobe; the default mode keeps
+    both (ST_MakeValid). The divergence class is pinned here."""
+    from osm_spark.operators.assembly import _ring_signed_area2, build_geometry
+
+    # Asymmetric bowtie: big lobe (area 8) + small lobe (area 2),
+    # opposite windings, crossing exactly at (4,4)·scale.
+    pts = [(0, 0), (8, 8), (8, 0), (0, 6)]
+    bowtie = make_test_ring(pts)
+
+    both, w_both = build_geometry([bowtie], crossing_mode="split")
+    assert len(both) == 2
+
+    one, w_one = build_geometry([bowtie], crossing_mode="drop-minority-lobe")
+    assert len(one) == 1
+    assert any("minority lobe" in w for w in w_one)
+    # The survivor is the larger lobe, wound like the original's net sign.
+    areas = sorted(abs(_ring_signed_area2(p[0].points)) for p in both)
+    kept_area = abs(_ring_signed_area2(one[0][0].points))
+    assert kept_area == areas[-1] > areas[0]
+
+    # A symmetric bowtie (net area 0) keeps both lobes in either mode.
+    sym = make_test_ring([(0, 0), (4, 4), (4, 0), (0, 4)])
+    sym_drop, _ = build_geometry([sym], crossing_mode="drop-minority-lobe")
+    assert len(sym_drop) == 2
+
+
 def test_linestrings_to_json():
     """G14 — multiline debug encoder (ring.go:271-294)."""
     import json

@@ -102,6 +102,51 @@ def test_commit_conflict_detected(spark, tmp_path, monkeypatch):
     assert t.current_version() == 7  # the "other writer" won
 
 
+def test_commit_conflict_same_version_never_clobbers_winner(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): two writers racing from the SAME base version
+    compute the same target version; the loser must get CommitConflict
+    and must NOT overwrite the winner's already-committed manifest —
+    O_EXCL snapshot creation is the atomic claim."""
+    import osm_spark.sources.manifest_table as mt
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 10))  # v1, base for both racers
+
+    real = mt._file_lineage
+    winner = ManifestTable(spark, str(tmp_path / "t"))
+
+    state = {"fired": False}
+
+    def racing_lineage(s, files):
+        out = real(s, files)
+        if not state["fired"]:
+            state["fired"] = True  # the winner commits v2 inside our window
+            monkeypatch.setattr(mt, "_file_lineage", real)
+            winner.write(_df(spark, 100, 150), mode="append")
+        return out
+
+    monkeypatch.setattr(mt, "_file_lineage", racing_lineage)
+    with pytest.raises(CommitConflict):
+        t.write(_df(spark, 0, 5), mode="append")
+    # The winner's commit is intact: v2 readable, rows preserved.
+    assert t.current_version() == 2
+    assert t.read().count() == 60
+    assert t.snapshot(2)["summary"]["total_rows"] == 60
+
+
+def test_history_after_vacuum_skips_expired(spark, tmp_path):
+    """ADVICE r3 (low): history() on a vacuumed table must not raise on
+    expired snapshot manifests."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 10))
+    t.write(_df(spark, 0, 20), mode="append")
+    t.write(_df(spark, 0, 5))
+    t.vacuum(keep_last=1)
+    hist = t.history()
+    assert [h["version"] for h in hist] == [3]
+    assert hist[0]["total_rows"] == 5
+
+
 def test_lineage_sums_and_manifest_hash(spark, tmp_path):
     t = ManifestTable(spark, str(tmp_path / "t"))
     df = _df(spark, 0, 1000).repartition(4)
