@@ -1326,16 +1326,21 @@ SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall oracle for the ANN scale path (VERDICT r1 next-step #6):
-    LSH top-5 vs exact top-5, asserting mean recall@5 >= 0.8 as a
-    rows-checkable fact. Everything is deterministic (md5 hyperplanes),
-    so the oracle is a literal: (n_queries, true).
+    """LSH ANN with a fully INDEPENDENT oracle (VERDICT r3 next #4: the
+    duck side used to be a literal `SELECT true`): per query, the
+    approximate top-5 multiset digest, candidate count, hit count vs
+    exact top-5, and recall@5 — and the DuckDB side recomputes ALL of
+    it from scratch: md5-derived hyperplanes, sign-bit buckets,
+    multiprobe expansion, bucket-join candidates, sequential-order
+    cosine re-rank, exact top-5, recall. Nothing Spark computes is
+    taken on faith.
 
     The sandbox corpus is iid-random — LSH's worst case (nearest
     neighbors at cosine ~0.35 vs median ~0.01) — so parameters are
     corpus-calibrated: 6 planes × 8 tables × multiprobe-1 measures
     mean recall 0.90 at sf0.01. On clustered real embeddings the same
-    shape runs with far more planes (smaller buckets).
+    shape runs with far more planes (see data/vectors.py and the
+    ann_ivf_scale bench leg for the clustered-regime evidence).
     """
     from osm_spark.text.ann import cosine_topk, hyperplane_lsh_topk
 
@@ -1345,41 +1350,148 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     approx = hyperplane_lsh_topk(
         emb, queries, k=5, n_planes=6, n_tables=8, multiprobe_bits=1
-    ).select("query_id", "neighbor_id")
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact")).join(
-        hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left"
-    ).select(
-        "query_id",
-        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
-    )
-    return per_q.agg(
-        F.count("*").alias("n_queries"),
-        (F.avg("recall") >= 0.8).alias("mean_recall_ge_08"),
+    ).select("query_id", "neighbor_id", "n_candidates")
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        approx.groupBy("query_id")
+        .agg(
+            F.max("n_candidates").cast("long").alias("n_candidates"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("neighbor_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("approx_digest"),
+        )
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_candidates",
+            "approx_digest",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(5.0)).alias(
+                "recall"
+            ),
+        )
     )
 
 
-_def(
-    "q41_lsh_ann",
-    fn=_q_lsh_ann,
-    duck_sql="""
-SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS mean_recall_ge_08
-FROM embeddings WHERE vec_id % 50 = 0
-""",
+# The independent LSH re-implementation: hyperplane component (t,p,d)
+# = md5("hp-t-p-d") first 8 bytes big-endian / 2^64 * 2 - 1 — exactly
+# ann._hyperplanes. Bucket sign-dots only feed a > 0 comparison, so
+# DuckDB's SUM order vs Spark's sequential aggregate cannot diverge
+# except at |dot| ~ 1e-15 (continuous-valued; negligible). The re-rank
+# cosine uses list_reduce in sequential order — bit-identical to the
+# JVM aggregate(zip_with(...)) by construction (same guarantee q40
+# already relies on).
+_Q41_DUCK = """
+WITH planes AS (
+  SELECT t, p, d,
+         CAST(CAST(('0x' || substr(md5('hp-' || t || '-' || p || '-' || d), 1, 16)) AS UBIGINT) AS DOUBLE)
+           / 18446744073709551616.0 * 2.0 - 1.0 AS w
+  FROM generate_series(0, 7) AS tt(t),
+       generate_series(0, 5) AS pp(p),
+       generate_series(0, 63) AS dd(d)
+),
+dots AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         SUM(CAST(e.embedding[pl.d + 1] AS DOUBLE) * pl.w) AS dot
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)
+              + (CAST(t AS BIGINT) << 48) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+masks AS (
+  SELECT CAST(0 AS BIGINT) AS mask
+  UNION ALL
+  SELECT (CAST(1 AS BIGINT) << j) FROM generate_series(0, 5) AS jj(j)
+),
+qprobes AS (
+  SELECT b.vec_id AS query_id, xor(b.bucket, m.mask) AS bucket
+  FROM buckets b, masks m
+  WHERE b.vec_id % 50 = 0
+),
+cand AS (
+  SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id
+  FROM qprobes q JOIN buckets e USING (bucket)
+  WHERE q.query_id != e.vec_id
+),
+v AS (SELECT vec_id, embedding AS ev FROM embeddings),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_reduce(list_transform(range(1, len(a.ev) + 1),
+             i -> CAST(a.ev[i] AS DOUBLE) * CAST(b.ev[i] AS DOUBLE)), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, len(a.ev) + 1),
+               i -> CAST(a.ev[i] AS DOUBLE) * CAST(a.ev[i] AS DOUBLE)), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(range(1, len(b.ev) + 1),
+               i -> CAST(b.ev[i] AS DOUBLE) * CAST(b.ev[i] AS DOUBLE)), (x, y) -> x + y)))
+         AS sim
+  FROM cand c JOIN v a ON a.vec_id = c.query_id
+              JOIN v b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS r,
+         count(*) OVER (PARTITION BY query_id) AS n_candidates
+  FROM sims
+),
+a5 AS (SELECT query_id, neighbor_id, n_candidates FROM ranked WHERE r <= 5),
+esims AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(q.embedding) + 1),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.ev[i] AS DOUBLE)), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(range(1, len(b.ev) + 1),
+               i -> CAST(b.ev[i] AS DOUBLE) * CAST(b.ev[i] AS DOUBLE)), (x, y) -> x + y)))
+         AS sim
+  FROM embeddings q CROSS JOIN v b
+  WHERE q.vec_id % 50 = 0 AND q.vec_id != b.vec_id
+),
+e5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS r
+    FROM esims) WHERE r <= 5
 )
+SELECT a.query_id,
+       CAST(MAX(a.n_candidates) AS BIGINT) AS n_candidates,
+       md5(string_agg(CAST(a.neighbor_id AS VARCHAR), ','
+                      ORDER BY a.neighbor_id)) AS approx_digest,
+       CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(e.neighbor_id) AS DOUBLE) / 5.0 AS recall
+FROM a5 a LEFT JOIN e5 e USING (query_id, neighbor_id)
+GROUP BY a.query_id
+"""
+
+_def("q41_lsh_ann", fn=_q_lsh_ann, duck_sql=_Q41_DUCK)
+
+
+_Q45_N_PROBE = 4
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall oracle for the IVF ANN scale path (the brief's "IVF or
-    LSH-bucketed variant"): IVF top-5 vs exact top-5, asserting mean
-    recall@5 >= 0.8. Deterministic end to end (md5-seeded spherical
-    k-means, fixed Lloyd iterations, lowest-id tie-breaks), so the
-    oracle is a literal: (n_queries, true).
+    """IVF ANN with an INDEPENDENT oracle (VERDICT r3 next #2 + #4):
+    auto-sized quantizer (n_lists ≈ √corpus — the selective config;
+    the old fixed 16/8 point re-ranked half the corpus), and a DuckDB
+    side that recomputes list assignment, probing, re-rank, exact
+    top-5 and recall from CENTROID LITERALS produced by the same
+    pure-numpy trainer run over the same parquet through pyarrow —
+    Spark's arithmetic is externally checked, not self-certified.
 
-    Same iid-random worst-case corpus as q41: parameters are
-    corpus-calibrated (see ann.py ivf_topk docstring); on clustered
-    real embeddings n_probe/n_lists shrinks by orders of magnitude.
-    """
+    Output per query: candidate count, approximate-top-5 multiset
+    digest, hits vs exact top-5, recall@5."""
     from osm_spark.text.ann import cosine_topk, ivf_topk
 
     _load(spark, sf_dir)
@@ -1387,29 +1499,161 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 50 == 0)
     exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     approx = ivf_topk(
-        emb, queries, k=5, n_lists=16, n_probe=8, n_iters=5
-    ).select("query_id", "neighbor_id")
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact")).join(
-        hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left"
-    ).select(
-        "query_id",
-        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
-    )
-    return per_q.agg(
-        F.count("*").alias("n_queries"),
-        (F.avg("recall") >= 0.8).alias("mean_recall_ge_08"),
+        emb, queries, k=5, n_lists=None, n_probe=_Q45_N_PROBE, n_iters=5
+    ).select("query_id", "neighbor_id", "n_candidates")
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        approx.groupBy("query_id")
+        .agg(
+            F.max("n_candidates").cast("long").alias("n_candidates"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("neighbor_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("approx_digest"),
+        )
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_candidates",
+            "approx_digest",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(5.0)).alias(
+                "recall"
+            ),
+        )
     )
 
 
-_def(
-    "q45_ivf_ann",
-    fn=_q_ivf_ann,
-    duck_sql="""
-SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS mean_recall_ge_08
-FROM embeddings WHERE vec_id % 50 = 0
-""",
+def _q45_oracle_sql() -> str:
+    """Builds the q45 oracle: reads the SAME embeddings parquet through
+    pyarrow (no Spark), trains the quantizer with the SAME pure-numpy
+    function Spark calls (train_ivf_centroids_np — order-invariant, so
+    the two paths are bit-identical), embeds the centroids as SQL
+    literals (quoted-repr doubles — DuckDB bare decimals parse as
+    lossy DECIMAL), and re-implements assignment → probe → re-rank →
+    recall in SQL. The embeddings table is sf-invariant in this
+    testdata, so the default sf0.01 read matches every gate;
+    SPARK_GRAFT_ORACLE_SF_DIR overrides."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osm_spark.text.ann import auto_n_lists, train_ivf_centroids_np
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tb["vec_id"].to_pylist(), dtype=np.int64)
+    X = np.asarray(tb["embedding"].to_pylist(), dtype=np.float64)
+    n_lists = auto_n_lists(len(ids))
+    C = train_ivf_centroids_np(ids, X, n_lists, 5)
+    vals = ",\n".join(
+        "(" + ",".join(
+            [str(j)] + [f"CAST('{C[j, d]!r}' AS DOUBLE)" for d in range(C.shape[1])]
+        ) + ")"
+        for j in range(n_lists)
+    )
+    cent_cols = ", ".join(f"c{d}" for d in range(C.shape[1]))
+    cent_list = "list_value(" + ", ".join(
+        f"c{d}" for d in range(C.shape[1])
+    ) + ")"
+    return f"""
+WITH cent_rows({cent_cols.replace('c0', 'j, c0')}) AS (VALUES {vals}),
+cent AS (SELECT j, {cent_list} AS cv FROM cent_rows),
+vn AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+  FROM embeddings
+),
+cdots AS (
+  SELECT v.vec_id, c.j,
+         list_reduce(list_transform(range(1, len(v.embedding) + 1),
+             i -> CAST(v.embedding[i] AS DOUBLE) / (CASE WHEN v.nrm = 0 THEN 1.0 ELSE v.nrm END) * c.cv[i]),
+             (x, y) -> x + y) AS dot
+  FROM vn v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, j AS list_id FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, j) AS r
+    FROM cdots) WHERE r = 1
+),
+qprobes AS (
+  SELECT vec_id AS query_id, j AS list_id FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, j) AS r
+    FROM cdots WHERE vec_id % 50 = 0) WHERE r <= {_Q45_N_PROBE}
+),
+cand AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id
+  FROM qprobes q JOIN assigned e USING (list_id)
+  WHERE q.query_id != e.vec_id
+),
+v AS (SELECT vec_id, embedding AS ev FROM embeddings),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_reduce(list_transform(range(1, len(a.ev) + 1),
+             i -> CAST(a.ev[i] AS DOUBLE) * CAST(b.ev[i] AS DOUBLE)), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, len(a.ev) + 1),
+               i -> CAST(a.ev[i] AS DOUBLE) * CAST(a.ev[i] AS DOUBLE)), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(range(1, len(b.ev) + 1),
+               i -> CAST(b.ev[i] AS DOUBLE) * CAST(b.ev[i] AS DOUBLE)), (x, y) -> x + y)))
+         AS sim
+  FROM cand c JOIN v a ON a.vec_id = c.query_id
+              JOIN v b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS r,
+         count(*) OVER (PARTITION BY query_id) AS n_candidates
+  FROM sims
+),
+a5 AS (SELECT query_id, neighbor_id, n_candidates FROM ranked WHERE r <= 5),
+esims AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(q.embedding) + 1),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.ev[i] AS DOUBLE)), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(range(1, len(b.ev) + 1),
+               i -> CAST(b.ev[i] AS DOUBLE) * CAST(b.ev[i] AS DOUBLE)), (x, y) -> x + y)))
+         AS sim
+  FROM embeddings q CROSS JOIN v b
+  WHERE q.vec_id % 50 = 0 AND q.vec_id != b.vec_id
+),
+e5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS r
+    FROM esims) WHERE r <= 5
 )
+SELECT a.query_id,
+       CAST(MAX(a.n_candidates) AS BIGINT) AS n_candidates,
+       md5(string_agg(CAST(a.neighbor_id AS VARCHAR), ','
+                      ORDER BY a.neighbor_id)) AS approx_digest,
+       CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(e.neighbor_id) AS DOUBLE) / 5.0 AS recall
+FROM a5 a LEFT JOIN e5 e USING (query_id, neighbor_id)
+GROUP BY a.query_id
+"""
+
+
+_def("q45_ivf_ann", fn=_q_ivf_ann, duck_sql=_q45_oracle_sql())
 
 
 def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2080,6 +2324,85 @@ FROM documents
 
 
 _def("q60_hash_split", fn=_q_split, duck_sql=_q60_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# q61 — REAL image decode (pure-python PNG codec) vs a closed-form
+# pixel oracle
+# ---------------------------------------------------------------------------
+#
+# VERDICT r3 next #3: the one LLM-pipeline component that had never
+# processed a real byte. pages_png_df emits one genuine PNG per page
+# (text/png.py — zlib stored-blocks + struct chunks, no codec deps;
+# pixel p of page i is (seed + p) % 256, seed = (i*2654435761) % 256,
+# on a 12×20 grey raster). extract_features DECODES those bytes
+# (signature → IHDR → inflate → defilter) and emits block-mean
+# features from the decoded pixels. DuckDB reproduces every output
+# column from the pixel FORMULA alone — so hash equality proves the
+# encode → Spark-decode → feature arithmetic round-trips the actual
+# pixel values, not just the plumbing. n_bytes is closed-form because
+# the encoder uses zlib level 0 (stored blocks): byte length is a pure
+# function of the raster shape (encoded_png_len).
+
+
+def _q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.data.pages import pages_png_df
+    from osm_spark.text.multimodal import attach_media, extract_features
+
+    media = attach_media(
+        pages_png_df(spark, _pages_spec()), "payload", "image", keep=["url"]
+    )
+    feats = extract_features(
+        media.select("url", "media_id", "kind", "payload"), dim=8, keep=["url"]
+    )
+    return feats.select(
+        "url",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "decoded",
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 8).cast("double").alias("f7"),
+    )
+
+
+def _q61_oracle_sql() -> str:
+    from osm_spark.data.pages import PNG_H, PNG_W, pages_png_sql_exprs
+    from osm_spark.text.png import encoded_png_len
+
+    e = pages_png_sql_exprs("i")
+    n_px = PNG_W * PNG_H
+    blk = n_px // 8
+    n_bytes = encoded_png_len(PNG_W, PNG_H, 1)
+    # Block mean in the SAME float-op order as the numpy kernel:
+    # exact-integer SUM → /blk → /255 in double, then through float32.
+    def f(j: int) -> str:
+        return (
+            f"CAST(CAST(CAST(SUM(CASE WHEN p >= {j * blk} AND p < {(j + 1) * blk} "
+            f"THEN v END) AS DOUBLE) / CAST({blk} AS DOUBLE) / CAST(255 AS DOUBLE) "
+            f"AS FLOAT) AS DOUBLE)"
+        )
+
+    return f"""
+WITH px AS (
+  SELECT i, p, ({e['seed']} + p) % 256 AS v
+  FROM generate_series(0, {_N_PAGES - 1}) AS t(i),
+       generate_series(0, {n_px - 1}) AS s(p)
+)
+SELECT 'https://example.org/page/' || CAST(i AS VARCHAR) AS url,
+       'image' AS kind,
+       {n_bytes} AS n_bytes,
+       {e['width']} AS width,
+       {e['height']} AS height,
+       TRUE AS decoded,
+       {f(0)} AS f0,
+       {f(7)} AS f7
+FROM px GROUP BY i
+"""
+
+
+_def("q61_png_decode", fn=_q_png_decode, duck_sql=_q61_oracle_sql())
 
 
 # ---------------------------------------------------------------------------

@@ -118,3 +118,58 @@ def pages_duckdb_sql(spec: PagesSpec, columns: str = "url, warc_ts, text, lang")
     return (
         f"SELECT {cols} FROM generate_series(0, {spec.n_pages - 1}) AS t(i)"
     )
+
+
+PNG_W, PNG_H = 12, 20  # 240 px: NOT a multiple of 256, so per-page
+# seeds change the pixel-sum invariant (a 256-multiple would average
+# every seed to the same mean and the q52 oracle would prove nothing).
+
+
+def pages_png_sql_exprs(i: str) -> dict[str, str]:
+    """Closed-form SQL for the synthetic image's pixel stream — shared
+    by the q52 DuckDB oracle. Pixel p (row-major, p in [0, W*H)) of
+    page ``i`` is ``(seed + p) % 256`` with ``seed = (i*2654435761) %
+    256``; valid in both Spark SQL and DuckDB."""
+    return {
+        "seed": f"(({i} * 2654435761) % 256)",
+        "n_px": str(PNG_W * PNG_H),
+        "width": str(PNG_W),
+        "height": str(PNG_H),
+    }
+
+
+def pages_png_df(spark: SparkSession, spec: PagesSpec) -> DataFrame:
+    """(url, payload) — one REAL tiny PNG per page (pure-python encoder,
+    osm_spark/text/png.py), pixels the deterministic pattern of
+    ``pages_png_sql_exprs`` so a SQL oracle can reproduce any
+    pixel-derived feature. Generated DISTRIBUTED (one Arrow pass over
+    spark.range); kept separate from ``pages_df`` so the geo hot path
+    stays pure Catalyst."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from osm_spark.text.png import encode_png
+
+    w, h = PNG_W, PNG_H
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ramp = np.arange(w * h, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            payloads = []
+            for i in ids:
+                seed = (int(i) * 2654435761) % 256
+                px = ((seed + ramp) % 256).astype(np.uint8).reshape(h, w)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {
+                    "url": "https://example.org/page/" + pd.Series(ids).astype(str),
+                    "payload": payloads,
+                }
+            )
+
+    return spark.range(spec.n_pages).mapInPandas(
+        gen, "url string, payload binary"
+    )

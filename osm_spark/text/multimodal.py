@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with mapInPandas plumbing for decode/feature-extract stages.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS: ``decode_image_stub`` produces a deterministic fake feature
-vector from the bytes (so the Spark-side plumbing — schema, batching,
-partitioning — is real and testable end-to-end), and raises with a
-clear message when ``strict=True`` (production wiring point for
-PIL/ffmpeg).
+Image decode is REAL for PNG payloads: ``osm_spark.text.png`` is a
+pure-python (zlib+struct) PNG codec, so ``decode_image`` turns actual
+PNG bytes into pixel arrays and ``extract_features`` computes features
+from decoded pixels (block means over the grey ramp — q52 pins them
+against a closed-form SQL oracle). Payloads that are NOT decodable
+PNGs (no other codec exists in this container) fall back to
+``decode_image_stub``: a deterministic md5-seeded feature vector, so
+the distributed plumbing stays testable on arbitrary bytes and raises
+with a clear message when ``strict=True`` (production wiring point for
+PIL/ffmpeg on JPEG/WebP/video codecs).
 """
 
 from __future__ import annotations
@@ -24,7 +28,10 @@ MEDIA_SCHEMA = (
     "meta struct<width:int, height:int, duration_ms:int, codec:string>"
 )
 
-FEATURES_SCHEMA = "media_id long, kind string, n_bytes int, features array<float>"
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes int, "
+    "width int, height int, decoded boolean, features array<float>"
+)
 
 
 def attach_media(
@@ -62,27 +69,83 @@ def decode_image_stub(payload: bytes, dim: int = 16, strict: bool = False) -> np
     return (np.tile(seed, reps)[:dim] / 255.0).astype(np.float32)
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def decode_image(payload: bytes, dim: int = 16) -> tuple[np.ndarray, dict | None]:
+    """Real decode when the payload is a PNG (pure-python codec), md5
+    stub otherwise. Returns (float32[dim] features, meta-or-None).
+
+    PNG features are ``dim`` equal-width block means over the row-major
+    pixel stream, each scaled to [0, 1]: sum(block)/len(block)/255 —
+    the exact arithmetic a SQL oracle reproduces from the synthetic
+    pixel formula (q52). RGB pixels are averaged to grey first
+    (integer-exact: sum//3 is NOT used — float mean keeps parity with
+    the oracle's SUM/3.0)."""
+    from osm_spark.text.png import PNG_SIGNATURE, decode_png
+
+    if payload and bytes(payload[:8]) == PNG_SIGNATURE:
+        try:
+            img, meta = decode_png(bytes(payload))
+        except ValueError:
+            return decode_image_stub(payload, dim), None
+        px = img.astype(np.float64)
+        if px.ndim == 3:
+            px = px.mean(axis=2)
+        flat = px.reshape(-1)
+        # dim equal blocks (last one absorbs the remainder).
+        n = flat.shape[0]
+        step = max(1, n // dim)
+        feats = np.zeros(dim, dtype=np.float64)
+        for j in range(dim):
+            lo = j * step
+            hi = (j + 1) * step if j < dim - 1 else n
+            block = flat[lo:hi]
+            if block.size:
+                feats[j] = block.sum() / float(block.size) / 255.0
+        return feats.astype(np.float32), meta
+    return decode_image_stub(payload, dim), None
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, keep: list[str] | None = None
+) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches of binary
     payloads — the real distributed shape of a decode stage (batch
     size bounded by arrow maxRecordsPerBatch, payloads never collected
-    to the driver)."""
+    to the driver). PNG payloads are REALLY decoded (width/height from
+    IHDR, features from pixels, decoded=true); anything else degrades
+    to the md5 stub with decoded=false.
+
+    ``keep``: passthrough columns (e.g. the source url) carried through
+    the decode stage — cheaper and collision-proof vs re-joining on
+    media_id (identical payloads share a media_id by construction)."""
+    keep = list(keep or [])
+    schema = FEATURES_SCHEMA + "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in media.schema.fields if f.name in keep
+    )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                decode_image_stub(p, dim).tolist() for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
-                    "features": feats,
-                }
-            )
+            feats, widths, heights, decoded = [], [], [], []
+            for p in pdf["payload"]:
+                f, meta = decode_image(p, dim)
+                feats.append(f.tolist())
+                widths.append(meta["width"] if meta else None)
+                heights.append(meta["height"] if meta else None)
+                decoded.append(meta is not None)
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
+                "decoded": decoded,
+                "features": feats,
+            }
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, FEATURES_SCHEMA)
+    return media.mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
