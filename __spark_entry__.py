@@ -756,10 +756,20 @@ FROM pip JOIN al USING (rel_id)
 
 
 def _q_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster density grid, deepened with a per-cell point-multiset
+    digest (VERDICT r3 next #8 — the q53 fid_digest pattern): the
+    oracle now pins WHICH points landed in each cell, not just the
+    count. Tokens are the exact integer micro-degrees (doubles × 1e6
+    round back exactly), so both engines agree byte-for-byte."""
     from osm_spark.spatial.raster import rasterize_points
 
     sp = _spatial(spark)
-    return rasterize_points(sp["points"], level=6)
+    pts = sp["points"].select(
+        "lon", "lat",
+        F.round(F.col("lon") * 1e6).cast("long").alias("lon_u"),
+        F.round(F.col("lat") * 1e6).cast("long").alias("lat_u"),
+    )
+    return rasterize_points(pts, level=6, digest_cols=["lon_u", "lat_u"])
 
 
 def _grid_xy_duck(lon: str, lat: str, level: int) -> tuple[str, str]:
@@ -775,7 +785,10 @@ _def(
     fn=_q_raster,
     duck_sql=_pages_oracle_cte()
     + f"""
-SELECT {_gx6} AS gx, {_gy6} AS gy, CAST(count(*) AS BIGINT) AS n
+SELECT {_gx6} AS gx, {_gy6} AS gy, CAST(count(*) AS BIGINT) AS n,
+       md5(string_agg(CAST(lon_u AS VARCHAR) || ':' || CAST(lat_u AS VARCHAR),
+                      ',' ORDER BY CAST(lon_u AS VARCHAR) || ':' || CAST(lat_u AS VARCHAR)))
+         AS px_digest
 FROM pages GROUP BY 1, 2
 """,
 )
@@ -864,6 +877,71 @@ SELECT url, rel_id, rank FROM ranked WHERE rank <= 3
 
 
 _def("q25_knn", fn=_q_knn, duck_sql=_knn_oracle_sql())
+
+
+def _q_knn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q25 with metric="equirectangular" (VERDICT r3 missing #5): lon
+    deltas scaled by cos(probe lat), so ranking is geodesically correct
+    across latitudes. Oracle: the q25 segment-distance SQL with the
+    same per-probe cos scaling folded into the projection and the
+    distance — ranks (integers) are compared, so libm cos ulp
+    differences between numpy and DuckDB cannot flip a row."""
+    from osm_spark.spatial.knn import knn_boundaries
+
+    sp = _spatial(spark)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    probes = sp["points"].where(page_no % 40 == 0).select(
+        "point_id", "url", "lon", "lat"
+    )
+    out = knn_boundaries(
+        probes.select("point_id", "lon", "lat"),
+        sp["polygon_cells"],
+        sp["polygon_geometry"],
+        k=3,
+        level=4,
+        radius=2,
+        metric="equirectangular",
+    )
+    return out.join(probes.select("point_id", "url"), "point_id").select(
+        "url", "rel_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _knn_geo_oracle_sql() -> str:
+    segs = _world_segments()
+    seg_rows = ", ".join(
+        f"({rel}, {x1!r}, {y1!r}, {x2!r}, {y2!r})" for rel, x1, y1, x2, y2 in segs
+    )
+    px, py = "(lon_u / 1000000.0)", "(lat_u / 1000000.0)"
+    # Equirectangular point-to-segment: work in (cos(py)·lon, lat)
+    # space; k2 = cos(py)² carries the per-probe lon scale.
+    t = (
+        "least(greatest((k2 * (px - x1) * (x2 - x1) + (py - y1) * (y2 - y1))"
+        " / nullif(k2 * (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1), 0), 0.0), 1.0)"
+    )
+    return (
+        _pages_oracle_cte()
+        + f""",
+ probes AS (SELECT url, {px} AS px, {py} AS py,
+                   cos(radians({py})) * cos(radians({py})) AS k2
+            FROM pages
+            WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) % 40 = 0),
+ segs AS (SELECT * FROM (VALUES {seg_rows}) AS s(rel_id, x1, y1, x2, y2)),
+ d AS (
+   SELECT url, rel_id,
+     sqrt(k2 * power(px - (x1 + {t} * (x2 - x1)), 2)
+        + power(py - (y1 + {t} * (y2 - y1)), 2)) AS dist
+   FROM probes CROSS JOIN segs),
+ best AS (SELECT url, rel_id, min(dist) AS dist FROM d GROUP BY url, rel_id),
+ ranked AS (SELECT url, rel_id,
+                   CAST(row_number() OVER (PARTITION BY url ORDER BY dist, rel_id) AS BIGINT) AS rank
+            FROM best)
+SELECT url, rel_id, rank FROM ranked WHERE rank <= 3
+"""
+    )
+
+
+_def("q62_knn_geodesic", fn=_q_knn_geo, duck_sql=_knn_geo_oracle_sql())
 
 
 def _q_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,23 +56,29 @@ def _probe_cells_df(probes, level: int, radius: int):
     ).where(F.col("cell").isNotNull())
 
 
-def _edge_distance(poly, lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
-    """Min distance from each point to any edge of any ring (degrees)."""
+def _edge_distance(
+    poly, lons: np.ndarray, lats: np.ndarray, metric: str = "planar"
+) -> np.ndarray:
+    """Min distance from each point to any edge of any ring — planar
+    degrees, or equirectangular (lon scaled by cos(probe lat)) when
+    ``metric="equirectangular"`` (cogroup twin of
+    PipIndex.edge_distance's metric option)."""
     best = np.full(len(lons), np.inf)
+    px = lons[:, None]
+    py = lats[:, None]
+    k2 = np.cos(np.radians(py)) ** 2 if metric == "equirectangular" else 1.0
     for ring in poly:
         xs = np.asarray([p[0] for p in ring], dtype=np.float64)
         ys = np.asarray([p[1] for p in ring], dtype=np.float64)
         x1, y1, x2, y2 = xs[:-1], ys[:-1], xs[1:], ys[1:]
         dx, dy = x2 - x1, y2 - y1
-        seg2 = dx * dx + dy * dy
-        seg2[seg2 == 0.0] = 1e-300
-        px = lons[:, None]
-        py = lats[:, None]
-        t = ((px - x1[None, :]) * dx[None, :] + (py - y1[None, :]) * dy[None, :]) / seg2[None, :]
+        seg2 = k2 * (dx * dx)[None, :] + (dy * dy)[None, :]
+        seg2 = np.where(seg2 == 0.0, 1e-300, seg2)
+        t = (k2 * (px - x1[None, :]) * dx[None, :] + (py - y1[None, :]) * dy[None, :]) / seg2
         t = np.clip(t, 0.0, 1.0)
         cx = x1[None, :] + t * dx[None, :]
         cy = y1[None, :] + t * dy[None, :]
-        d2 = (px - cx) ** 2 + (py - cy) ** 2
+        d2 = k2 * (px - cx) ** 2 + (py - cy) ** 2
         best = np.minimum(best, np.sqrt(d2.min(axis=1)))
     return best
 
@@ -80,14 +86,19 @@ def _edge_distance(poly, lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
 DIST_SCHEMA = "point_id long, rel_id long, poly_idx int, dist double"
 
 
-def _dist_cogroup(key, pts: pd.DataFrame, poly: pd.DataFrame) -> pd.DataFrame:
+def _dist_cogroup(
+    key, pts: pd.DataFrame, poly: pd.DataFrame, metric: str = "planar"
+) -> pd.DataFrame:
     if len(pts) == 0 or len(poly) == 0:
         return pd.DataFrame(
             {"point_id": [], "rel_id": [], "poly_idx": [], "dist": []}
         ).astype({"point_id": "int64", "rel_id": "int64", "poly_idx": "int32", "dist": "float64"})
     shape = poly["poly"].iloc[0]
     d = _edge_distance(
-        shape, pts["lon"].to_numpy(np.float64), pts["lat"].to_numpy(np.float64)
+        shape,
+        pts["lon"].to_numpy(np.float64),
+        pts["lat"].to_numpy(np.float64),
+        metric=metric,
     )
     out = pts[["point_id"]].copy()
     out["rel_id"] = key[0]
@@ -119,6 +130,7 @@ def knn_boundaries(
     refine: str = "broadcast",
     index_bc=None,
     max_radius: int | None = None,
+    metric: str = "planar",
 ) -> DataFrame:
     """probes(point_id, lon, lat) → k nearest boundary polygons each:
     (point_id, rel_id, dist, rank).
@@ -142,6 +154,13 @@ def knn_boundaries(
     user-facing API instead of documenting "<k rows possible". Default
     None keeps the single-pass shape (zero extra jobs), identical to
     the historical behavior.
+
+    ``metric``: "planar" (default — raw-degree distances, reference-
+    parity) or "equirectangular" (lon deltas scaled by cos(probe lat):
+    geodesically-correct RANKING across latitudes; see
+    PipIndex.edge_distance). Candidate discovery is unchanged — the
+    Chebyshev cell disk over-covers in lon at high latitude, which only
+    ever ADDS candidates, never loses the true nearest.
     """
     from osm_spark.spatial.cells_sql import cell_parent_expr
 
@@ -208,12 +227,14 @@ def knn_boundaries(
             bc = probes.sparkSession.sparkContext.broadcast(
                 build_pip_index(None, polygons)
             )
-        dists = knn_distances_index(cand, bc)
+        dists = knn_distances_index(cand, bc, metric=metric)
     else:
+        from functools import partial
+
         dists = (
             cand.groupBy("rel_id", "poly_idx")
             .cogroup(polygons.groupBy("rel_id", "poly_idx"))
-            .applyInPandas(_dist_cogroup, DIST_SCHEMA)
+            .applyInPandas(partial(_dist_cogroup, metric=metric), DIST_SCHEMA)
         )
     per_rel = dists.groupBy("point_id", "rel_id").agg(F.min("dist").alias("dist"))
     w = Window.partitionBy("point_id").orderBy(F.col("dist").asc(), F.col("rel_id").asc())

@@ -150,12 +150,66 @@ def _refine_broadcast(boundary: DataFrame, polygons: DataFrame) -> DataFrame:
     return boundary.select(*cols).mapInPandas(run, REFINE_SCHEMA)
 
 
+def choose_salt(
+    points: DataFrame,
+    polygon_cells: DataFrame,
+    target_rows_per_task: int = 2_000_000,
+    sample_mod: int = 100,
+    max_salt: int = 64,
+) -> int:
+    """Count-sampled hot-cell salt chooser (VERDICT r3 next #9: nothing
+    auto-detected a hot cell; SCALE.md §skew documents the manual
+    procedure this automates).
+
+    Estimates the hottest JOINED cell's point mass from a deterministic
+    1/``sample_mod`` point sample (xxhash64(point_id) % mod == 0 — no
+    RNG, so the choice is reproducible across runs and cluster sizes):
+    sampled points are cell-encoded at every covering level, semi-joined
+    against the broadcast cell dimension (a hot OCEAN cell never joins,
+    so it must not drive the salt), grouped, and the max count scaled
+    back up. salt = ceil(est_hot / target_rows_per_task), clamped to
+    [1, max_salt].
+
+    Cost: one pass over 1/mod of the points with a tiny shuffle —
+    pennies next to the join it protects. Only meaningful for the
+    shuffle-join path (broadcast_cells=False); the broadcast join has
+    no reduce partitioning to skew.
+    """
+    from math import ceil
+
+    from osm_spark.spatial.cells_sql import point_cells_expr as _pce
+
+    lv = sorted(
+        int(r[0])
+        for r in polygon_cells.select(
+            polygon_cells.cell.bitwiseAND(F.lit(0x3F))
+        ).distinct().collect()
+    )
+    cells_dim = polygon_cells.select("cell").distinct()
+    sample = points.where(
+        F.pmod(F.xxhash64(F.col("point_id")), F.lit(sample_mod)) == 0
+    )
+    hot = (
+        sample.select(
+            F.explode(_pce(F.col("lon"), F.col("lat"), lv)).alias("cell")
+        )
+        .join(F.broadcast(cells_dim), "cell", "left_semi")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if not hot:
+        return 1
+    return max(1, min(max_salt, ceil(hot * sample_mod / target_rows_per_task)))
+
+
 def pip_join(
     points: DataFrame,
     polygon_cells: DataFrame,
     polygons: DataFrame,
     levels: list[int] | None = None,
-    salt: int = 1,
+    salt: int | str = 1,
     broadcast_cells: bool = True,
     refine: str = "broadcast",
     refine_salt: int = 1,
@@ -189,8 +243,15 @@ def pip_join(
     Which levels bear boundary cells is read from the data (one tiny
     aggregate over the small cell side), so the split is correct for
     any covering, not only ours.
+
+    ``salt="auto"`` runs the count-sampled ``choose_salt`` chooser
+    (only useful with ``broadcast_cells=False`` — the broadcast join
+    has no reduce partitioning to skew).
     """
     from osm_spark.spatial.cells_sql import cell_expr, cell_parent_expr
+
+    if salt == "auto":
+        salt = choose_salt(points, polygon_cells)
 
     lv_rows = (
         polygon_cells.groupBy(

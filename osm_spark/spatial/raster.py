@@ -38,14 +38,38 @@ def cell_xy_cols(cell: Column, level: int) -> tuple[Column, Column]:
     return gx.cast("long"), gy.cast("long")
 
 
-def rasterize_points(points: DataFrame, level: int) -> DataFrame:
-    """(gx, gy, n) density grid from (lon, lat) rows."""
+def rasterize_points(
+    points: DataFrame, level: int, digest_cols: list | None = None
+) -> DataFrame:
+    """(gx, gy, n) density grid from (lon, lat) rows.
+
+    ``digest_cols``: optional token columns — adds ``px_digest``, an
+    md5 over the lexicographically-sorted multiset of colon-joined
+    tokens per cell (the q53 fid_digest pattern), so an oracle checks
+    WHICH points landed in each cell, not just how many. One extra
+    map-side collect_list per cell; omit on the pure-density hot path."""
     cell = cell_expr(F.col("lon"), F.col("lat"), level)
-    df = points.select(cell.alias("cell")).groupBy("cell").agg(
-        F.count("*").alias("n")
-    )
+    if digest_cols is None:
+        df = points.select(cell.alias("cell")).groupBy("cell").agg(
+            F.count("*").alias("n")
+        )
+    else:
+        token = F.concat_ws(":", *[F.col(c).cast("string") for c in digest_cols])
+        df = (
+            points.select(cell.alias("cell"), token.alias("t"))
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                F.md5(
+                    F.concat_ws(",", F.array_sort(F.collect_list("t")))
+                ).alias("px_digest"),
+            )
+        )
     gx, gy = cell_xy_cols(F.col("cell"), level)
-    return df.select(gx.alias("gx"), gy.alias("gy"), "n")
+    return df.select(
+        gx.alias("gx"), gy.alias("gy"), "n",
+        *(["px_digest"] if digest_cols is not None else []),
+    )
 
 
 def rasterize_polygons(polygon_cells: DataFrame, level: int) -> DataFrame:

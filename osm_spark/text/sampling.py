@@ -74,3 +74,41 @@ def bucket_sql(key_sql: str, n_buckets: int, salt: str = "") -> str:
         f"CAST(('0x' || substr(md5('{salt}' || {key_sql}), 1, {_PREFIX})) AS BIGINT)"
         f" % {n_buckets}"
     )
+
+
+def write_split_tables(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, float],
+    root: str,
+    n_buckets: int = 10_000,
+    salt: str = "",
+    mode: str = "overwrite",
+):
+    """Materialize ``hash_split`` as one snapshot-versioned
+    ManifestTable per split under ``root/<name>`` (VERDICT r3 next #7:
+    durable, time-travelable training splits).
+
+    Because membership is a pure function of (salt, key), an appended
+    shard routes every row to the same split it would ever get — so
+    append commits EXTEND each split without ever moving a row between
+    splits, and any historical train/val/test state is reproducible by
+    reading the split tables at matching versions. Per-split row
+    counts and content hashes live in each table's snapshot summary
+    (one lineage pass per split commit).
+
+    Returns {split_name: ManifestTable}.
+    """
+    import os
+
+    from osm_spark.sources.manifest_table import ManifestTable
+
+    tagged = hash_split(df, key, splits, n_buckets, salt)
+    out = {}
+    for name in splits:
+        t = ManifestTable(df.sparkSession, os.path.join(root, name))
+        # One filtered pass per split; the split predicate is pure
+        # Catalyst over the key hash, so it pushes into the scan.
+        t.write(tagged.where(F.col("split") == name).drop("split"), mode=mode)
+        out[name] = t
+    return out

@@ -213,3 +213,57 @@ def test_pipeline_checkpoints_and_resumes_via_manifest(spark, tmp_path):
     stages = {r["stage"] for r in metrics.collect()}
     assert {"ways_geom", "locations", "centroids", "boundaries"} <= stages
     assert metrics.where(F.col("partition") >= 0).count() > 0
+
+
+def test_split_tables_stable_across_appends(spark, tmp_path):
+    """write_split_tables (VERDICT r3 next #7): commit → append a new
+    shard → every split's EXISTING membership is unchanged (hash
+    bucketing is key-pure), the new shard lands split-consistently,
+    splits stay disjoint+exhaustive at every version, and per-split
+    row counts ride each table's snapshot summary."""
+    from osm_spark.text.sampling import hash_split, write_split_tables
+
+    root = str(tmp_path / "splits")
+    splits = {"train": 0.8, "val": 0.2}
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("string").alias("k")
+        )
+
+    tables = write_split_tables(docs(0, 400), "k", splits, root, salt="s:")
+    v1 = {
+        name: {r.doc_id for r in t.read().collect()}
+        for name, t in tables.items()
+    }
+    assert v1["train"] | v1["val"] == set(range(400))
+    assert not (v1["train"] & v1["val"])
+    # Append a disjoint shard.
+    tables2 = write_split_tables(
+        docs(400, 600), "k", splits, root, salt="s:", mode="append"
+    )
+    v2 = {
+        name: {r.doc_id for r in t.read().collect()}
+        for name, t in tables2.items()
+    }
+    # Old membership embedded unchanged; union covers the new shard.
+    for name in splits:
+        assert v1[name] <= v2[name]
+    assert v2["train"] | v2["val"] == set(range(600))
+    assert not (v2["train"] & v2["val"])
+    # The appended rows match an independent hash_split assignment.
+    want = {
+        r.doc_id: r.split
+        for r in hash_split(docs(400, 600), "k", splits, salt="s:").collect()
+    }
+    for name in splits:
+        assert {d for d in v2[name] - v1[name]} == {
+            d for d, s in want.items() if s == name
+        }
+    # Time travel: version 1 of each split is still exactly v1.
+    for name, t in tables2.items():
+        assert {r.doc_id for r in t.read(version=1).collect()} == v1[name]
+        hist = t.history()
+        assert [h["version"] for h in hist] == [1, 2]
+        assert hist[0]["total_rows"] == len(v1[name])
+        assert hist[1]["total_rows"] == len(v2[name])
