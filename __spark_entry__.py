@@ -2483,6 +2483,56 @@ FROM px GROUP BY i
 _def("q61_png_decode", fn=_q_png_decode, duck_sql=_q61_oracle_sql())
 
 
+# X32 — spatially-clustered storage + partition-pruned region read.
+# Country 0's SW quarter (includes the hot city cluster); at level 4
+# this bbox sits inside one coarse cell, so the read prunes to a single
+# partition directory (pruning itself is pinned by tests/test_clustered).
+_Q63_BBOX = (-177.0, -84.0, -173.0, -80.0)
+
+
+def _q_region_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from osm_spark.sources.clustered import read_region, write_clustered
+    from osm_spark.spatial.geoparse import geoparse_pages
+
+    pts = geoparse_pages(_pages_df(spark)).select("url", "lon", "lat")
+    path = tempfile.mkdtemp(prefix="q63_clustered_")
+    try:
+        write_clustered(pts, path, level=4, files_per_cell=4)
+        out = read_region(spark, path, *_Q63_BBOX, level=4).select(
+            "url",
+            F.round(F.col("lon") * 1e6).cast("long").alias("lon_u"),
+            F.round(F.col("lat") * 1e6).cast("long").alias("lat_u"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+        # Materialized eagerly (the temp table is deleted below) —
+        # bounded by _N_PAGES at the driver gate, not a data path.
+        return spark.createDataFrame(
+            out.collect(), "url string, lon_u long, lat_u long, cell long"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _q63_oracle_sql() -> str:
+    lon0, lat0, lon1, lat1 = _Q63_BBOX
+    return (
+        _pages_oracle_cte()
+        + f"""
+SELECT url, lon_u, lat_u,
+       {_tile_expr_duck('(lon_u / 1000000.0)', '(lat_u / 1000000.0)', 4)} AS cell
+FROM pages
+WHERE (lon_u / 1000000.0) BETWEEN {lon0} AND {lon1}
+  AND (lat_u / 1000000.0) BETWEEN {lat0} AND {lat1}
+"""
+    )
+
+
+_def("q63_region_read", fn=_q_region_read, duck_sql=_q63_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
