@@ -2533,6 +2533,57 @@ WHERE (lon_u / 1000000.0) BETWEEN {lon0} AND {lon1}
 _def("q63_region_read", fn=_q_region_read, duck_sql=_q63_oracle_sql())
 
 
+# X33 — manifest-level file pruning: per-file min/max column stats
+# recorded at commit time (Iceberg data-file stats), scan planning from
+# the manifest alone. The writer range-clusters by lat_u so files have
+# tight disjoint lat ranges; read_where prunes to the band's files
+# (pruning-count behavior pinned by tests/test_manifest_table.py).
+_Q64_LAT_BAND = (-84_000_000, -80_000_000)  # micro-degrees
+
+
+def _q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from osm_spark.sources.manifest_table import ManifestTable
+    from osm_spark.spatial.geoparse import geoparse_pages
+
+    pts = geoparse_pages(_pages_df(spark)).select(
+        "url",
+        F.round(F.col("lon") * 1e6).cast("long").alias("lon_u"),
+        F.round(F.col("lat") * 1e6).cast("long").alias("lat_u"),
+    )
+    path = tempfile.mkdtemp(prefix="q64_manifest_")
+    try:
+        t = ManifestTable(spark, path)
+        t.write(
+            pts.repartitionByRange(8, "lat_u"), stats_cols=["lat_u"]
+        )
+        lo, hi = _Q64_LAT_BAND
+        out = t.read_where({"lat_u": (lo, hi)})
+        # Materialized eagerly (the temp table is deleted below) —
+        # bounded by _N_PAGES at the driver gate, not a data path.
+        return spark.createDataFrame(
+            out.collect(), "url string, lon_u long, lat_u long"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _q64_oracle_sql() -> str:
+    lo, hi = _Q64_LAT_BAND
+    return (
+        _pages_oracle_cte()
+        + f"""
+SELECT url, lon_u, lat_u FROM pages
+WHERE lat_u BETWEEN {lo} AND {hi}
+"""
+    )
+
+
+_def("q64_manifest_pruned_read", fn=_q_manifest_pruned_read, duck_sql=_q64_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

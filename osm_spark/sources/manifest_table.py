@@ -65,28 +65,50 @@ class CommitConflict(RuntimeError):
     """Another writer advanced the table between load and commit."""
 
 
-def _file_lineage(spark: SparkSession, files: list[str]) -> list[dict]:
-    """Per-file (rows, content_hash) in one distributed pass.
+def _json_scalar(v):
+    """JSON-safe stat value (timestamps → isoformat strings; the
+    comparison semantics survive because isoformat sorts like time)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _file_lineage(
+    spark: SparkSession, files: list[str], stats_cols: list[str] | None = None
+) -> list[dict]:
+    """Per-file (rows, content_hash[, column min/max stats]) in one
+    distributed pass.
 
     Hash formula matches plans.pipeline.content_hash per file:
     sum(xxhash64(cols) % 2^31) xor row-count — order-insensitive, and
     per-file sums add up to the whole-table sum so table-level hashes
     are derivable from the manifest without re-reading data.
+
+    ``stats_cols`` adds per-file min/max for those columns to the same
+    aggregation (no extra pass) — the manifest-level pruning statistics
+    Iceberg keeps in its data-file entries.
     """
     if not files:
         return []
     df = spark.read.parquet(*files)
     cols = [F.col(c).cast("string") for c in df.columns]
+    aggs = [
+        F.count("*").alias("rows"),
+        F.coalesce(F.sum(F.col("h") % F.lit(2**31)), F.lit(0)).alias("s"),
+    ]
+    for c in stats_cols or []:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
     rows = (
         df.select(
             F.input_file_name().alias("f"),
             F.xxhash64(*cols).alias("h"),
+            *(stats_cols or []),
         )
         .groupBy("f")
-        .agg(
-            F.count("*").alias("rows"),
-            F.coalesce(F.sum(F.col("h") % F.lit(2**31)), F.lit(0)).alias("s"),
-        )
+        .agg(*aggs)
         .collect()
     )
     by_name = {}
@@ -98,15 +120,22 @@ def _file_lineage(spark: SparkSession, files: list[str]) -> list[dict]:
     for f in files:
         r = by_name.get(os.path.basename(f))
         if r is None:  # zero-row part file: no rows reached the agg
-            out.append({"path": f, "rows": 0, "content_hash": 0})
+            entry = {"path": f, "rows": 0, "content_hash": 0}
         else:
-            out.append(
-                {
-                    "path": f,
-                    "rows": int(r["rows"]),
-                    "content_hash": int(r["s"]) ^ int(r["rows"]),
+            entry = {
+                "path": f,
+                "rows": int(r["rows"]),
+                "content_hash": int(r["s"]) ^ int(r["rows"]),
+            }
+            if stats_cols:
+                entry["stats"] = {
+                    c: [
+                        _json_scalar(r[f"__min_{c}"]),
+                        _json_scalar(r[f"__max_{c}"]),
+                    ]
+                    for c in stats_cols
                 }
-            )
+        out.append(entry)
     return out
 
 
@@ -170,7 +199,12 @@ class ManifestTable:
 
     # -- commit -----------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        stats_cols: list[str] | None = None,
+    ) -> None:
         """Commit ``df`` as a new snapshot (``overwrite`` or ``append``).
 
         Stage order is the atomicity contract: (1) data files into a
@@ -178,6 +212,13 @@ class ManifestTable:
         files, (3) snapshot json, (4) atomic VERSION swap. Failure
         before (4) leaves the table at its previous snapshot with only
         unreferenced orphans on disk.
+
+        ``stats_cols``: record per-file min/max of these columns in the
+        manifest (Iceberg data-file stats) so ``read_where`` can prune
+        files at PLANNING time. Stats only help if the writer clusters
+        the data (e.g. ``df.repartitionByRange(n, col)`` or the Morton
+        sort of sources/clustered.py) — unclustered files all span the
+        full range and nothing prunes.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -189,7 +230,10 @@ class ManifestTable:
             for f in os.listdir(commit_dir)
             if f.endswith(".parquet")
         )
-        entries = _file_lineage(self.spark, new_files)
+        if stats_cols:
+            entries = _file_lineage(self.spark, new_files, stats_cols)
+        else:
+            entries = _file_lineage(self.spark, new_files)
         if mode == "append" and base_version is not None:
             parent = self.snapshot(base_version)
             entries = parent["files"] + entries
@@ -255,6 +299,56 @@ class ManifestTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
+
+    def plan_files(
+        self, bounds: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[dict], int]:
+        """Manifest-level scan planning: the snapshot's file entries
+        whose recorded min/max stats intersect EVERY ``col: (lo, hi)``
+        bound (None end = unbounded). Files without stats for a bound
+        column are conservatively kept. Returns (kept_entries,
+        total_files) — driver-side over O(files) JSON, no data touched.
+        """
+        entries = self.snapshot(version)["files"]
+        kept = []
+        for e in entries:
+            stats = e.get("stats", {})
+            keep = True
+            for c, (lo, hi) in bounds.items():
+                if c not in stats:
+                    continue  # no stats recorded — cannot exclude
+                mn, mx = stats[c]
+                if mn is None or mx is None:
+                    continue  # all-null file chunk — cannot exclude
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    keep = False
+                    break
+            if keep:
+                kept.append(e)
+        return kept, len(entries)
+
+    def read_where(
+        self, bounds: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Read a snapshot touching only files whose manifest stats can
+        satisfy ``bounds``, then apply the residual range predicates
+        exactly. The Iceberg scan-planning contract: file skipping is
+        decided from the manifest alone, BEFORE Spark lists or opens
+        anything."""
+        snap = self.snapshot(version)
+        schema = StructType.fromJson(snap["schema"])
+        kept, _total = self.plan_files(bounds, version)
+        files = [e["path"] for e in kept]
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                df = df.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(c) <= F.lit(hi))
+        return df
 
     # -- maintenance ------------------------------------------------------
 

@@ -267,3 +267,52 @@ def test_split_tables_stable_across_appends(spark, tmp_path):
         assert [h["version"] for h in hist] == [1, 2]
         assert hist[0]["total_rows"] == len(v1[name])
         assert hist[1]["total_rows"] == len(v2[name])
+
+
+def test_stats_pruning_plans_fewer_files_and_reads_exactly(spark, tmp_path):
+    """Per-file min/max stats (write(stats_cols=)) + read_where: the
+    Iceberg scan-planning contract — file skipping decided from the
+    manifest alone."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    # Range-clustered writer: 8 files with disjoint id ranges.
+    df = _df(spark, 0, 800).repartitionByRange(8, "id")
+    t.write(df, stats_cols=["id"])
+    kept, total = t.plan_files({"id": (100, 199)})
+    assert total == 8
+    assert 1 <= len(kept) <= 3  # range boundaries may straddle 2 files
+    got = t.read_where({"id": (100, 199)})
+    assert sorted(r.id for r in got.collect()) == list(range(100, 200))
+    # Half-open bounds.
+    assert t.read_where({"id": (700, None)}).count() == 100
+    assert t.read_where({"id": (None, 49)}).count() == 50
+    # Out-of-range plans zero files and returns an empty, well-typed df.
+    kept, _ = t.plan_files({"id": (10_000, 20_000)})
+    assert kept == []
+    empty = t.read_where({"id": (10_000, 20_000)})
+    assert empty.count() == 0
+    # (nullability differs between an empty local relation and a
+    # parquet scan — names/types are the contract)
+    assert [(f.name, f.dataType) for f in empty.schema] == [
+        (f.name, f.dataType) for f in t.read().schema
+    ]
+
+
+def test_stats_pruning_append_and_statless_files_kept(spark, tmp_path):
+    """Appends accumulate stats per commit; files committed WITHOUT
+    stats are conservatively kept by every plan."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 100).coalesce(1), stats_cols=["id"])
+    t.write(_df(spark, 100, 200).coalesce(1), mode="append", stats_cols=["id"])
+    t.write(_df(spark, 200, 300).coalesce(1), mode="append")  # no stats
+    kept, total = t.plan_files({"id": (0, 50)})
+    assert total == 3
+    # File 1 matches, file 2 excluded by stats, file 3 kept (no stats).
+    paths = {e["path"] for e in kept}
+    assert len(kept) == 2
+    stats_by_path = {
+        e["path"]: e.get("stats") for e in t.lineage()
+    }
+    assert sum(1 for s in stats_by_path.values() if s is None) == 1
+    got = t.read_where({"id": (0, 50)})
+    assert sorted(r.id for r in got.collect()) == list(range(0, 51))
+    assert len(paths) == 2
