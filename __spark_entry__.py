@@ -2584,6 +2584,164 @@ WHERE lat_u BETWEEN {lo} AND {hi}
 _def("q64_manifest_pruned_read", fn=_q_manifest_pruned_read, duck_sql=_q64_oracle_sql())
 
 
+# X34 — near-duplicate CLUSTERING: LSH pairs → Jaccard ≥ 0.9 verify →
+# distributed connected components (large-star/small-star, Kiveris et
+# al. SoCC'14) → per-doc (component = min doc_id reachable,
+# cluster_size, keep = canonical). The oracle recomputes the SAME
+# pipeline with an independent algorithm: a recursive-CTE transitive
+# closure over the verified pair graph.
+_NEAR_DUP_THRESHOLD = 0.9
+
+
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.components import near_dup_clusters
+
+    _load(spark, sf_dir)
+    return near_dup_clusters(
+        spark.table("documents"), threshold=_NEAR_DUP_THRESHOLD
+    ).select("doc_id", "component", "cluster_size", "keep")
+
+
+def _q65_oracle_sql() -> str:
+    # WITH RECURSIVE admits the non-recursive _PAIRS_DUCK CTEs too.
+    head = _PAIRS_DUCK.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    return (
+        head
+        + f""",
+ dtoks AS (SELECT doc_id, list_distinct({_TOKENS_DUCK}) AS toks FROM documents),
+ jp AS (
+   SELECT id_a, id_b FROM pairs
+   JOIN dtoks a ON id_a = a.doc_id JOIN dtoks b ON id_b = b.doc_id
+   WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.toks, b.toks)))
+         >= {_NEAR_DUP_THRESHOLD}),
+ sym AS (SELECT id_a AS a, id_b AS b FROM jp
+         UNION SELECT id_b, id_a FROM jp),
+ reach(src, dst) AS (
+   SELECT a, b FROM sym
+   UNION
+   SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+ comp AS (
+   SELECT d.doc_id,
+          least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+   FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+   GROUP BY d.doc_id),
+ sizes AS (SELECT component AS c2, count(*) AS cluster_size
+           FROM comp GROUP BY component)
+SELECT doc_id, component, cluster_size,
+       doc_id = component AS keep
+FROM comp JOIN sizes ON component = c2
+"""
+    )
+
+
+_def("q65_near_dup_clusters", fn=_q_near_dup_clusters, duck_sql=_q65_oracle_sql())
+
+
+# X35 — PII detection + redaction (emails / IPv4 / phones), pure
+# Catalyst regex. The testdata documents carry no PII, so the query
+# injects deterministic PII into every 7th document FIRST (same CASE
+# expression on both sides) — the scrub is then verified on known
+# positives and known negatives alike, including the full redacted
+# string, not just the counts.
+_PII_INJECT_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN concat(text,"
+    " ' reach user', cast(doc_id AS {s}), '@mail.example.org'"
+    ", ' or 10.2.', cast(doc_id % 256 AS {s}), '.7'"
+    ", ' call +1 555 01', lpad(cast(doc_id % 100 AS {s}), 2, '0'))"
+    " ELSE text END"
+)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.pii import with_pii_scrub
+
+    _load(spark, sf_dir)
+    injected = spark.table("documents").select(
+        "doc_id", F.expr(_PII_INJECT_SQL.format(s="string")).alias("text")
+    )
+    return with_pii_scrub(injected).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "clean_text"
+    )
+
+
+def _q66_oracle_sql() -> str:
+    from osm_spark.text.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{name}"
+        for name, p, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _name, p, tag in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{p}', '{tag}', 'g')"
+    inject = _PII_INJECT_SQL.format(s="VARCHAR")
+    return f"""
+WITH injected AS (SELECT doc_id, {inject} AS text FROM documents)
+SELECT doc_id, {counts}, {clean} AS clean_text
+FROM injected
+"""
+
+
+_def("q66_pii_scrub", fn=_q_pii_scrub, duck_sql=_q66_oracle_sql())
+
+
+# X36 — Gopher-style repetition quality signals: distinct-token ratio,
+# top-token fraction, top-bigram fraction + keep flag, all via
+# map-side-combinable explode/groupBy aggregations (never O(len^2)
+# per-row array scans).
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.repetition import with_repetition_stats
+
+    _load(spark, sf_dir)
+    return with_repetition_stats(spark.table("documents")).select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "top_token_frac",
+        "top_bigram_frac",
+        "keep_repetition",
+    )
+
+
+def _q67_oracle_sql() -> str:
+    from osm_spark.text.repetition import (
+        MAX_TOP_BIGRAM_FRAC,
+        MAX_TOP_TOKEN_FRAC,
+        MIN_DISTINCT_RATIO,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+  WHERE len({_TOKENS_DUCK}) > 0),
+ uni AS (SELECT doc_id, unnest(toks) AS gram FROM base),
+ bi AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> concat(toks[i], ' ', toks[i+1]))) AS gram
+        FROM base),
+ ug AS (SELECT doc_id, gram, count(*) AS c FROM uni GROUP BY 1, 2),
+ bg AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+ u AS (SELECT doc_id, sum(c) AS tok_n, max(c) AS tok_top,
+              count(*) AS n_distinct FROM ug GROUP BY 1),
+ b AS (SELECT doc_id, sum(c) AS bi_n, max(c) AS bi_top FROM bg GROUP BY 1),
+ j AS (SELECT u.doc_id, tok_n, tok_top, n_distinct, bi_n, bi_top
+       FROM u LEFT JOIN b ON u.doc_id = b.doc_id)
+SELECT doc_id, tok_n AS n_tokens,
+       round(CAST(n_distinct AS DOUBLE) / tok_n, 9) AS distinct_ratio,
+       round(CAST(tok_top AS DOUBLE) / tok_n, 9) AS top_token_frac,
+       round(coalesce(CAST(bi_top AS DOUBLE) / bi_n, 0.0), 9) AS top_bigram_frac,
+       (round(CAST(n_distinct AS DOUBLE) / tok_n, 9) >= {MIN_DISTINCT_RATIO}
+        AND round(CAST(tok_top AS DOUBLE) / tok_n, 9) <= {MAX_TOP_TOKEN_FRAC}
+        AND round(coalesce(CAST(bi_top AS DOUBLE) / bi_n, 0.0), 9)
+            <= {MAX_TOP_BIGRAM_FRAC}) AS keep_repetition
+FROM j
+"""
+
+
+_def("q67_repetition_quality", fn=_q_repetition, duck_sql=_q67_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -1,0 +1,198 @@
+"""Distributed connected components and near-duplicate clustering.
+
+The missing last stage of every web-scale dedup pipeline: LSH gives
+candidate PAIRS (dedup.lsh_candidate_pairs), Jaccard verification
+keeps the true near-dups (dedup.unigram_jaccard_pairs) — but a
+training-data filter needs per-document CLUSTER ids so it can keep one
+canonical document per group. Pairs form an undirected graph; the
+cluster id is the component's minimum doc_id.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC'14). Each round is two shuffles (a groupBy-min and a
+join); the edge set provably converges to a forest of min-rooted stars
+in O(log^2 n) rounds regardless of graph shape. We use it instead of
+plain min-label propagation because propagation needs O(diameter)
+rounds — fine for the clique-like LSH graphs, pathological on chain
+topologies (A~B~C~... chains DO occur in near-dup graphs: template
+drift across a crawl) — while star contraction's round count is
+insensitive to diameter.
+
+Scale notes (the 100-TB shape):
+- Every round is DataFrame groupBy/join on the edge list — map-side
+  combinable min-aggregations, no driver-side state. The edge list
+  SHRINKS monotonically toward one edge per non-root node.
+- Convergence is detected with a count + two order-insensitive hash
+  sums over the edge set (one distributed aggregate per round), never
+  a collect of the edges.
+- Skew: a mega-component (a boilerplate page duplicated 10^7 times)
+  makes one star with 10^7 spokes; the groupBy-min over its hub key is
+  a single hot reducer ONLY for the final hub — and min() combines
+  map-side, so the reducer receives one partial per upstream
+  partition, not 10^7 rows.
+
+No reference analog (pmezard/osm has no text pipeline); this extends
+SURVEY §2-ext. Published-algorithm port, not reference code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (small, large) order, no self
+    loops, deduplicated."""
+    a, b = F.col("src"), F.col("dst")
+    return (
+        edges.select(
+            F.least(a, b).alias("src"), F.greatest(a, b).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions of each undirected edge: (u, v) and (v, u)."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for every
+    strictly larger neighbor v > u. (Kiveris et al. §3, Alg. 2.)"""
+    sym = _sym(edges)
+    m = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: over the not-larger neighborhood N⁻(u) =
+    {v ∈ N(u) : v ≤ u}, m = min(N⁻(u) ∪ {u}); emit (v, m) for
+    v ∈ N⁻(u) ∪ {u}. (Kiveris et al. §3, Alg. 1.)"""
+    sym = _sym(edges)
+    lower = sym.where(F.col("dst") <= F.col("src"))
+    m = lower.groupBy("src").agg(F.min("dst").alias("m"))
+    spokes = lower.join(m, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    hubs = m.select(F.col("src"), F.col("m").alias("dst"))
+    return spokes.unionByName(hubs)
+
+
+def _edge_digest(edges: DataFrame) -> tuple:
+    """(count, hash-sum, second hash-sum) — an order-insensitive edge-
+    set fingerprint for convergence detection. One distributed agg."""
+    r = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst") % F.lit(2**31)), F.lit(0)).alias(
+            "h1"
+        ),
+        F.coalesce(
+            F.sum(F.xxhash64("dst", "src", F.lit(17)) % F.lit(2**31)), F.lit(0)
+        ).alias("h2"),
+    ).collect()[0]
+    return (r["n"], r["h1"], r["h2"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components of the undirected graph given as an edge
+    list. Returns (node, component) for every node that appears in at
+    least one edge; component = the minimum node id in its component.
+
+    Raises RuntimeError if the edge set has not converged after
+    ``max_rounds`` large+small-star rounds (theory: O(log^2 n); in
+    practice near-dup graphs converge in < 8).
+    """
+    # Each round's plan is built ON TOP of the previous round's — an
+    # iterative DataFrame algorithm's logical plan grows geometrically
+    # and Catalyst analysis time explodes after a handful of rounds.
+    # localCheckpoint(eager=True) materializes the round AND truncates
+    # lineage, keeping every round's plan constant-size (on a real
+    # cluster with a configured checkpoint dir, swap for checkpoint()
+    # to also survive executor loss).
+    e = _canon(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint(eager=True)
+    prev = _edge_digest(e)
+    if prev[0] == 0:
+        return e.select(
+            F.col("src").alias("node"), F.col("dst").alias("component")
+        )
+    for _ in range(max_rounds):
+        nxt = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        cur = _edge_digest(nxt)
+        e = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # Converged: e is a forest of min-rooted stars. _canon keeps
+    # (least, greatest) order, so src IS the root and dst the spoke.
+    spokes = e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+    roots = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    return spokes.unionByName(roots).distinct()
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering over a documents table:
+    MinHash signatures → LSH candidate pairs → exact-Jaccard
+    verification at ``threshold`` → connected components → one row per
+    document: (doc_id, component, cluster_size, keep).
+
+    ``keep`` marks the canonical document (minimum doc_id) of each
+    cluster — the row a dedup filter retains. Singleton documents are
+    their own component with cluster_size 1 and keep=true, so
+    ``where(keep)`` IS the deduplicated corpus.
+    """
+    from osm_spark.text.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        unigram_jaccard_pairs,
+    )
+
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, text=text, key=key))
+    verified = unigram_jaccard_pairs(
+        docs, pairs, text=text, key=key, threshold=threshold
+    ).select("id_a", "id_b")
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    ids = docs.select(F.col(key))
+    labeled = ids.join(
+        comp.withColumnRenamed("node", key), key, "left"
+    ).select(
+        F.col(key),
+        F.coalesce("component", F.col(key)).alias("component"),
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labeled.join(sizes, "component").select(
+        F.col(key),
+        "component",
+        "cluster_size",
+        (F.col(key) == F.col("component")).alias("keep"),
+    )

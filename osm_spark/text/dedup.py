@@ -248,9 +248,16 @@ def unigram_jaccard_pairs(
 
 def ngram_shingles_sql(text: str, n: int = 3) -> str:
     """Spark SQL for token n-gram shingle array (used by tests and the
-    shingle-based near-dup variant)."""
+    shingle-based near-dup variant).
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array: the
+    guard is load-bearing because Spark's sequence(1, 0) is the
+    DESCENDING [1, 0] (step defaults to -1 when start > stop), which
+    would feed slice() a zero index and crash the whole stage on the
+    first short document."""
     toks = TOKENS_SQL.format(t=text)
     return (
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
     )

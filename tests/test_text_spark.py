@@ -142,6 +142,25 @@ def test_ngram_shingles(spark, docs):
     ]
 
 
+def test_ngram_shingles_short_docs_yield_empty(spark):
+    """Docs shorter than n tokens must give [] — Spark's sequence(1, 0)
+    is descending [1, 0], and the unguarded form crashed slice() on the
+    first 1-2-token document (regression)."""
+    from osm_spark.text.dedup import ngram_shingles_sql
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "two words"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: list(r.sh)
+        for r in df.selectExpr(
+            "doc_id", f"{ngram_shingles_sql('text', 3)} AS sh"
+        ).collect()
+    }
+    assert got == {1: ["one two three"], 2: [], 3: [], 4: []}
+
+
 def test_cosine_topk_vs_numpy(spark, emb):
     import numpy as np
 
