@@ -2742,6 +2742,107 @@ FROM j
 _def("q67_repetition_quality", fn=_q_repetition, duck_sql=_q67_oracle_sql())
 
 
+# X37 — URL normalization + host aggregation. The testdata has no URL
+# variety, so the query synthesizes deterministic messy URLs per doc
+# (case, www, default port, utm params, fragments, trailing slash —
+# same CASE expression on both sides), then the engine normalizes with
+# osm_spark.text.urls while the oracle applies an independently
+# written DuckDB regex chain.
+_URL_INJECT_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN 'News.Example' ELSE 'blog.sample' END,"
+    " '.com',"
+    " CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,"
+    " '/Art/', cast(doc_id AS {s}),"
+    " CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=x&utm_campaign=',"
+    "   cast(doc_id % 9 AS {s}), '&id=', cast(doc_id AS {s}))"
+    "  WHEN doc_id % 7 = 0 THEN concat('?id=', cast(doc_id AS {s}),"
+    "   '&utm_medium=email')"
+    "  ELSE '' END,"
+    " CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.urls import with_url_parts
+
+    _load(spark, sf_dir)
+    injected = spark.table("documents").select(
+        "doc_id", F.expr(_URL_INJECT_SQL.format(s="string")).alias("url")
+    )
+    return with_url_parts(injected).select(
+        "doc_id", "url", "norm_url", "host", "registered_domain"
+    )
+
+
+_URL_NORM_DUCK = """
+ s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS u FROM u0),
+ s2 AS (SELECT doc_id, url,
+        concat(lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*')),
+               substr(u, length(regexp_extract(u,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*')) + 1)) AS u
+        FROM s1),
+ s3 AS (SELECT doc_id, url, regexp_replace(u, '://www\\.', '://', 'g') AS u FROM s2),
+ s4 AS (SELECT doc_id, url,
+        regexp_replace(regexp_replace(u, ':(80|443)/', '/', 'g'),
+                       ':(80|443)$', '', 'g') AS u FROM s3),
+ s5 AS (SELECT doc_id, url,
+        regexp_replace(regexp_replace(regexp_replace(u,
+          'utm_[a-z_]+=[^&#]*&', '', 'g'),
+          '[?&]utm_[a-z_]+=[^&#]*$', '', 'g'),
+          '\\?$', '', 'g') AS u FROM s4),
+ norm AS (SELECT doc_id, url, regexp_replace(u, '/+$', '', 'g') AS norm_url
+          FROM s5),
+ parts AS (SELECT doc_id, url, norm_url,
+        regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+        FROM norm),
+ final AS (SELECT doc_id, url, norm_url, host,
+        regexp_extract(host, '[a-z0-9-]+\\.[a-z]+$') AS registered_domain
+        FROM parts)
+"""
+
+
+def _q68_oracle_sql() -> str:
+    inject = _URL_INJECT_SQL.format(s="VARCHAR")
+    return (
+        f"WITH u0 AS (SELECT doc_id, {inject} AS url FROM documents),"
+        + _URL_NORM_DUCK
+        + "SELECT doc_id, url, norm_url, host, registered_domain FROM final"
+    )
+
+
+_def("q68_url_normalize", fn=_q_url_normalize, duck_sql=_q68_oracle_sql())
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.urls import host_stats
+
+    _load(spark, sf_dir)
+    injected = spark.table("documents").select(
+        "doc_id", F.expr(_URL_INJECT_SQL.format(s="string")).alias("url")
+    )
+    return host_stats(injected)
+
+
+def _q69_oracle_sql() -> str:
+    inject = _URL_INJECT_SQL.format(s="VARCHAR")
+    return (
+        f"WITH u0 AS (SELECT doc_id, {inject} AS url FROM documents),"
+        + _URL_NORM_DUCK
+        + """
+SELECT host, registered_domain, count(*) AS n_pages,
+       count(DISTINCT norm_url) AS n_distinct_urls
+FROM final GROUP BY host, registered_domain
+"""
+    )
+
+
+_def("q69_host_stats", fn=_q_host_stats, duck_sql=_q69_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

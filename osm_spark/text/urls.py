@@ -1,0 +1,74 @@
+"""URL normalization and host-level aggregation.
+
+Web-corpus canonicalization: two crawls of the same page routinely
+differ in scheme/host case, a ``www.`` prefix, an explicit default
+port, tracking query parameters, fragments, and trailing slashes.
+URL-level dedup and per-host statistics (crawl budgeting, domain
+blocklists) need one canonical form first.
+
+All steps are pure Catalyst string/regex expressions (JVM-side,
+codegen-safe): no UDF, no shuffle for the per-row part; the host
+aggregation is one map-side-combinable groupBy. The regexes use only
+the Java/RE2-common subset and never reference capture groups in
+replacements (Java spells them ``$1``, RE2 ``\\1`` — a portability trap
+this module avoids by construction, so the DuckDB oracle can apply an
+independently written chain, q68).
+
+``registered_domain`` is the last two dot-labels — a deliberate
+approximation (no public-suffix list in the sandbox; a real deployment
+swaps in one broadcast lookup against the PSL). Documented limitation:
+``example.co.uk`` yields ``co.uk``.
+
+No reference analog; SURVEY §2-ext.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL form:
+
+    1. strip the fragment
+    2. lowercase the scheme://host prefix (path/query case preserved)
+    3. drop a leading ``www.`` host label
+    4. drop explicit default ports (:80, :443)
+    5. drop ``utm_*`` tracking query parameters (and a dangling ``?``)
+    6. strip trailing slashes
+    """
+    u = F.regexp_replace(url, r"#.*", "")
+    prefix = F.regexp_extract(u, _SCHEME_HOST_RE, 0)
+    u = F.concat(F.lower(prefix), F.substr(u, F.length(prefix) + F.lit(1)))
+    u = F.regexp_replace(u, r"://www\.", "://")
+    u = F.regexp_replace(u, r":(80|443)/", "/")
+    u = F.regexp_replace(u, r":(80|443)$", "")
+    u = F.regexp_replace(u, r"utm_[a-z_]+=[^&#]*&", "")
+    u = F.regexp_replace(u, r"[?&]utm_[a-z_]+=[^&#]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+def with_url_parts(df: DataFrame, url: str = "url") -> DataFrame:
+    """Add norm_url, host, registered_domain columns."""
+    norm = normalize_url(F.col(url))
+    host = F.regexp_extract(norm, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    domain = F.regexp_extract(host, r"[a-z0-9-]+\.[a-z]+$", 0)
+    return (
+        df.withColumn("norm_url", norm)
+        .withColumn("host", host)
+        .withColumn("registered_domain", domain)
+    )
+
+
+def host_stats(df: DataFrame, url: str = "url") -> DataFrame:
+    """Per-host crawl statistics over canonical URLs: page count and
+    distinct canonical URLs (their difference = URL-level duplicates)."""
+    parts = with_url_parts(df, url)
+    return parts.groupBy("host", "registered_domain").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("norm_url").alias("n_distinct_urls"),
+    )
