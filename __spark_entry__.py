@@ -67,13 +67,15 @@ def _pages_df(spark: SparkSession) -> DataFrame:
     return pages_df(spark, _pages_spec())
 
 
-def _pages_oracle_cte() -> str:
-    """DuckDB CTE 'pages' with url, warc_ts, text, lang, lon_u, lat_u."""
+def _pages_oracle_cte(
+    columns: str = "url, warc_ts, text, lang, lon_u, lat_u",
+) -> str:
+    """DuckDB CTE 'pages' with url, warc_ts, text, lang, lon_u, lat_u
+    (pass ``columns`` to add html_str — the html payload as VARCHAR,
+    byte-identical to the engine's binary column)."""
     from osm_spark.data.pages import pages_duckdb_sql
 
-    inner = pages_duckdb_sql(
-        _pages_spec(), columns="url, warc_ts, text, lang, lon_u, lat_u"
-    )
+    inner = pages_duckdb_sql(_pages_spec(), columns=columns)
     return f"WITH pages AS ({inner})"
 
 
@@ -1942,12 +1944,14 @@ def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 _def(
     "q52_media_features",
     fn=_q_media,
-    duck_sql=_pages_oracle_cte()
+    duck_sql=_pages_oracle_cte(
+        columns="url, warc_ts, text, lang, lon_u, lat_u, html_str"
+    )
     + """
 SELECT url, 'image' AS kind,
-       CAST(length('<html><body>' || text || '</body></html>') AS INT) AS n_bytes,
+       CAST(length(html_str) AS INT) AS n_bytes,
        8 AS dim,
-       CAST(CAST(CAST(('0x' || substr(md5('<html><body>' || text || '</body></html>'), 1, 2)) AS INTEGER) / 255.0 AS FLOAT) AS DOUBLE) AS f0
+       CAST(CAST(CAST(('0x' || substr(md5(html_str), 1, 2)) AS INTEGER) / 255.0 AS FLOAT) AS DOUBLE) AS f0
 FROM pages
 """,
 )
@@ -2264,11 +2268,13 @@ def _q_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _def(
     "q58_frame_sample",
     fn=_q_frames,
-    duck_sql=_pages_oracle_cte()
+    duck_sql=_pages_oracle_cte(
+        columns="url, warc_ts, text, lang, lon_u, lat_u, html_str"
+    )
     + """
 , m AS (
-  SELECT url, '<html><body>' || text || '</body></html>' AS payload,
-         least(8, length('<html><body>' || text || '</body></html>') // 100 + 1) AS n_frames
+  SELECT url, html_str AS payload,
+         least(8, length(html_str) // 100 + 1) AS n_frames
   FROM pages
 )
 SELECT m.url, CAST(g.i AS INT) AS frame_idx, CAST(g.i * 100 AS INT) AS ts_ms,
@@ -2841,6 +2847,56 @@ FROM final GROUP BY host, registered_domain
 
 
 _def("q69_host_stats", fn=_q_host_stats, duck_sql=_q69_oracle_sql())
+
+
+# X38 — HTML -> text extraction: the north-rule per-row invariant
+# ("byte-identical extracted text per url") as a first-class operator.
+# The engine side is osm_spark.text.html (pure Catalyst regex chain
+# over the binary html column); the oracle applies an INDEPENDENTLY
+# written DuckDB chain (different factoring: per-block-kind lowercase-
+# insensitive regexes with 'gis' options, entity decode via chained
+# replace) to the html VARCHAR twin. ``identical`` re-checks the
+# extraction against the stored text column on both sides, and the
+# hash compare pins the extracted BYTES themselves.
+
+
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.html import extract_text_col
+
+    _load(spark, sf_dir)
+    pages = _pages_df(spark)
+    ext = extract_text_col("html")
+    return pages.select(
+        "url",
+        ext.alias("extracted_text"),
+        (ext == F.col("text")).alias("identical"),
+    )
+
+
+def _q70_oracle_sql() -> str:
+    chain = "html_str"
+    for kind in ("head", "script", "style"):
+        chain = (
+            f"regexp_replace({chain}, "
+            f"'<{kind}[^>]*>.*?</{kind}>', '', 'gis')"
+        )
+    chain = f"regexp_replace({chain}, '<!--.*?-->', '', 'gs')"
+    chain = f"regexp_replace({chain}, '<[^>]*>', '', 'g')"
+    for ent, ch in (
+        ("&#44;", ","), ("&#46;", "."), ("&#39;", chr(39) * 2),
+        ("&nbsp;", " "), ("&quot;", '"'), ("&lt;", "<"),
+        ("&gt;", ">"), ("&amp;", "&"),
+    ):
+        chain = f"replace({chain}, '{ent}', '{ch}')"
+    return (
+        _pages_oracle_cte(columns="url, text, html_str")
+        + f", ext AS (SELECT url, text, {chain} AS extracted_text FROM pages)"
+        + " SELECT url, extracted_text,"
+        + " (extracted_text = text) AS identical FROM ext"
+    )
+
+
+_def("q70_extract_text", fn=_q_extract_text, duck_sql=_q70_oracle_sql())
 
 
 # ---------------------------------------------------------------------------

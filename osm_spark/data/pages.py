@@ -77,11 +77,35 @@ def _exprs(i: str, idiv: str, spec: PagesSpec) -> dict[str, str]:
         f" || '. geo: ' || CAST({lat_u} AS STRING) || ',' || CAST({lon_u} AS STRING)"
         f" || ' Lorem ipsum dolor sit amet, consectetur adipiscing elit.')"
     )
+    # Realistic markup around the text (the north-rule invariant is
+    # "byte-identical extracted text per url", so the html column must
+    # be something extraction actually has to WORK on): head block with
+    # title/meta, body-level script (contains '<', '>', '&&' — the tag
+    # stripper must not fire inside it), style block, comment,
+    # attributed tags, and the body text numeric-entity-encoded
+    # (',' -> '&#44;', '.' -> '&#46;') so entity decoding sits on the
+    # byte-identity path. '&' is encoded first (standard order) even
+    # though the synthetic text has none.
+    enc_text = (
+        f"replace(replace(replace({text},"
+        f" '&', '&amp;'), ',', '&#44;'), '.', '&#46;')"
+    )
+    ident = f"CAST({i} AS STRING)"
+    html_str = (
+        "('<!DOCTYPE html><html lang=\"' || " + lang + " || '\"><head>"
+        "<meta charset=\"utf-8\"/><title>page ' || " + ident + " || '"
+        "</title></head><body class=\"doc\" data-page=\"' || " + ident + " || '\">"
+        "<script type=\"text/javascript\">if (1 < 2 && n > 0) { track(\"p\"); }"
+        "</script><style media=\"screen\">p { margin: 0; }</style>"
+        "<!-- warc segment ' || " + ident + " || ' --><div id=\"main\"><p>' || "
+        + enc_text + " || '</p></div></body></html>')"
+    )
     return {
         "url": url,
         "warc_ts_epoch": f"(1600000000 + {i})",
         "text": text,
         "lang": lang,
+        "html_str": html_str,
         "lon_u": lon_u,
         "lat_u": lat_u,
         "country": c,
@@ -95,7 +119,7 @@ def pages_df(spark: SparkSession, spec: PagesSpec) -> DataFrame:
     df = spark.range(spec.n_pages).selectExpr(
         f"{e['url']} AS url",
         f"timestamp_seconds({e['warc_ts_epoch']}) AS warc_ts",
-        f"cast(('<html><body>' || {e['text']} || '</body></html>') AS BINARY) AS html",
+        f"cast({e['html_str']} AS BINARY) AS html",
         f"{e['text']} AS text",
         f"{e['lang']} AS lang",
     )
@@ -113,6 +137,9 @@ def pages_duckdb_sql(spec: PagesSpec, columns: str = "url, warc_ts, text, lang")
         "lang": f"{e['lang']} AS lang",
         "lon_u": f"{e['lon_u']} AS lon_u",
         "lat_u": f"{e['lat_u']} AS lat_u",
+        "html_str": (
+            f"{e['html_str'].replace(' AS STRING', ' AS VARCHAR')} AS html_str"
+        ),
     }
     cols = ", ".join(sel[c.strip()] for c in columns.split(","))
     return (
