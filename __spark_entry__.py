@@ -2899,6 +2899,136 @@ def _q70_oracle_sql() -> str:
 _def("q70_extract_text", fn=_q_extract_text, duck_sql=_q70_oracle_sql())
 
 
+# X39 — benchmark decontamination (GPT-3 appx. C / Llama hygiene):
+# flag documents sharing any 8-token window with an eval set. The
+# "benchmark" here is deterministic: the full text of every document
+# with doc_id % 101 == 7 plays the leaked eval set, so contamination
+# is guaranteed non-trivial (the sources flag themselves, and any
+# other doc sharing a window flags too — the word-soup corpus makes
+# chance 8-gram collisions possible and both engines must agree on
+# them). The oracle recomputes the whole report in DuckDB, including
+# the pipe-joined sorted matched-gram list per doc.
+
+_DECON_N = 8
+_DECON_MOD = 101
+_DECON_REM = 7
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.decontaminate import contamination
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.where(
+        (F.col("doc_id") % _DECON_MOD) == _DECON_REM
+    ).select("text")
+    return contamination(docs, bench, n=_DECON_N)
+
+
+def _q71_oracle_sql() -> str:
+    n = _DECON_N
+    shingles = (
+        f"list_transform(range(1, greatest(len({_TOKENS_DUCK}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(({_TOKENS_DUCK})[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+WITH bgrams AS (
+  SELECT DISTINCT unnest({shingles}) AS gram
+  FROM documents WHERE doc_id % {_DECON_MOD} = {_DECON_REM}),
+ dgrams AS (
+  SELECT doc_id, unnest(list_distinct({shingles})) AS gram FROM documents),
+ hits AS (
+  SELECT doc_id, count(*) AS n,
+         array_to_string(list_sort(list(gram)), '|') AS grams
+  FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       coalesce(h.grams, '') AS matched_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+_def("q71_decontaminate", fn=_q_decontaminate, duck_sql=_q71_oracle_sql())
+
+
+# X40 — sequence packing (concat-and-chunk): per-doc global token
+# offsets + training-sequence span via a TWO-PHASE distributed prefix
+# sum (range partition → per-partition totals → O(partitions) driver
+# prefix → bounded windows). The oracle computes the same assignment
+# with DuckDB's single global window — two radically different plans
+# (one of which would be dead at 10^9 rows), hash-equal output.
+
+_PACK_SEQ_LEN = 128
+
+
+def _q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.packing import pack_offsets
+
+    _load(spark, sf_dir)
+    return pack_offsets(
+        spark.table("documents"), seq_len=_PACK_SEQ_LEN, num_partitions=8
+    )
+
+
+_PACK_DUCK_BASE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS INTEGER) AS n_tokens
+  FROM documents WHERE len({_TOKENS_DUCK}) > 0),
+ p AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM toks),
+ pk AS (
+  SELECT doc_id, n_tokens, start_tok,
+         start_tok // {_PACK_SEQ_LEN} AS seq_first,
+         (start_tok + n_tokens - 1) // {_PACK_SEQ_LEN} AS seq_last
+  FROM p)
+"""
+
+
+def _q72_oracle_sql() -> str:
+    return (
+        _PACK_DUCK_BASE
+        + "SELECT doc_id, n_tokens, start_tok, seq_first, seq_last FROM pk"
+    )
+
+
+_def("q72_pack_offsets", fn=_q_pack_offsets, duck_sql=_q72_oracle_sql())
+
+
+def _q_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.packing import pack_offsets, sequence_stats
+
+    _load(spark, sf_dir)
+    pack = pack_offsets(
+        spark.table("documents"), seq_len=_PACK_SEQ_LEN, num_partitions=8
+    )
+    return sequence_stats(pack, seq_len=_PACK_SEQ_LEN)
+
+
+def _q73_oracle_sql() -> str:
+    L = _PACK_SEQ_LEN
+    return (
+        _PACK_DUCK_BASE
+        + f""",
+ spans AS (
+  SELECT unnest(range(seq_first, seq_last + 1)) AS seq_id,
+         start_tok, n_tokens
+  FROM pk)
+SELECT seq_id, count(*) AS n_docs,
+       CAST(sum(least((seq_id + 1) * {L}, start_tok + n_tokens)
+                - greatest(seq_id * {L}, start_tok)) AS BIGINT) AS n_tokens
+FROM spans GROUP BY seq_id
+"""
+    )
+
+
+_def("q73_sequence_stats", fn=_q_sequence_stats, duck_sql=_q73_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
