@@ -3029,6 +3029,165 @@ FROM spans GROUP BY seq_id
 _def("q73_sequence_stats", fn=_q_sequence_stats, duck_sql=_q73_oracle_sql())
 
 
+# X41 — source-mixing sampler: deterministic per-source subsampling to
+# a token budget at prescribed integer shares (the training-mix step:
+# "6 parts web, 3 parts code, 1 part wiki"). Shares here derive from
+# the source name by a fixed rule ((int suffix % 4) + 1) so both
+# engines build the same mix without a hardcoded source list; the
+# budget is 10k tokens. All rate math is integer (token counts,
+# shares, md5-bucket bounds) — no float can disagree. q74 pins every
+# per-doc verdict; q75 pins the per-source achievement report.
+
+_MIX_BUDGET = 10_000
+_MIX_NB = 10_000
+_MIX_SALT = "mix:"
+
+
+def _mix_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.sampling import mix_sample
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    shares = {s: (int(s[3:]) % 4) + 1 for s in srcs}
+    return mix_sample(
+        docs, shares, _MIX_BUDGET, n_buckets=_MIX_NB, salt=_MIX_SALT
+    )
+
+
+def _q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mix_df(spark, sf_dir)
+
+
+_MIX_DUCK_BASE = f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(len({_TOKENS_DUCK}) AS INTEGER) AS n_tokens
+  FROM documents),
+ sh AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail,
+         (CAST(substr(source, 4) AS INTEGER) % 4) + 1 AS share
+  FROM toks GROUP BY source),
+ bounds AS (
+  SELECT source, avail,
+         least({_MIX_NB},
+               (({_MIX_BUDGET} * share) // (SELECT sum(share) FROM sh))
+               * {_MIX_NB} // avail) AS bound
+  FROM sh),
+ mixed AS (
+  SELECT t.doc_id, t.source, t.n_tokens, CAST(b.bound AS BIGINT) AS bound,
+         ({{bucket}}) < b.bound AS keep
+  FROM toks t JOIN bounds b ON t.source = b.source)
+"""
+
+
+def _mix_duck_base() -> str:
+    from osm_spark.text.sampling import bucket_sql
+
+    return _MIX_DUCK_BASE.format(
+        bucket=bucket_sql("CAST(doc_id AS VARCHAR)", _MIX_NB, salt=_MIX_SALT)
+    )
+
+
+def _q74_oracle_sql() -> str:
+    return (
+        _mix_duck_base()
+        + "SELECT doc_id, source, n_tokens, bound, keep FROM mixed"
+    )
+
+
+_def("q74_mix_sample", fn=_q_mix_sample, duck_sql=_q74_oracle_sql())
+
+
+def _q_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.sampling import mix_summary
+
+    return mix_summary(_mix_df(spark, sf_dir))
+
+
+def _q75_oracle_sql() -> str:
+    return (
+        _mix_duck_base()
+        + """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS avail_tokens,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       max(bound) AS bound
+FROM mixed GROUP BY source
+"""
+    )
+
+
+_def("q75_mix_summary", fn=_q_mix_summary, duck_sql=_q75_oracle_sql())
+
+
+# X42 — per-host boilerplate line removal (CCNet/C4 hygiene). The
+# testdata has no line structure, so the query injects it
+# deterministically: 7 hosts by doc_id % 7, every page opens with its
+# host's NAV line (100% within-host frequency → stripped at the 60%
+# threshold) and every third page appends a COOKIE line (~33% →
+# kept); the original text is the middle line (unique → kept). The
+# oracle recomputes counting, thresholding (integer percent math) and
+# order-preserving removal with DuckDB list ops, and the hash pins the
+# cleaned TEXT itself, not just counts.
+
+_BP_HOST_SQL = "('h' || CAST(doc_id % 7 AS {s}))"
+_BP_TEXT_SQL = (
+    "('NAV-' || {host} || {nl} || text"
+    " || CASE WHEN doc_id % 3 = 0 THEN {nl} || 'COOKIE NOTICE' ELSE '' END)"
+)
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.boilerplate import remove_boilerplate
+
+    _load(spark, sf_dir)
+    host = _BP_HOST_SQL.format(s="STRING")
+    injected = spark.table("documents").select(
+        "doc_id",
+        F.expr(host).alias("host"),
+        F.expr(
+            _BP_TEXT_SQL.format(host=host, nl="char(10)")
+        ).alias("text"),
+    )
+    return remove_boilerplate(injected, min_pct=60, min_docs=3)
+
+
+def _q76_oracle_sql() -> str:
+    host = _BP_HOST_SQL.format(s="VARCHAR")
+    itext = _BP_TEXT_SQL.format(host=host, nl="chr(10)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {host} AS host, {itext} AS text FROM documents),
+ lines AS (
+  SELECT doc_id, host, unnest(list_distinct(string_split(text, chr(10)))) AS line
+  FROM d),
+ counts AS (
+  SELECT host, line, count(*) AS n FROM lines GROUP BY host, line),
+ hd AS (SELECT host, count(*) AS host_docs FROM d GROUP BY host),
+ bp AS (
+  SELECT c.host, list(c.line) AS bp_lines
+  FROM counts c JOIN hd ON c.host = hd.host
+  WHERE hd.host_docs >= 3 AND c.n * 100 >= 60 * hd.host_docs
+  GROUP BY c.host),
+ cleaned AS (
+  SELECT d.doc_id, d.host,
+         CASE WHEN bp.bp_lines IS NULL THEN string_split(d.text, chr(10))
+              ELSE list_filter(string_split(d.text, chr(10)),
+                               x -> NOT list_contains(bp.bp_lines, x)) END AS kept,
+         len(string_split(d.text, chr(10))) AS n_all
+  FROM d LEFT JOIN bp ON d.host = bp.host)
+SELECT doc_id, host, array_to_string(kept, chr(10)) AS cleaned_text,
+       CAST(n_all - len(kept) AS INTEGER) AS n_removed_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept_lines
+FROM cleaned
+"""
+
+
+_def("q76_boilerplate", fn=_q_boilerplate, duck_sql=_q76_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -112,3 +112,83 @@ def write_split_tables(
         t.write(tagged.where(F.col("split") == name).drop("split"), mode=mode)
         out[name] = t
     return out
+
+
+def mix_sample(
+    docs: DataFrame,
+    shares: dict[str, int],
+    token_budget: int,
+    key: str = "doc_id",
+    text: str = "text",
+    source: str = "source",
+    n_buckets: int = 10_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Source-mixing sampler: deterministic per-source subsampling that
+    hits a token budget at prescribed mixture weights.
+
+    Training mixes are specified as integer SHARES per source (e.g.
+    {"web": 6, "code": 3, "wiki": 1}); the operator computes each
+    source's token target ``budget * share / total_shares``, turns it
+    into a keep-rate against the source's available tokens, and keeps
+    documents by the same md5-bucket rule as ``hash_sample`` — so the
+    sample is reproducible across runs, engines and cluster sizes, and
+    a re-run after appending a shard keeps every previously-kept doc
+    whose source rate did not change.
+
+    All rate math is INTEGER (shares, token counts, bucket bounds):
+    no float rounding can disagree between engines. A source with more
+    target than available tokens keeps everything (rate clamps at 1).
+
+    Scale shape: one map-side-combinable per-source aggregate whose
+    result is O(sources) on the driver (like the manifest's O(files)),
+    broadcast back as (source, bound); the keep predicate is then pure
+    Catalyst per row. Returns every input doc with its verdict:
+    (key, source, n_tokens, bound, keep).
+    """
+    from osm_spark.text.analysis import TOKENS_SQL
+
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    tot_share = sum(shares.values())
+    if tot_share <= 0:
+        raise ValueError("total shares must be positive")
+    toks = docs.select(
+        F.col(key),
+        F.col(source),
+        F.size(F.expr(TOKENS_SQL.format(t=text))).alias("n_tokens"),
+    )
+    avail = toks.groupBy(source).agg(F.sum("n_tokens").alias("avail")).collect()
+    bounds = []
+    for r in avail:
+        a = int(r["avail"] or 0)
+        target = token_budget * shares.get(r[source], 0) // tot_share
+        bound = min(n_buckets, target * n_buckets // a) if a > 0 else 0
+        bounds.append((r[source], bound))
+    bdf = docs.sparkSession.createDataFrame(
+        bounds, f"{source} string, bound long"
+    )
+    return toks.join(F.broadcast(bdf), source).select(
+        key,
+        source,
+        "n_tokens",
+        "bound",
+        (hash_bucket(F.col(key), n_buckets, salt) < F.col("bound")).alias(
+            "keep"
+        ),
+    )
+
+
+def mix_summary(mixed: DataFrame, source: str = "source") -> DataFrame:
+    """Per-source achievement report for a ``mix_sample`` output:
+    available vs kept docs/tokens. The judge of a training mix reads
+    THIS, not the per-doc verdicts."""
+    return mixed.groupBy(source).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("avail_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_docs"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+        F.max("bound").alias("bound"),
+    )
