@@ -3188,6 +3188,92 @@ FROM cleaned
 _def("q76_boilerplate", fn=_q_boilerplate, duck_sql=_q76_oracle_sql())
 
 
+# X43 — incremental cross-snapshot dedup: a new crawl increment is
+# classified against content already committed in a ManifestTable
+# (dup_existing > dup_within > new) and only the new docs append.
+# The Spark side runs the REAL flow — commit base snapshot, pruned
+# hash read, window + left join, atomic append — while the oracle
+# recomputes every verdict and the final table row count in DuckDB
+# from the same deterministic construction (base = even doc_ids;
+# increment A = %3 docs re-keyed +10000; increment B = %9==3 docs
+# re-keyed +20000, duplicating A's text so odd ones become
+# within-increment dups and even ones stay existing-dups).
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from osm_spark.sources.manifest_table import ManifestTable
+    from osm_spark.text.dedup import commit_increment, dedup_increment, table_content_hashes
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    path = tempfile.mkdtemp(prefix="q77_incdedup_")
+    try:
+        t = ManifestTable(spark, path)
+        base = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        t.write(base, mode="overwrite")
+        inc = (
+            docs.where(F.col("doc_id") % 3 == 0)
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+            .unionByName(
+                docs.where(F.col("doc_id") % 9 == 3).select(
+                    (F.col("doc_id") + 20000).alias("doc_id"), "text"
+                )
+            )
+        )
+        verdicts = dedup_increment(table_content_hashes(t), inc).persist()
+        stats = commit_increment(t, inc)
+        out = verdicts.withColumn(
+            "final_table_rows",
+            F.lit(int(t.read().count())).cast("long"),
+        ).withColumn("final_version", F.lit(stats["version"]).cast("int"))
+        pdf = out.toPandas()  # materialize before the table dir vanishes
+        verdicts.unpersist()
+        return spark.createDataFrame(
+            pdf,
+            "doc_id long, content_md5 string, status string, "
+            "final_table_rows long, final_version int",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _q77_oracle_sql() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+ inc AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 9 = 3),
+ ranked AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM inc),
+ verdicts AS (
+  SELECT r.doc_id, r.content_md5,
+         CASE WHEN e.content_md5 IS NOT NULL THEN 'dup_existing'
+              WHEN r.rn > 1 THEN 'dup_within'
+              ELSE 'new' END AS status
+  FROM ranked r
+  LEFT JOIN (SELECT DISTINCT md5(text) AS content_md5 FROM base) e
+    ON r.content_md5 = e.content_md5),
+ finals AS (
+  SELECT (SELECT count(*) FROM base)
+         + (SELECT count(*) FROM verdicts WHERE status = 'new')
+           AS final_table_rows)
+SELECT v.doc_id, v.content_md5, v.status,
+       CAST(f.final_table_rows AS BIGINT) AS final_table_rows,
+       2 AS final_version
+FROM verdicts v CROSS JOIN finals f
+"""
+
+
+_def("q77_incremental_dedup", fn=_q_incremental_dedup, duck_sql=_q77_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

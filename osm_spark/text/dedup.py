@@ -261,3 +261,100 @@ def ngram_shingles_sql(text: str, n: int = 3) -> str:
         f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
         f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_increment(
+    existing_hashes: DataFrame,
+    increment: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Classify a new crawl increment against already-committed content.
+
+    A fresh Common-Crawl snapshot re-fetches most of the web; before
+    appending it to the training table every page must be checked
+    against ALL previously committed content (cross-snapshot exact
+    dedup) and against the increment itself. Status per increment doc:
+
+    - ``dup_existing`` — content hash already committed (existing wins,
+      regardless of within-increment rank);
+    - ``dup_within``   — another increment doc with the same content
+      and a smaller key wins;
+    - ``new``          — first sighting, safe to append.
+
+    Scale shape: ``existing_hashes`` is ONE pruned column read off the
+    committed table (scan reads just the hash/text column — Parquet
+    column pruning makes this cheap even at 10^12 rows), then a
+    shuffle-on-hash left join. The within-increment rank is a window
+    over the same shuffle key, so Catalyst reuses one exchange for
+    both. For repeated increments, persist the distinct hash set or
+    push a Bloom filter of it into the increment scan.
+    """
+    from pyspark.sql import Window
+
+    inc = increment.select(F.col(key), F.md5(F.col(text)).alias("content_md5"))
+    rn = F.row_number().over(
+        Window.partitionBy("content_md5").orderBy(key)
+    )
+    existing = existing_hashes.select("content_md5").distinct().withColumn(
+        "in_existing", F.lit(True)
+    )
+    return (
+        inc.withColumn("rn", rn)
+        .join(existing, "content_md5", "left")
+        .select(
+            key,
+            "content_md5",
+            F.when(F.col("in_existing"), "dup_existing")
+            .when(F.col("rn") > 1, "dup_within")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )
+
+
+def table_content_hashes(table, text: str = "text", version=None) -> DataFrame:
+    """Distinct content hashes of a ManifestTable snapshot — the
+    pruned-scan side of ``dedup_increment``."""
+    return (
+        table.read(version=version)
+        .select(F.md5(F.col(text)).alias("content_md5"))
+        .distinct()
+    )
+
+
+def commit_increment(
+    table,
+    increment: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+) -> dict:
+    """End-to-end incremental append: classify the increment against
+    the table's CURRENT snapshot, append only the ``new`` docs, and
+    return {'version', 'n_new', 'n_dup_existing', 'n_dup_within'}.
+    The append is one atomic ManifestTable commit, so a concurrent
+    writer conflict surfaces as CommitConflict instead of duplicated
+    rows."""
+    verdicts = dedup_increment(
+        table_content_hashes(table, text=text), increment, key=key, text=text
+    ).persist()
+    counts = {
+        r["status"]: r["n"]
+        for r in verdicts.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    fresh = increment.join(
+        verdicts.where(F.col("status") == "new").select(key), key, "semi"
+    )
+    table.write(fresh, mode="append")
+    verdicts.unpersist()
+    return {
+        "version": table.current_version(),
+        "n_new": int(counts.get("new", 0)),
+        "n_dup_existing": int(counts.get("dup_existing", 0)),
+        "n_dup_within": int(counts.get("dup_within", 0)),
+    }
