@@ -3274,6 +3274,130 @@ FROM verdicts v CROSS JOIN finals f
 _def("q77_incremental_dedup", fn=_q_incremental_dedup, duck_sql=_q77_oracle_sql())
 
 
+# X44 — the full curation pipeline as ONE composition: repetition
+# filter → exact dedup → decontamination → source mixing →
+# train/val/test split, every doc accounted for with its final
+# disposition. The point is composability under the hash gate: five
+# operators chained SEQUENTIALLY (each stage's verdict depends on the
+# survivors of the previous — mix rates over the deduped corpus, not
+# the raw one), and the oracle re-derives the entire cascade in one
+# DuckDB CTE chain. Any drift in any stage, or in the chaining order,
+# hash-mismatches here even if each stage's own gate query stays green.
+
+_P78_BUDGET = 8_000
+_P78_SALT = "v1:"
+
+
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.pipeline import curate
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.where(
+        (F.col("doc_id") % _DECON_MOD) == _DECON_REM
+    ).select("text")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    shares = {s: (int(s[3:]) % 4) + 1 for s in srcs}
+    return curate(
+        docs,
+        bench,
+        shares,
+        _P78_BUDGET,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        ngram_n=_DECON_N,
+        salt=_P78_SALT,
+    )
+
+
+def _q78_oracle_sql() -> str:
+    from osm_spark.text.repetition import (
+        MAX_TOP_BIGRAM_FRAC,
+        MAX_TOP_TOKEN_FRAC,
+        MIN_DISTINCT_RATIO,
+    )
+    from osm_spark.text.sampling import bucket_sql
+
+    n = _DECON_N
+    shingles = (
+        f"list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' '))"
+    )
+    # curate() calls mix_sample with its default salt ("mix"), not the
+    # q74 query's "mix:" — the oracle must hash with the same salt.
+    mix_bucket = bucket_sql("CAST(doc_id AS VARCHAR)", _MIX_NB, salt="mix")
+    split_bucket = bucket_sql("CAST(doc_id AS VARCHAR)", 10_000, salt=_P78_SALT)
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, source, text, {_TOKENS_DUCK} AS tk FROM documents),
+ uni AS (SELECT doc_id, unnest(tk) AS gram FROM t0 WHERE len(tk) > 0),
+ bi AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> concat(tk[i], ' ', tk[i+1]))) AS gram
+        FROM t0 WHERE len(tk) > 0),
+ ug AS (SELECT doc_id, gram, count(*) AS c FROM uni GROUP BY 1, 2),
+ bg AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+ u AS (SELECT doc_id, sum(c) AS tok_n, max(c) AS tok_top,
+              count(*) AS n_distinct FROM ug GROUP BY 1),
+ b AS (SELECT doc_id, sum(c) AS bi_n, max(c) AS bi_top FROM bg GROUP BY 1),
+ rep AS (
+  SELECT u.doc_id,
+         (round(CAST(n_distinct AS DOUBLE) / tok_n, 9) >= {MIN_DISTINCT_RATIO}
+          AND round(CAST(tok_top AS DOUBLE) / tok_n, 9) <= {MAX_TOP_TOKEN_FRAC}
+          AND round(coalesce(CAST(bi_top AS DOUBLE) / bi_n, 0.0), 9)
+              <= {MAX_TOP_BIGRAM_FRAC}) AS keep
+  FROM u LEFT JOIN b ON u.doc_id = b.doc_id),
+ tagged AS (
+  SELECT t0.*, coalesce(rep.keep, false) AS keep
+  FROM t0 LEFT JOIN rep ON t0.doc_id = rep.doc_id),
+ drop1 AS (SELECT doc_id, 'drop_repetition' AS disposition
+           FROM tagged WHERE NOT keep),
+ s1 AS (SELECT doc_id, source, text, tk FROM tagged WHERE keep),
+ ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM s1),
+ drop2 AS (SELECT doc_id, 'drop_exact_dup' AS disposition
+           FROM ranked WHERE rn > 1),
+ s2 AS (SELECT doc_id, source, text, tk FROM ranked WHERE rn = 1),
+ bgrams AS (
+  SELECT DISTINCT unnest({shingles}) AS gram
+  FROM t0 WHERE doc_id % {_DECON_MOD} = {_DECON_REM}),
+ dgr AS (SELECT doc_id, unnest(list_distinct({shingles})) AS gram FROM s2),
+ cont AS (SELECT DISTINCT doc_id FROM dgr JOIN bgrams USING (gram)),
+ drop3 AS (SELECT doc_id, 'drop_contaminated' AS disposition FROM cont),
+ s3 AS (SELECT s2.* FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+ sh AS (
+  SELECT source, CAST(sum(len(tk)) AS BIGINT) AS avail,
+         (CAST(substr(source, 4) AS INTEGER) % 4) + 1 AS share
+  FROM s3 GROUP BY source),
+ bounds AS (
+  SELECT source,
+         least({_MIX_NB},
+               (({_P78_BUDGET} * share) // (SELECT sum(share) FROM sh))
+               * {_MIX_NB} // avail) AS bound
+  FROM sh),
+ mixed AS (
+  SELECT s3.doc_id, ({mix_bucket}) < bo.bound AS keep
+  FROM s3 JOIN bounds bo ON s3.source = bo.source),
+ drop4 AS (SELECT doc_id, 'drop_mix' AS disposition
+           FROM mixed WHERE NOT keep),
+ s4 AS (SELECT doc_id FROM mixed WHERE keep),
+ final AS (
+  SELECT doc_id,
+         CASE WHEN {split_bucket} < 9000 THEN 'train'
+              WHEN {split_bucket} < 9500 THEN 'val'
+              ELSE 'test' END AS disposition
+  FROM s4)
+SELECT * FROM drop1
+UNION ALL SELECT * FROM drop2
+UNION ALL SELECT * FROM drop3
+UNION ALL SELECT * FROM drop4
+UNION ALL SELECT * FROM final
+"""
+
+
+_def("q78_curation_pipeline", fn=_q_curate, duck_sql=_q78_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
