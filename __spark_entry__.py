@@ -2733,7 +2733,7 @@ WITH base AS (
  b AS (SELECT doc_id, sum(c) AS bi_n, max(c) AS bi_top FROM bg GROUP BY 1),
  j AS (SELECT u.doc_id, tok_n, tok_top, n_distinct, bi_n, bi_top
        FROM u LEFT JOIN b ON u.doc_id = b.doc_id)
-SELECT doc_id, tok_n AS n_tokens,
+SELECT doc_id, CAST(tok_n AS BIGINT) AS n_tokens,
        round(CAST(n_distinct AS DOUBLE) / tok_n, 9) AS distinct_ratio,
        round(CAST(tok_top AS DOUBLE) / tok_n, 9) AS top_token_frac,
        round(coalesce(CAST(bi_top AS DOUBLE) / bi_n, 0.0), 9) AS top_bigram_frac,

@@ -130,6 +130,23 @@ def main() -> None:
     ).persist()
     pages.count()
 
+    # HTML→text extraction over the full pages table — the north-rule
+    # per-row invariant as a throughput leg. Counting the rows where
+    # extraction != stored text (must be 0) forces the whole regex
+    # chain to execute AND re-verifies byte identity at bench scale.
+    def run_extract():
+        from osm_spark.text.html import verify_extraction
+
+        bad = (
+            verify_extraction(pages)
+            .where(~F.col("identical"))
+            .count()
+        )
+        assert bad == 0, f"extraction broke byte identity on {bad} pages"
+        return n_pages
+
+    timed("html_extract", run_extract)
+
     sp: dict = {}
 
     # The spatial join is two phases with very different scaling laws:
