@@ -3398,6 +3398,65 @@ UNION ALL SELECT * FROM final
 _def("q78_curation_pipeline", fn=_q_curate, duck_sql=_q78_oracle_sql())
 
 
+# X45 — global paragraph-level exact dedup (C4): keep only the first
+# global occurrence of every exact paragraph. Injection gives the
+# word-soup docs paragraph structure: every doc_id%4==1 page opens
+# with the SAME syndicated quote block (one global winner — the
+# smallest such doc_id), and every doc_id%10==2 page repeats its own
+# body twice (within-doc dup, earliest position wins). The oracle
+# recomputes winners with an integer (doc_id*1e6+pos) total order —
+# equivalent to the engine's min(struct(key,pos)) for pos < 1e6 —
+# and the hash pins the rebuilt cleaned text.
+
+_PARA_TEXT_SQL = (
+    "(CASE WHEN doc_id % 4 = 1 THEN 'shared syndicated quote block' || {nl} || text"
+    " WHEN doc_id % 10 = 2 THEN text || {nl} || text"
+    " ELSE text END)"
+)
+
+
+def _q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.paragraphs import dedup_paragraphs
+
+    _load(spark, sf_dir)
+    injected = spark.table("documents").select(
+        "doc_id",
+        F.expr(_PARA_TEXT_SQL.format(nl="char(10)")).alias("text"),
+    )
+    return dedup_paragraphs(injected)
+
+
+def _q79_oracle_sql() -> str:
+    itext = _PARA_TEXT_SQL.format(nl="chr(10)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split({itext}, chr(10)) AS parts FROM documents),
+ p AS (
+  SELECT doc_id, CAST(g.i AS INT) AS pos, parts[g.i + 1] AS para
+  FROM d CROSS JOIN generate_series(0, 7) AS g(i)
+  WHERE g.i < len(parts)),
+ w AS (
+  SELECT para, min(doc_id * 1000000 + pos) AS wkey FROM p GROUP BY para),
+ tagged AS (
+  SELECT p.doc_id, p.pos, p.para,
+         (p.doc_id * 1000000 + p.pos = w.wkey) AS keep
+  FROM p JOIN w ON p.para = w.para),
+ rebuilt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos)
+           AS cleaned_text,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+  FROM tagged GROUP BY doc_id)
+SELECT doc_id, coalesce(cleaned_text, '') AS cleaned_text,
+       n_kept, n_removed
+FROM rebuilt
+"""
+
+
+_def("q79_paragraph_dedup", fn=_q_para_dedup, duck_sql=_q79_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
