@@ -257,3 +257,35 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = 1800) -> Data
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_pages(
+    pages_stream: DataFrame,
+    text: str = "text",
+    key: str = "url",
+    watermark: str = "7 days",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Streaming exact dedup of a continuous crawl: content-hash
+    ``dropDuplicates`` inside the streaming plan.
+
+    The batch twin is dedup.py's ``dedup_increment`` (cross-snapshot,
+    manifest-versioned); this is the ingest-time variant for a
+    readStream crawl feed. State is the set of content hashes seen
+    within the watermark horizon, so state size is bounded by the
+    horizon's traffic, not the corpus — the standard trade at
+    10^12 docs: a re-crawl OUTSIDE the horizon is not caught here and
+    falls through to the batch cross-snapshot dedup at commit time
+    (the two operators compose: stream bounds the state, the manifest
+    anti-join is exact over all history).
+
+    Keeps the FIRST arrival of each content hash per Spark's streaming
+    dropDuplicates semantics (exactly-once under checkpointed sinks).
+    """
+    return (
+        pages_stream
+        .withColumn("content_md5", F.md5(F.col(text)))
+        .withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+        .drop("content_md5")
+    )

@@ -200,3 +200,47 @@ def test_stream_pip_enrich_native(spark, world, tmp_path):
         for r in sp["pip"].join(sp["points"], "point_id").select("url", "rel_id").collect()
     }
     assert streamed == batch
+
+
+def test_stream_dedup_first_arrival_wins(spark, tmp_path):
+    """Streaming exact dedup: duplicated content within the watermark
+    horizon is dropped; the streamed survivor set equals the batch
+    first-occurrence dedup on the same data."""
+    from osm_spark.streaming.pages_stream import stream_dedup_pages
+
+    rows = []
+    base_ts = "2020-09-13 12:{m:02d}:00"
+    for i in range(60):
+        # 20 distinct contents, each arriving 3 times at later minutes
+        rows.append(
+            (f"https://e.org/p/{i}", base_ts.format(m=i % 60),
+             f"content-{i % 20}")
+        )
+    pages = spark.createDataFrame(
+        rows, "url string, ts string, text string"
+    ).select(
+        "url", F.col("ts").cast("timestamp").alias("warc_ts"), "text"
+    )
+    src = str(tmp_path / "dsrc")
+    pages.coalesce(1).write.parquet(src)  # one file: deterministic order
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(src)
+    out = stream_dedup_pages(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_pages")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("dedup_pages").collect()
+    # exactly one survivor per distinct content
+    assert len(got) == 20
+    assert sorted({r.text for r in got}) == sorted(
+        {f"content-{i}" for i in range(20)}
+    )
+    # batch twin agrees on the survivor CONTENT set
+    batch = pages.dropDuplicates(["text"]).collect()
+    assert {r.text for r in got} == {r.text for r in batch}
