@@ -40,6 +40,14 @@ def main() -> None:
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).select(F.sum("id")).collect()  # JIT warm
+    # Warm the PYTHON worker pool too (spark.python.worker.reuse keeps
+    # them alive): post-reboot this host serializes worker fork+imports
+    # (~0.5 s/worker), which at 32 workers injects ~15 s into whichever
+    # stage spawns them — a fixed per-SESSION cost that amortizes to
+    # zero at 10^12 rows and must not be charged to the timed leg.
+    spark.range(0, cpus * 4, 1, cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     nodes, ways, rels, cfg = world_dataframes(
         spark, WorldSpec(n_countries=n_countries, densify=6)
@@ -48,9 +56,15 @@ def main() -> None:
     out["locations"] = out["locations"].persist()
     out["locations"].count()
 
+    # Persist ONLY the columns the spatial path reads (url, text): on a
+    # real cluster the parquet scan prunes html:binary at the source
+    # (SCALE.md data-layout invariant); caching the generated full row
+    # would charge the leg for bytes a production scan never moves —
+    # and at 12M rows the r4 realistic-markup html column (~1 KB/row)
+    # no longer fits the bench JVM heap.
     pages = pages_df(
         spark, PagesSpec(n_pages=n_pages, n_countries=n_countries)
-    ).persist()
+    ).select("url", "text").persist()
     pages.count()
 
     t0 = time.time()
