@@ -3457,6 +3457,156 @@ FROM rebuilt
 _def("q79_paragraph_dedup", fn=_q_para_dedup, duck_sql=_q79_oracle_sql())
 
 
+# X46 — hyperlink extraction / page graph / integer PageRank
+# (q80-q82). The pages table carries d = i % 4 deterministic anchors
+# per page (data/pages.py nav block): absolute, root-relative with a
+# tracking param + fragment, and www+:443 — so extraction exercises
+# resolution AND normalization. The oracle re-extracts with an
+# INDEPENDENTLY written DuckDB chain (unnest(regexp_extract_all) +
+# staged CASE/regexp_replace normalization, different factoring from
+# the engine's Column expressions). PageRank is defined on int64
+# fixed-point arithmetic (text/pagerank.py) precisely so the oracle —
+# an UNROLLED K-round CTE chain, a completely different plan — can
+# match the engine hash-exactly; all DuckDB sums are cast back to
+# BIGINT (DuckDB widens sum(BIGINT) to HUGEINT).
+
+
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.links import extract_links
+
+    _load(spark, sf_dir)
+    return extract_links(_pages_df(spark))
+
+
+# DuckDB CTE stages: anchors -> resolved -> normalized (src is
+# already canonical by construction of the generator).
+_LINKS_DUCK = """
+ anchors AS (
+  SELECT url AS src,
+         unnest(regexp_extract_all(html_str,
+                '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+  FROM pages),
+ kepth AS (
+  SELECT src, href FROM anchors
+  WHERE NOT regexp_matches(href, '^(mailto:|javascript:|tel:|#|$)')),
+ l1 AS (
+  SELECT src,
+   CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+        WHEN href LIKE '//%' THEN
+          regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) || ':' || href
+        WHEN href LIKE '/%' THEN
+          regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) || href
+        ELSE regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)', 1) || href
+   END AS u
+  FROM kepth),
+ l2 AS (SELECT src, regexp_replace(u, '#.*', '', 'g') AS u FROM l1),
+ l3 AS (SELECT src,
+        concat(lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*')),
+               substr(u, length(regexp_extract(u,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*')) + 1)) AS u
+        FROM l2),
+ l4 AS (SELECT src, regexp_replace(u, '://www\\.', '://', 'g') AS u FROM l3),
+ l5 AS (SELECT src,
+        regexp_replace(regexp_replace(u, ':(80|443)/', '/', 'g'),
+                       ':(80|443)$', '', 'g') AS u FROM l4),
+ l6 AS (SELECT src,
+        regexp_replace(regexp_replace(regexp_replace(u,
+          'utm_[a-z_]+=[^&#]*&', '', 'g'),
+          '[?&]utm_[a-z_]+=[^&#]*$', '', 'g'),
+          '\\?$', '', 'g') AS u FROM l5),
+ linkrows AS (SELECT src, regexp_replace(u, '/+$', '', 'g') AS dst FROM l6),
+ edges AS (SELECT DISTINCT src, dst FROM linkrows WHERE src <> dst)
+"""
+
+
+def _q80_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte(columns="url, html_str")
+        + ","
+        + _LINKS_DUCK
+        + "SELECT src, dst FROM linkrows"
+    )
+
+
+_def("q80_extract_links", fn=_q_extract_links, duck_sql=_q80_oracle_sql())
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.links import page_edges
+    from osm_spark.text.pagerank import pagerank
+
+    _load(spark, sf_dir)
+    pages = _pages_df(spark)
+    return pagerank(
+        pages.select("url"), page_edges(pages), iterations=5
+    )
+
+
+_PR_ITERS = 5
+
+
+def _q81_oracle_sql() -> str:
+    n = _N_PAGES
+    base = 10**12 // n
+    teleport = 15 * base // 100
+    sql = (
+        _pages_oracle_cte(columns="url, html_str")
+        + ","
+        + _LINKS_DUCK
+        + f""",
+ nodes AS (SELECT url FROM pages),
+ outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+ r0 AS (SELECT url, CAST({base} AS BIGINT) AS rank FROM nodes)"""
+    )
+    for i in range(_PR_ITERS):
+        sql += f""",
+ d{i} AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dangle
+          FROM r{i} r LEFT JOIN outdeg o ON r.url = o.src
+          WHERE o.src IS NULL),
+ c{i} AS (SELECT e.dst AS url, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS s
+          FROM r{i} r JOIN outdeg o ON r.url = o.src
+          JOIN edges e ON e.src = r.url
+          GROUP BY e.dst),
+ r{i + 1} AS (SELECT n.url,
+          CAST({teleport} + (85 * (coalesce(c.s, 0)
+            + (SELECT dangle FROM d{i}) // {n})) // 100 AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN c{i} c ON n.url = c.url)"""
+    sql += f"\nSELECT url, rank FROM r{_PR_ITERS}"
+    return sql
+
+
+_def("q81_pagerank", fn=_q_pagerank, duck_sql=_q81_oracle_sql())
+
+
+def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.links import degree_stats, page_edges
+
+    _load(spark, sf_dir)
+    pages = _pages_df(spark)
+    return degree_stats(pages.select("url"), page_edges(pages))
+
+
+def _q82_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte(columns="url, html_str")
+        + ","
+        + _LINKS_DUCK
+        + """
+SELECT p.url,
+       CAST(coalesce(o.outdeg, 0) AS BIGINT) AS outdeg,
+       CAST(coalesce(i.indeg, 0) AS BIGINT) AS indeg
+FROM pages p
+LEFT JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) o
+  ON p.url = o.src
+LEFT JOIN (SELECT dst, count(*) AS indeg FROM edges GROUP BY dst) i
+  ON p.url = i.dst
+"""
+    )
+
+
+_def("q82_degrees", fn=_q_degrees, duck_sql=_q82_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

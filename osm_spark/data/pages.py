@@ -91,6 +91,27 @@ def _exprs(i: str, idiv: str, spec: PagesSpec) -> dict[str, str]:
         f" '&', '&amp;'), ',', '&#44;'), '.', '&#46;')"
     )
     ident = f"CAST({i} AS STRING)"
+    # Deterministic outlinks (page graph for link extraction/PageRank,
+    # q80-q82): page i carries d = i % 4 anchors (d=0 -> dangling
+    # node), targets fixed integer mixes of i. Anchor BODIES are empty
+    # so the tag stripper removes them without a trace — the
+    # "byte-identical extracted text per url" invariant (q70) is
+    # untouched. The three href forms deliberately exercise URL
+    # resolution + normalization: absolute, root-relative with a
+    # tracking param + fragment, and www + explicit default port.
+    d = f"({i} % 4)"
+    t1 = f"CAST((({i} * 2654435761 + 97) % {spec.n_pages}) AS STRING)"
+    t2 = f"CAST((({i} * 2246822519 + 40503) % {spec.n_pages}) AS STRING)"
+    t3 = f"CAST((({i} * 97 + 12582917) % {spec.n_pages}) AS STRING)"
+    nav_str = (
+        f"('<nav>' || CASE WHEN {d} >= 1 THEN "
+        f"'<a href=\"https://example.org/page/' || {t1} || '\"></a>' ELSE '' END"
+        f" || CASE WHEN {d} >= 2 THEN "
+        f"'<a href=\"/page/' || {t2} || '?utm_source=feed#r\"></a>' ELSE '' END"
+        f" || CASE WHEN {d} >= 3 THEN "
+        f"'<a href=\"https://www.example.org:443/page/' || {t3} || '\"></a>'"
+        f" ELSE '' END || '</nav>')"
+    )
     html_str = (
         "('<!DOCTYPE html><html lang=\"' || " + lang + " || '\"><head>"
         "<meta charset=\"utf-8\"/><title>page ' || " + ident + " || '"
@@ -98,7 +119,7 @@ def _exprs(i: str, idiv: str, spec: PagesSpec) -> dict[str, str]:
         "<script type=\"text/javascript\">if (1 < 2 && n > 0) { track(\"p\"); }"
         "</script><style media=\"screen\">p { margin: 0; }</style>"
         "<!-- warc segment ' || " + ident + " || ' --><div id=\"main\"><p>' || "
-        + enc_text + " || '</p></div></body></html>')"
+        + enc_text + " || '</p>' || " + nav_str + " || '</div></body></html>')"
     )
     return {
         "url": url,

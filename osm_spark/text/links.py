@@ -1,0 +1,113 @@
+"""Hyperlink extraction and page-graph construction, pure Catalyst.
+
+The web-corpus operator the crawl side of every LLM pipeline starts
+from: pull ``<a href>`` targets out of the raw ``html: binary`` column,
+resolve them against the page's own URL (RFC-3986-lite), canonicalize
+with the same normalization the URL-dedup path uses
+(:mod:`osm_spark.text.urls`), and emit a deduplicated ``(src, dst)``
+edge list — the input to PageRank (:mod:`osm_spark.text.pagerank`),
+host-level crawl budgeting, and seed selection.
+
+Scale shape (the 100-TB view):
+
+- Extraction is ``regexp_extract_all`` + ``explode`` + string CASEs —
+  JVM-side, zero Python, a narrow map over the scan followed by one
+  generator; no shuffle until the final ``distinct``. At 10^12 pages
+  the scan cost dominates, which is the shape you want.
+- ``distinct`` on (src, dst) is the one shuffle, map-side combinable.
+  Hot dst keys (everyone links to the same homepage) are harmless
+  here: distinct is a grouping where each group collapses to one row
+  map-side before the exchange.
+- Resolution semantics (documented contract): absolute URLs pass
+  through; ``//host/...`` takes the source scheme; ``/path`` takes the
+  source origin; anything else is resolved against the source URL's
+  directory. ``mailto:``/``javascript:``/``tel:``/pure-fragment
+  targets are dropped.
+
+No reference analog (pmezard/osm has no web-graph stage); SURVEY
+§2-ext. The q80 oracle re-extracts with an independently written
+DuckDB regexp chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osm_spark.text.urls import normalize_url
+
+# href capture: the <a ...> form worldgen emits plus the common
+# single/double-quote variants a real crawl carries.
+_HREF_RE = r'<a\\s[^>]*href="([^"]*)"'
+
+_SKIP_RE = r"^(mailto:|javascript:|tel:|#|$)"
+
+
+def resolve_href(href: Column, base_url: Column) -> Column:
+    """Absolute URL for ``href`` found on page ``base_url``."""
+    scheme = F.regexp_extract(base_url, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(
+        base_url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1
+    )
+    # through the LAST '/' of the path (query/fragment excluded)
+    directory = F.regexp_extract(
+        base_url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)", 1
+    )
+    return (
+        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(directory, href))
+    )
+
+
+def extract_links(
+    df: DataFrame, html: str = "html", url: str = "url"
+) -> DataFrame:
+    """(src, dst) — one row per anchor, src/dst both canonical.
+
+    Narrow until the caller aggregates; keeps duplicates and self
+    links so anchor-level statistics stay possible. ``page_edges``
+    applies the graph-semantics cleanup (distinct, self-free).
+    """
+    hrefs = F.expr(
+        f"regexp_extract_all(CAST({html} AS STRING), '{_HREF_RE}', 1)"
+    )
+    rows = df.select(
+        normalize_url(F.col(url)).alias("src"), F.explode(hrefs).alias("href")
+    ).where(~F.col("href").rlike(_SKIP_RE))
+    dst = normalize_url(resolve_href(F.col("href"), F.col("src")))
+    return rows.select("src", dst.alias("dst"))
+
+
+def page_edges(df: DataFrame, html: str = "html", url: str = "url") -> DataFrame:
+    """Deduplicated, self-loop-free directed edge set over canonical
+    URLs — the page graph. One map-side-combinable shuffle."""
+    links = extract_links(df, html=html, url=url)
+    return links.where(F.col("src") != F.col("dst")).distinct()
+
+
+def degree_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node (url, outdeg, indeg) including isolated nodes.
+
+    Two map-side-combinable groupBys + two left joins against the node
+    set; at web scale both joins shuffle on url once and AQE handles
+    the inevitable in-degree skew (mega-hubs) because the aggregates
+    are already collapsed to one row per node before the join.
+    """
+    out_d = edges.groupBy(F.col("src").alias("url")).agg(
+        F.count("*").alias("outdeg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("url")).agg(
+        F.count("*").alias("indeg")
+    )
+    return (
+        nodes.select("url")
+        .join(out_d, "url", "left")
+        .join(in_d, "url", "left")
+        .select(
+            "url",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+        )
+    )

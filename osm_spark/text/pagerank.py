@@ -1,0 +1,111 @@
+"""Integer fixed-point PageRank over the page graph.
+
+Iterative-algorithm operator (the builder brief's "custom operators"
+class): rank mass flows along the link graph for a fixed number of
+rounds. Floating-point PageRank is NOT reproducible across engines or
+cluster sizes — ``sum(double)`` depends on partitioning order — so
+this implementation defines PageRank on 64-bit integers:
+
+    SCALE      = 10^12 total mass units
+    base       = SCALE div n                      (per-node start mass)
+    teleport   = ((100 - damping_pct) * base) div 100
+    contrib(u) = rank(u) div outdeg(u)            (u with outlinks)
+    dangle     = sum(rank(u) for outdeg(u) = 0)
+    rank'(v)   = teleport
+               + (damping_pct * (sum contrib(u->v) + dangle div n)) div 100
+
+Every operation is int64 add/div; integer sums are order-independent,
+so the result is bit-identical at any parallelism — exactly the
+property the north rule's "identical output at N and 4N executors"
+demands, and what lets a plain SQL oracle (q81) reproduce the engine
+output hash-exactly. Mass is not exactly conserved (floor division
+leaks < 1 unit per node per round); the contract is determinism, not
+conservation.
+
+Scale shape per iteration (the 100-TB view):
+
+- ``edges ⋈ ranks on src``: the edge list is loop-INVARIANT — it is
+  repartitioned on src and persisted ONCE; each round only the ranks
+  side shuffles to meet it (one exchange).
+- ``groupBy dst``: map-side-combinable integer sum (one exchange).
+  In-degree skew (mega-hubs) collapses map-side.
+- dangling mass: one scalar aggregate per round over the anti-join of
+  ranks vs link sources — a driver-side int, broadcast back into the
+  plan. K scalar jobs for K rounds, each a partial-agg tree.
+- Lineage grows linearly with rounds; ``checkpoint_every`` truncates
+  it with ``localCheckpoint`` for large K (at planet scale you would
+  checkpoint ranks into a ManifestTable instead — same hook).
+
+No reference analog; SURVEY §2-ext (iterative fixed-point, same
+driver-loop pattern as J3 recursive relations and kNN radius
+expansion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """(url, rank) after ``iterations`` integer PageRank rounds.
+
+    ``nodes``: one row per url (the full vertex set — pages nobody
+    links to still hold teleport mass). ``edges``: distinct directed
+    (src, dst), self-loop-free (:func:`osm_spark.text.links.page_edges`).
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("url", F.lit(0).cast("long").alias("rank"))
+    base = SCALE // n
+    teleport = (100 - damping_pct) * base // 100
+
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # loop-invariant join input: partitioned by src once, reused every
+    # round (only the ranks side shuffles to meet it)
+    fan = (
+        edges.join(out_deg, "src")
+        .repartition("src")
+        .persist()
+    )
+    node_set = nodes.select("url").repartition("url").persist()
+
+    ranks = node_set.select("url", F.lit(base).cast("long").alias("rank"))
+    for i in range(iterations):
+        dangle = (
+            ranks.join(out_deg, ranks["url"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        shared = int(dangle) // n
+        contribs = (
+            ranks.join(fan, ranks["url"] == fan["src"])
+            .select(
+                F.col("dst").alias("url"),
+                F.expr("rank div outdeg").alias("contrib"),
+            )
+        )
+        sums = contribs.groupBy("url").agg(F.sum("contrib").alias("s"))
+        ranks = (
+            node_set.join(sums, "url", "left")
+            .select(
+                "url",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(s, 0L) + {shared})) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
