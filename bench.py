@@ -147,6 +147,33 @@ def main() -> None:
 
     timed("html_extract", run_extract)
 
+    # Page graph: anchor extraction → canonical distinct edge set, then
+    # integer fixed-point PageRank over it (the iterative-join leg: K
+    # rank shuffles against a loop-invariant src-partitioned fan-out).
+    graph: dict = {}
+
+    def run_link_graph():
+        from osm_spark.text.links import page_edges
+
+        if "edges" in graph:
+            graph["edges"].unpersist()
+        graph["edges"] = page_edges(pages).persist()
+        return graph["edges"].count()
+
+    timed("link_graph", run_link_graph)
+
+    def run_pagerank():
+        from osm_spark.text.pagerank import pagerank
+
+        if "ranks" in graph:
+            graph["ranks"].unpersist()
+        graph["ranks"] = pagerank(
+            pages.select("url"), graph["edges"], iterations=3
+        )
+        return graph["ranks"].count()
+
+    timed("pagerank", run_pagerank)
+
     sp: dict = {}
 
     # The spatial join is two phases with very different scaling laws:

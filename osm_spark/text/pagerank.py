@@ -32,9 +32,16 @@ Scale shape per iteration (the 100-TB view):
 - dangling mass: one scalar aggregate per round over the anti-join of
   ranks vs link sources — a driver-side int, broadcast back into the
   plan. K scalar jobs for K rounds, each a partial-agg tree.
-- Lineage grows linearly with rounds; ``checkpoint_every`` truncates
-  it with ``localCheckpoint`` for large K (at planet scale you would
-  checkpoint ranks into a ManifestTable instead — same hook).
+- Each round's ranks are persisted and the previous round's handle is
+  released once its successor is materialized, so the per-round cost
+  is ONE rank-shuffle + one scalar job — without this, round i's
+  dangling-mass aggregate would recompute the whole chain from round
+  0 (O(K²) total). The final ranks are eagerly ``localCheckpoint``-ed
+  so every loop-scoped persist (edge fan-out, node set, intermediate
+  ranks) can be released before returning; ``checkpoint_every``
+  additionally truncates lineage mid-loop for large K (at planet
+  scale you would checkpoint ranks into a ManifestTable instead —
+  same hook).
 
 No reference analog; SURVEY §2-ext (iterative fixed-point, same
 driver-loop pattern as J3 recursive relations and kNN radius
@@ -68,7 +75,11 @@ def pagerank(
     base = SCALE // n
     teleport = (100 - damping_pct) * base // 100
 
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # tiny (one row per linking page) but read every round by the
+    # dangle anti-join — persist, or each round re-scans raw edges
+    out_deg = (
+        edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    )
     # loop-invariant join input: partitioned by src once, reused every
     # round (only the ranks side shuffles to meet it)
     fan = (
@@ -78,13 +89,21 @@ def pagerank(
     )
     node_set = nodes.select("url").repartition("url").persist()
 
-    ranks = node_set.select("url", F.lit(base).cast("long").alias("rank"))
+    ranks = node_set.select(
+        "url", F.lit(base).cast("long").alias("rank")
+    ).persist()
+    superseded: list[DataFrame] = []
     for i in range(iterations):
+        # scalar job; also materializes this round's persisted ranks,
+        # after which the previous round's handle is safe to drop
         dangle = (
             ranks.join(out_deg, ranks["url"] == out_deg["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
             .collect()[0]["d"]
         )
+        for old in superseded:
+            old.unpersist()
+        superseded = [ranks]
         shared = int(dangle) // n
         contribs = (
             ranks.join(fan, ranks["url"] == fan["src"])
@@ -108,4 +127,10 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
-    return ranks
+        ranks = ranks.persist()
+    # eager cut: materialize the result, then release every handle the
+    # loop pinned (ADVICE r3 knn pattern — no persists outlive the call)
+    out = ranks.localCheckpoint(eager=True)
+    for df in superseded + [ranks, fan, node_set, out_deg]:
+        df.unpersist()
+    return out
