@@ -3607,6 +3607,86 @@ LEFT JOIN (SELECT dst, count(*) AS indeg FROM edges GROUP BY dst) i
 _def("q82_degrees", fn=_q_degrees, duck_sql=_q82_oracle_sql())
 
 
+# X48 — weakly-connected components of the page graph (q83): the
+# large-star/small-star contraction (X34) applied to URL-string nodes
+# over the extracted link edges, with the page table as the explicit
+# vertex universe (dangling pages = singleton components). Oracle =
+# recursive-CTE transitive closure (the q65 pattern) — a completely
+# different algorithm, hash-equal output.
+
+
+def _q_page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.components import label_components
+    from osm_spark.text.links import page_edges
+
+    _load(spark, sf_dir)
+    pages = _pages_df(spark)
+    return label_components(pages.select("url"), page_edges(pages))
+
+
+def _q83_oracle_sql() -> str:
+    head = _pages_oracle_cte(columns="url, html_str").replace(
+        "WITH pages", "WITH RECURSIVE pages", 1
+    )
+    return (
+        head
+        + ","
+        + _LINKS_DUCK
+        + """,
+ sym AS (SELECT src AS a, dst AS b FROM edges
+         UNION SELECT dst, src FROM edges),
+ reach(src, dst) AS (
+   SELECT a, b FROM sym
+   UNION
+   SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+ comp AS (
+   SELECT p.url,
+          least(p.url, coalesce(min(r.dst), p.url)) AS component
+   FROM pages p LEFT JOIN reach r ON r.src = p.url
+   GROUP BY p.url),
+ sizes AS (SELECT component AS c2, CAST(count(*) AS BIGINT) AS component_size
+           FROM comp GROUP BY component)
+SELECT url, component, component_size
+FROM comp JOIN sizes ON component = c2
+"""
+    )
+
+
+_def("q83_page_components", fn=_q_page_components, duck_sql=_q83_oracle_sql())
+
+
+# X49 — corpus vocabulary statistics (q84): tf + df per token from one
+# per-(doc, token) pre-count (no count_distinct), deterministic top-k
+# slice on the (tf DESC, token ASC) total order. The oracle recomputes
+# both statistics and the slice with DuckDB list functions over the
+# SAME tokenizer definition the other text oracles pin (q35/q65).
+
+
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.vocab import top_k_vocabulary
+
+    _load(spark, sf_dir)
+    # k below the corpus vocabulary size so the deterministic
+    # (tf DESC, token ASC) cut is actually exercised at the boundary
+    return top_k_vocabulary(spark.table("documents"), k=20)
+
+
+def _q84_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents),
+ pd AS (SELECT doc_id, token, count(*) AS c FROM toks
+        GROUP BY doc_id, token),
+ v AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf,
+              CAST(count(*) AS BIGINT) AS df
+       FROM pd GROUP BY token)
+SELECT token, tf, df FROM v ORDER BY tf DESC, token ASC LIMIT 20
+"""
+
+
+_def("q84_vocab_topk", fn=_q_vocab, duck_sql=_q84_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -153,6 +153,31 @@ def connected_components(
     return spokes.unionByName(roots).distinct()
 
 
+def label_components(
+    nodes: DataFrame, edges: DataFrame, key: str = "url"
+) -> DataFrame:
+    """Per-node component labels over an explicit vertex set: (key,
+    component, component_size). Isolated nodes (no incident edge) are
+    their own singleton component — ``nodes`` is the universe, not the
+    edge endpoints. One left join + one size aggregate on top of
+    :func:`connected_components` (same scale shape)."""
+    comp = connected_components(edges)
+    labeled = (
+        nodes.select(F.col(key))
+        .join(comp.withColumnRenamed("node", key), key, "left")
+        .select(
+            F.col(key),
+            F.coalesce("component", F.col(key)).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").alias("component_size")
+    )
+    return labeled.join(sizes, "component").select(
+        F.col(key), "component", "component_size"
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame,
     text: str = "text",
