@@ -3687,6 +3687,66 @@ SELECT token, tf, df FROM v ORDER BY tf DESC, token ASC LIMIT 20
 _def("q84_vocab_topk", fn=_q_vocab, duck_sql=_q84_oracle_sql())
 
 
+# X50 — inverted index + conjunctive retrieval (q85/q86). max_df=390
+# lands mid-distribution on the testdata (common tokens df≈380-400,
+# 'dup' df≈25) so the skew cut actually drops rows; posting lists are
+# deterministic "doc:tf,..." strings sorted by doc id so both engines
+# hash identically without nested-type repr drift. q86 probes three
+# terms of very different selectivity and requires ALL of them.
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.index import inverted_index
+
+    _load(spark, sf_dir)
+    return inverted_index(spark.table("documents"), max_df=390)
+
+
+def _q85_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents),
+ pd AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+        GROUP BY token, doc_id),
+ inv AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+                string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+                  AS postings
+         FROM pd GROUP BY token)
+SELECT token, df, postings FROM inv WHERE df <= 390
+"""
+
+
+_def("q85_inverted_index", fn=_q_inverted_index, duck_sql=_q85_oracle_sql())
+
+
+_SEARCH_TERMS = ("dup", "join", "window")
+
+
+def _q_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.index import conjunctive_search
+
+    _load(spark, sf_dir)
+    return conjunctive_search(
+        spark.table("documents"), list(_SEARCH_TERMS)
+    )
+
+
+def _q86_oracle_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents),
+ pd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks
+        GROUP BY doc_id, token)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM pd WHERE token IN ({in_list})
+GROUP BY doc_id HAVING count(*) = {len(_SEARCH_TERMS)}
+"""
+
+
+_def("q86_conjunctive_search", fn=_q_conjunctive_search, duck_sql=_q86_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
