@@ -20,6 +20,9 @@ def test_plan_properties(spark):
         "q04_member_resolution",
         "q13_composite_filter",
         "q36_langid",
+        "q80_extract_links",
+        "q84_vocab_topk",
+        "q86_conjunctive_search",
     ):
         must, must_not, min_cg = CHECKS[name]
         df = qs[name](spark, SF_DIR)
