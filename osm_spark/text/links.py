@@ -73,11 +73,41 @@ def extract_links(
     hrefs = F.expr(
         f"regexp_extract_all(CAST({html} AS STRING), '{_HREF_RE}', 1)"
     )
-    rows = df.select(
-        normalize_url(F.col(url)).alias("src"), F.explode(hrefs).alias("href")
+    # The base-URL parts (scheme/origin/directory) depend only on the
+    # page, so compute them ONCE per page BEFORE the explode. Besides
+    # dropping per-anchor regex work, this keeps the Generate stage's
+    # single generated method small: inlining
+    # normalize_url(resolve_href(href, normalize_url(url))) as one
+    # expression tree multiplies the 9-regex normalization chain ~12x
+    # and blows janino's 64 KB method limit, silently dropping the
+    # whole extraction stage out of codegen into interpreted eval.
+    pages = df.select(
+        normalize_url(F.col(url)).alias("src"), hrefs.alias("hrefs")
+    )
+    rows = pages.select(
+        "src",
+        F.regexp_extract(
+            "src", r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1
+        ).alias("base_scheme"),
+        F.regexp_extract(
+            "src", r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1
+        ).alias("base_origin"),
+        F.regexp_extract(
+            "src", r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)", 1
+        ).alias("base_dir"),
+        F.explode("hrefs").alias("href"),
     ).where(~F.col("href").rlike(_SKIP_RE))
-    dst = normalize_url(resolve_href(F.col("href"), F.col("src")))
-    return rows.select("src", dst.alias("dst"))
+    href = F.col("href")
+    resolved = (
+        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+        .when(
+            href.startswith("//"),
+            F.concat(F.col("base_scheme"), F.lit(":"), href),
+        )
+        .when(href.startswith("/"), F.concat(F.col("base_origin"), href))
+        .otherwise(F.concat(F.col("base_dir"), href))
+    )
+    return rows.select("src", normalize_url(resolved).alias("dst"))
 
 
 def page_edges(df: DataFrame, html: str = "html", url: str = "url") -> DataFrame:
