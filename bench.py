@@ -174,6 +174,23 @@ def main() -> None:
 
     timed("pagerank", run_pagerank)
 
+    # Inverted index over the full pages table — the explode-heaviest
+    # text leg (tokenize → per-(token,doc) map-side pre-count → one
+    # groupBy(token) building posting strings, max_df skew cut applied
+    # inside the same aggregate pass).
+    def run_inverted_index():
+        from osm_spark.text.index import inverted_index
+
+        idx = inverted_index(
+            pages.select(F.col("url").alias("doc_id"), "text"),
+            text="text",
+            key="doc_id",
+            max_df=max(n_pages // 10, 1_000),
+        )
+        return idx.count()
+
+    timed("inverted_index", run_inverted_index)
+
     sp: dict = {}
 
     # The spatial join is two phases with very different scaling laws:

@@ -41,6 +41,28 @@ def test_plan_properties(spark):
             assert int(cg.split()[1]) >= min_cg, (name, cg)
 
 
+def test_no_codegen_fallback(spark):
+    """Janino rejects generated methods > 64 KB; Spark then silently
+    drops the stage to interpreted eval (an ERROR log line, no failure).
+    That is exactly how the pre-fix link extraction lost codegen: one
+    expression tree inlining the URL-normalization chain ~12x. With
+    fallback disabled, an oversized method fails the query instead, so
+    this pins the expression-heavy families as codegen-compilable."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in (
+            "q80_extract_links",  # explode + resolve + normalize chain
+            "q70_extract_text",  # HTML→text regex chain
+            "q68_url_normalize",  # normalization + parts extraction
+        ):
+            assert qs[name](spark, SF_DIR).count() >= 0, name
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
 def test_simplify_plan_is_single_python_pass(spark):
     """Ring simplification adds exactly one mapInPandas over its input
     — no shuffle, no join, no explode of its own (checked on a fresh
