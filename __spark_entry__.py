@@ -3747,6 +3747,56 @@ GROUP BY doc_id HAVING count(*) = {len(_SEARCH_TERMS)}
 _def("q86_conjunctive_search", fn=_q_conjunctive_search, duck_sql=_q86_oracle_sql())
 
 
+# X51 — BM25-ranked retrieval (q87): disjunctive probe of the same
+# three mixed-selectivity terms, Robertson idf + tf saturation +
+# length normalization, top-12 on (score DESC, doc_id ASC). Both
+# engines round the score to 6 decimals BEFORE it becomes the ordering
+# key (ulp-level ln()/summation-order drift sits ~9 orders below the
+# quantum), and both spell the constants as the same decimal literals
+# combined with the same IEEE ops ((1.2 + 1.0), (1.0 - 0.75)) so the
+# folded doubles are bit-identical. k=12 lands below the matching-doc
+# count so the TakeOrderedAndProject cut is actually exercised.
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.index import bm25_search
+
+    _load(spark, sf_dir)
+    return bm25_search(
+        spark.table("documents"), list(_SEARCH_TERMS), k=12
+    )
+
+
+def _q87_oracle_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents),
+ pd AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        GROUP BY doc_id, token),
+ dl AS (SELECT doc_id, len({_TOKENS_DUCK}) AS dl FROM documents),
+ stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+ probed AS (SELECT * FROM pd WHERE token IN ({in_list})),
+ dft AS (SELECT token, count(*) AS dft FROM probed GROUP BY token),
+ scored AS (
+   SELECT p.doc_id,
+          ln(1.0 + (s.n_docs - f.dft + 0.5) / (f.dft + 0.5))
+            * (p.tf * (1.2 + 1.0))
+            / (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)) AS c
+   FROM probed p
+   JOIN dft f USING (token)
+   JOIN dl d USING (doc_id)
+   CROSS JOIN stats s)
+SELECT doc_id, round(sum(c), 6) AS score,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 12
+"""
+
+
+_def("q87_bm25_search", fn=_q_bm25_search, duck_sql=_q87_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -111,3 +111,63 @@ def conjunctive_search(
         .where(F.col("n_terms") == k)
         .select(F.col("doc").alias(key), "total_tf")
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: Sequence[str],
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Disjunctive BM25-ranked retrieval: top-``k`` documents matching
+    ANY query term, scored with Robertson/Sparck-Jones BM25
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation k1, length
+    normalization b). Returns (doc_id, score, n_terms) ordered by
+    (score DESC, doc_id ASC); ``score`` is rounded to 6 decimals so the
+    ordering key is reproducible across engines (ulp-level ln()
+    differences sit ~9 orders below the rounding quantum).
+
+    Scale shape: the query-term filter pushes into the pre-count's
+    scan side, so only the k probed posting sets materialize; corpus
+    statistics (N, avg doc length) are one single-row aggregate
+    broadcast back via cross join — no driver action, no collect; the
+    final cut is orderBy+limit = TakeOrderedAndProject (per-partition
+    top-k, one tiny exchange).
+    """
+    lowered = sorted({t.lower() for t in terms})
+    td = _term_doc_tf(docs, text, key)
+    probed = td.where(F.col("token").isin(lowered))
+    dft = probed.groupBy("token").agg(F.count("*").alias("dft"))
+    dl = docs.select(
+        F.col(key).alias("doc"), F.size(tokens_col(text)).alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+        / (F.col("dft") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    scored = (
+        probed.join(F.broadcast(dft), "token")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    return (
+        scored.select(F.col("doc").alias(key), "score", "n_terms")
+        .orderBy(F.col("score").desc(), F.col(key).asc())
+        .limit(k)
+    )

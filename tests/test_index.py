@@ -61,3 +61,62 @@ def test_postings_partitioning_invariant(spark):
     a = sorted(map(tuple, inverted_index(df.repartition(1)).collect()))
     b = sorted(map(tuple, inverted_index(df.repartition(16)).collect()))
     assert a == b
+
+
+def _bm25_twin(docs, terms, k1=1.2, b=0.75):
+    """Pure-python BM25 twin (same formula, same rounding)."""
+    import math
+    import re
+
+    toks = {
+        d: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        for d, s in docs
+    }
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dft = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for d, v in toks.items():
+        s, hit = 0.0, 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            hit += 1
+            idf = math.log(1.0 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            s += (
+                idf
+                * (tf * (k1 + 1.0))
+                / (tf + k1 * ((1.0 - b) + b * len(v) / avgdl))
+            )
+        if hit:
+            out[d] = (round(s, 6), hit)
+    return out
+
+
+def test_bm25_search_matches_python_twin(spark):
+    from osm_spark.text.index import bm25_search
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["score"], r["n_terms"])
+        for r in bm25_search(df, ["cat", "mat"], k=10).collect()
+    }
+    assert got == _bm25_twin(DOCS, ["cat", "mat"])
+    # rare term beats common term; a doc holding BOTH tops the list
+    ranked = [
+        r["doc_id"]
+        for r in bm25_search(df, ["cat", "mat"], k=10).collect()
+    ]
+    assert ranked[0] == 1  # the only doc with both query terms
+
+
+def test_bm25_search_top_k_cut_is_deterministic(spark):
+    from osm_spark.text.index import bm25_search
+
+    docs = [(i, f"common tok{i % 4}") for i in range(30)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = bm25_search(df, ["common"], k=7).collect()
+    assert len(rows) == 7
+    # all 30 docs tie on score -> the cut must fall back to doc_id ASC
+    assert [r["doc_id"] for r in rows] == list(range(7))
