@@ -3797,6 +3797,79 @@ ORDER BY score DESC, doc_id ASC LIMIT 12
 _def("q87_bm25_search", fn=_q_bm25_search, duck_sql=_q87_oracle_sql())
 
 
+# X52 — snapshot-latest / revisit dedup (q88): a multi-capture crawl
+# keeps ONE capture per canonical URL — the newest. Captures are
+# injected over documents (4 URL variants per group that all
+# normalize to the same canonical form: scheme/host case, www., :443,
+# trailing slash; warc_ts = 1700000000 + doc_id so the winner is the
+# group's max doc_id). The oracle re-normalizes with the independent
+# q68 DuckDB chain and picks winners with a window, against the
+# engine's struct-max aggregate — two different formulations of the
+# same total order (ts DESC, url DESC, remaining columns DESC).
+_CAPS_INJECT_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://www.' "
+    "WHEN doc_id % 4 = 1 THEN 'https://' "
+    "WHEN doc_id % 4 = 2 THEN 'https://www.' "
+    "ELSE 'HTTPS://' END, "
+    "'site', CAST((doc_id {idiv} 4) % 7 AS {s}), '.example.com', "
+    "CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END, "
+    "'/item/', CAST(doc_id {idiv} 4 AS {s}), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)"
+)
+
+
+def _q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.urls import latest_snapshot
+
+    _load(spark, sf_dir)
+    caps = spark.table("documents").select(
+        F.expr(_CAPS_INJECT_SQL.format(s="STRING", idiv="div")).alias(
+            "url"
+        ),
+        (F.lit(1700000000).cast("bigint") + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.col("text"),
+    )
+    out = latest_snapshot(caps)
+    return out.select(
+        "norm_url",
+        "n_captures",
+        "url",
+        "warc_ts",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _q88_oracle_sql() -> str:
+    inject = _CAPS_INJECT_SQL.format(s="VARCHAR", idiv="//")
+    return (
+        f"""
+WITH caps AS (
+  SELECT doc_id, {inject} AS url,
+         CAST(1700000000 + doc_id AS BIGINT) AS warc_ts, text
+  FROM documents),
+ u0 AS (SELECT doc_id, url FROM caps),"""
+        + _URL_NORM_DUCK
+        + """
+, j AS (SELECT f.norm_url, c.url, c.warc_ts, c.text
+        FROM final f JOIN caps c USING (doc_id)),
+ r AS (SELECT *,
+        row_number() OVER (PARTITION BY norm_url
+          ORDER BY warc_ts DESC, url DESC, text DESC) AS rn,
+        CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT)
+          AS n_captures
+       FROM j)
+SELECT norm_url, n_captures, url, warc_ts, md5(text) AS text_md5
+FROM r WHERE rn = 1
+"""
+    )
+
+
+_def("q88_latest_snapshot", fn=_q_latest_snapshot, duck_sql=_q88_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

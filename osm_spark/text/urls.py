@@ -52,6 +52,49 @@ def normalize_url(url: Column) -> Column:
     return F.regexp_replace(u, r"/+$", "")
 
 
+def latest_snapshot(
+    df: DataFrame, url: str = "url", ts: str = "warc_ts"
+) -> DataFrame:
+    """One surviving capture per canonical URL (CDX-style revisit
+    dedup over a multi-snapshot crawl): within each
+    :func:`normalize_url` group, keep the row with the greatest
+    (``ts``, ``url``, remaining columns) and report the group's
+    capture count. Returns (norm_url, n_captures, *df.columns).
+
+    Scale shape: ONE groupBy(norm_url) with a struct-max aggregate —
+    map-side combinable, so each upstream partition collapses to one
+    candidate row per group before the exchange. The classic
+    window/row_number formulation shuffles and sorts every capture of
+    the corpus; this shuffles one pre-reduced row per (partition,
+    group), which is what a 10^12-capture crawl needs. The struct agg
+    buffer forces SortAggregate instead of HashAggregate (a known
+    Spark limitation for non-primitive buffers) — the partial/final
+    split and map-side combine are unchanged, only the per-partition
+    grouping is sort-based. Ties beyond the
+    timestamp are broken by the raw URL then the remaining columns in
+    order, so the winner is total-order deterministic. ``df`` must not
+    already contain columns named ``_ts``/``_u``/``norm_url``.
+    """
+    cols = df.columns
+    packed = df.select(
+        normalize_url(F.col(url)).alias("norm_url"),
+        F.struct(
+            F.col(ts).alias("_ts"),
+            F.col(url).alias("_u"),
+            *[F.col(c) for c in cols],
+        ).alias("_cap"),
+    )
+    agg = packed.groupBy("norm_url").agg(
+        F.max("_cap").alias("_cap"),
+        F.count("*").alias("n_captures"),
+    )
+    return agg.select(
+        "norm_url",
+        "n_captures",
+        *[F.col(f"_cap.{c}").alias(c) for c in cols],
+    )
+
+
 def with_url_parts(df: DataFrame, url: str = "url") -> DataFrame:
     """Add norm_url, host, registered_domain columns."""
     norm = normalize_url(F.col(url))

@@ -23,6 +23,8 @@ def test_plan_properties(spark):
         "q80_extract_links",
         "q84_vocab_topk",
         "q86_conjunctive_search",
+        "q87_bm25_search",
+        "q88_latest_snapshot",
     ):
         must, must_not, min_cg = CHECKS[name]
         df = qs[name](spark, SF_DIR)

@@ -78,3 +78,43 @@ def test_host_stats_counts_url_dups(spark):
     assert got["a.com"].n_distinct_urls == 2
     assert got["a.com"].registered_domain == "a.com"
     assert got["b.net"].n_pages == 1 and got["b.net"].n_distinct_urls == 1
+
+
+def test_latest_snapshot_keeps_newest_per_canonical_url(spark):
+    from datetime import datetime
+
+    from osm_spark.text.urls import latest_snapshot
+
+    caps = [
+        # three captures of one page, variants collapse under
+        # normalization; newest (ts) must win
+        ("https://www.a.com/x/", datetime(2024, 1, 1), "v1"),
+        ("HTTPS://a.com/x", datetime(2024, 3, 1), "v3"),
+        ("https://a.com:443/x", datetime(2024, 2, 1), "v2"),
+        # a singleton
+        ("https://b.org/y", datetime(2024, 1, 1), "only"),
+    ]
+    df = spark.createDataFrame(caps, ["url", "warc_ts", "text"])
+    got = {
+        r["norm_url"]: (r["n_captures"], r["text"], r["url"])
+        for r in latest_snapshot(df).collect()
+    }
+    assert got == {
+        "https://a.com/x": (3, "v3", "HTTPS://a.com/x"),
+        "https://b.org/y": (1, "only", "https://b.org/y"),
+    }
+
+
+def test_latest_snapshot_tie_breaks_deterministically(spark):
+    from osm_spark.text.urls import latest_snapshot
+
+    caps = [  # equal bigint timestamps -> raw url string decides
+        ("https://www.c.net/z", 100, "www-variant"),
+        ("https://c.net/z", 100, "bare-variant"),
+    ]
+    df = spark.createDataFrame(caps, ["url", "warc_ts", "text"])
+    rows = latest_snapshot(df).collect()
+    assert len(rows) == 1
+    # 'https://www...' > 'https://c...' in string order
+    assert rows[0]["text"] == "www-variant"
+    assert rows[0]["n_captures"] == 2
