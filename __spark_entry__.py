@@ -3870,6 +3870,77 @@ FROM r WHERE rn = 1
 _def("q88_latest_snapshot", fn=_q_latest_snapshot, duck_sql=_q88_oracle_sql())
 
 
+# X53 — host-level graph aggregation (q89): the page graph collapsed
+# to weighted host→host edges (crawl budgeting / domain spam scoring).
+# Edges are injected over documents with the q88 capture URL generator
+# (7 hosts, 4 case/www/port/slash variants) on BOTH ends — dst id is a
+# fixed integer mix (doc_id*3+1) % 97 so the edge set is corpus-size
+# independent — then canonicalized, self-filtered and deduplicated
+# before the host rollup, exercising normalization inside the graph
+# path. The oracle normalizes src and dst through the SAME independent
+# q68 chain by stacking both ends into one tagged relation (chain CTE
+# names are fixed, so it cannot be instantiated twice).
+
+
+def _host_edge_exprs(s: str, idiv: str) -> tuple[str, str]:
+    src = _CAPS_INJECT_SQL.format(s=s, idiv=idiv)
+    dst = src.replace("doc_id", f"((doc_id * 3 + 1) % 97)")
+    return src, dst
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.links import host_graph
+    from osm_spark.text.urls import normalize_url
+
+    _load(spark, sf_dir)
+    src_sql, dst_sql = _host_edge_exprs(s="STRING", idiv="div")
+    pairs = spark.table("documents").select(
+        normalize_url(F.expr(src_sql)).alias("src"),
+        normalize_url(F.expr(dst_sql)).alias("dst"),
+    )
+    edges = pairs.where(F.col("src") != F.col("dst")).distinct()
+    return host_graph(edges)
+
+
+def _q89_oracle_sql() -> str:
+    src_sql, dst_sql = _host_edge_exprs(s="VARCHAR", idiv="//")
+    return (
+        f"""
+WITH caps AS (
+  SELECT doc_id, {src_sql} AS src_raw, {dst_sql} AS dst_raw
+  FROM documents),
+ u0 AS (
+  SELECT doc_id * 2 AS doc_id, src_raw AS url FROM caps
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id, dst_raw AS url FROM caps),"""
+        + _URL_NORM_DUCK
+        + """
+, e AS (SELECT s.norm_url AS src, d.norm_url AS dst
+        FROM final s JOIN final d ON d.doc_id = s.doc_id + 1
+        WHERE s.doc_id % 2 = 0),
+ edges AS (SELECT DISTINCT src, dst FROM e WHERE src != dst),
+ hosts AS (
+  SELECT regexp_extract(src, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+           AS src_host,
+         regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+           AS dst_host,
+         src
+  FROM edges),
+ links AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+           FROM hosts GROUP BY src_host, dst_host),
+ srcs AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT)
+            AS n_src_pages
+          FROM (SELECT DISTINCT src_host, dst_host, src FROM hosts)
+          GROUP BY src_host, dst_host)
+SELECT l.src_host, l.dst_host, l.n_links, s.n_src_pages
+FROM links l JOIN srcs s USING (src_host, dst_host)
+"""
+    )
+
+
+_def("q89_host_graph", fn=_q_host_graph, duck_sql=_q89_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

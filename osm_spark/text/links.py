@@ -117,6 +117,40 @@ def page_edges(df: DataFrame, html: str = "html", url: str = "url") -> DataFrame
     return links.where(F.col("src") != F.col("dst")).distinct()
 
 
+def host_graph(edges: DataFrame) -> DataFrame:
+    """Collapse a canonical-URL page graph to the weighted host graph:
+    (src_host, dst_host, n_links, n_src_pages). ``n_links`` counts the
+    distinct page edges between the two hosts; ``n_src_pages`` the
+    distinct linking pages — the two numbers crawl budgeting and
+    domain-level spam scoring start from. Input must be canonical
+    (``page_edges`` output): hosts are already lowercased.
+
+    Scale shape: n_links is one map-side-combinable groupBy on the
+    (src_host, dst_host) pair. n_src_pages uses the two-level exact
+    pattern — pre-distinct on (src_host, dst_host, src), then count —
+    instead of count_distinct, so a mega host pair (two CDNs linking
+    everywhere) never funnels its raw edge multiset through one
+    reducer: the pre-distinct collapses map-side too. Self pairs
+    (intra-host links) are kept; callers filter if they only budget
+    cross-host crawl.
+    """
+    host = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+    e = edges.select(
+        F.regexp_extract("src", host, 1).alias("src_host"),
+        F.regexp_extract("dst", host, 1).alias("dst_host"),
+        "src",
+    )
+    n_links = e.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
+    )
+    n_src = (
+        e.distinct()
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_src_pages"))
+    )
+    return n_links.join(n_src, ["src_host", "dst_host"])
+
+
 def degree_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Per-node (url, outdeg, indeg) including isolated nodes.
 

@@ -193,3 +193,25 @@ def test_worldgen_links_outdegree(spark):
         assert got == want, (i, got, want)
     urls = {r["url"] for r in pages.select("url").collect()}
     assert {r["dst"] for r in links.collect()} <= urls
+
+
+def test_host_graph_weights_and_distinct_pages(spark):
+    from osm_spark.text.links import host_graph
+
+    edges = [
+        # a.com -> b.org : two pages, three page-edges
+        ("https://a.com/1", "https://b.org/x"),
+        ("https://a.com/1", "https://b.org/y"),
+        ("https://a.com/2", "https://b.org/x"),
+        # intra-host pair kept
+        ("https://a.com/1", "https://a.com/2"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+        for r in host_graph(df).collect()
+    }
+    assert got == {
+        ("a.com", "b.org"): (3, 2),
+        ("a.com", "a.com"): (1, 1),
+    }
