@@ -3941,6 +3941,81 @@ FROM links l JOIN srcs s USING (src_host, dst_host)
 _def("q89_host_graph", fn=_q_host_graph, duck_sql=_q89_oracle_sql())
 
 
+# X54 — REAL audio decode (q90, the q61 sibling): worldgen emits one
+# real RIFF/PCM-16 WAV per page (pure-python encoder), Spark REALLY
+# parses it back (rate/channels/n_samples from the fmt chunk, features
+# from the samples) and the oracle recomputes every column from the
+# SAMPLE FORMULA alone — hash equality proves the encode → decode →
+# feature arithmetic round-trips actual PCM bytes. n_bytes is closed
+# form because PCM stores samples verbatim (encoded_wav_len).
+
+
+def _q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.data.pages import pages_wav_df
+    from osm_spark.text.multimodal import attach_media, extract_audio_features
+
+    media = attach_media(
+        pages_wav_df(spark, _pages_spec()), "payload", "audio", keep=["url"]
+    )
+    feats = extract_audio_features(
+        media.select("url", "media_id", "kind", "payload"), dim=8, keep=["url"]
+    )
+    return feats.select(
+        "url",
+        "kind",
+        "n_bytes",
+        "rate",
+        "channels",
+        "n_samples",
+        "decoded",
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 8).cast("double").alias("f7"),
+    )
+
+
+def _q90_oracle_sql() -> str:
+    from osm_spark.data.pages import WAV_N, WAV_RATE, pages_wav_sql_exprs
+    from osm_spark.text.wav import encoded_wav_len
+
+    e = pages_wav_sql_exprs("i")
+    dim = 8
+    step = WAV_N // dim
+    n_bytes = encoded_wav_len(WAV_N, 1)
+
+    # Block mean in the SAME float-op order as the numpy kernel:
+    # exact-integer SUM → /size → /32768 in double, then float32.
+    # Last block absorbs the WAV_N % dim remainder (kernel contract).
+    def f(j: int) -> str:
+        lo = j * step
+        hi = (j + 1) * step if j < dim - 1 else WAV_N
+        return (
+            f"CAST(CAST(CAST(SUM(CASE WHEN p >= {lo} AND p < {hi} "
+            f"THEN v END) AS DOUBLE) / CAST({hi - lo} AS DOUBLE) "
+            f"/ CAST(32768 AS DOUBLE) AS FLOAT) AS DOUBLE)"
+        )
+
+    return f"""
+WITH smp AS (
+  SELECT i, p, (({e['seed']} + p * 37) % 65536) - 32768 AS v
+  FROM generate_series(0, {_N_PAGES - 1}) AS t(i),
+       generate_series(0, {WAV_N - 1}) AS s(p)
+)
+SELECT 'https://example.org/page/' || CAST(i AS VARCHAR) AS url,
+       'audio' AS kind,
+       {n_bytes} AS n_bytes,
+       {WAV_RATE} AS rate,
+       1 AS channels,
+       {WAV_N} AS n_samples,
+       TRUE AS decoded,
+       {f(0)} AS f0,
+       {f(7)} AS f7
+FROM smp GROUP BY i
+"""
+
+
+_def("q90_wav_decode", fn=_q_wav_decode, duck_sql=_q90_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

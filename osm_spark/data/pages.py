@@ -221,3 +221,54 @@ def pages_png_df(spark: SparkSession, spec: PagesSpec) -> DataFrame:
     return spark.range(spec.n_pages).mapInPandas(
         gen, "url string, payload binary"
     )
+
+
+WAV_N, WAV_RATE = 250, 8000  # 250 samples: NOT a multiple of 65536's
+# cycle or of the 37 stride, so per-page streams genuinely differ.
+
+
+def pages_wav_sql_exprs(i: str) -> dict[str, str]:
+    """Closed-form SQL for the synthetic PCM stream — shared by the
+    q90 DuckDB oracle. Sample p (p in [0, WAV_N)) of page ``i`` is
+    ``((seed + p*37) % 65536) - 32768`` with ``seed = (i*2654435761) %
+    65536``; valid in both Spark SQL and DuckDB."""
+    return {
+        "seed": f"(({i} * 2654435761) % 65536)",
+        "n_samples": str(WAV_N),
+        "rate": str(WAV_RATE),
+    }
+
+
+def pages_wav_df(spark: SparkSession, spec: PagesSpec) -> DataFrame:
+    """(url, payload) — one REAL tiny WAV per page (pure-python
+    PCM-16 encoder, osm_spark/text/wav.py), samples the deterministic
+    pattern of ``pages_wav_sql_exprs`` so a SQL oracle can reproduce
+    any sample-derived feature. Generated DISTRIBUTED, one Arrow pass
+    over spark.range (the pages_png_df shape)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from osm_spark.text.wav import encode_wav
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ramp = np.arange(WAV_N, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            payloads = []
+            for i in ids:
+                seed = (int(i) * 2654435761) % 65536
+                s = (((seed + ramp * 37) % 65536) - 32768).astype(np.int16)
+                payloads.append(encode_wav(s, WAV_RATE))
+            yield pd.DataFrame(
+                {
+                    "url": "https://example.org/page/"
+                    + pd.Series(ids).astype(str),
+                    "payload": payloads,
+                }
+            )
+
+    return spark.range(spec.n_pages).mapInPandas(
+        gen, "url string, payload binary"
+    )
