@@ -4016,6 +4016,101 @@ FROM smp GROUP BY i
 _def("q90_wav_decode", fn=_q_wav_decode, duck_sql=_q90_oracle_sql())
 
 
+# X55 — weighted PageRank over the host graph (q91): crawl-budget
+# ranking where mass flows proportional to inter-host link counts.
+# Same int64 fixed-point contract as q81 plus the ppm weight
+# quantization (wn = w*10^6 div W(src)) that keeps rank*wn in int64
+# for any weight magnitude; the oracle unrolls K rounds of the exact
+# integer recurrence over the q89 host-edge derivation. The 7-host
+# inject covers every host for any corpus >= 28 docs, so n (and the
+# base/teleport literals) are corpus-size independent.
+
+_HOST_PR_ITERS = 3
+_HOST_PR_N = 7  # sites 0-6 — fixed by the (id div 4) % 7 inject
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.links import host_graph
+    from osm_spark.text.pagerank import pagerank
+    from osm_spark.text.urls import normalize_url
+
+    _load(spark, sf_dir)
+    src_sql, dst_sql = _host_edge_exprs(s="STRING", idiv="div")
+    pairs = spark.table("documents").select(
+        normalize_url(F.expr(src_sql)).alias("src"),
+        normalize_url(F.expr(dst_sql)).alias("dst"),
+    )
+    edges = pairs.where(F.col("src") != F.col("dst")).distinct()
+    hg = host_graph(edges).where(F.col("src_host") != F.col("dst_host"))
+    he = hg.select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").alias("w"),
+    )
+    nodes = (
+        he.select(F.col("src").alias("url"))
+        .unionByName(he.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    ranks = pagerank(
+        nodes, he, iterations=_HOST_PR_ITERS, weight="w"
+    )
+    return ranks.select(F.col("url").alias("host"), "rank")
+
+
+def _q91_oracle_sql() -> str:
+    src_sql, dst_sql = _host_edge_exprs(s="VARCHAR", idiv="//")
+    n = _HOST_PR_N
+    base = 10**12 // n
+    teleport = 15 * base // 100
+    sql = (
+        f"""
+WITH caps AS (
+  SELECT doc_id, {src_sql} AS src_raw, {dst_sql} AS dst_raw
+  FROM documents),
+ u0 AS (
+  SELECT doc_id * 2 AS doc_id, src_raw AS url FROM caps
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id, dst_raw AS url FROM caps),"""
+        + _URL_NORM_DUCK
+        + f"""
+, e AS (SELECT s.norm_url AS src, d.norm_url AS dst
+        FROM final s JOIN final d ON d.doc_id = s.doc_id + 1
+        WHERE s.doc_id % 2 = 0),
+ edges AS (SELECT DISTINCT src, dst FROM e WHERE src != dst),
+ hostpairs AS (
+  SELECT regexp_extract(src, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+           AS hsrc,
+         regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+           AS hdst
+  FROM edges),
+ he AS (SELECT hsrc AS src, hdst AS dst, CAST(count(*) AS BIGINT) AS w
+        FROM hostpairs WHERE hsrc != hdst GROUP BY hsrc, hdst),
+ nodes AS (SELECT src AS host FROM he UNION SELECT dst FROM he),
+ wsum AS (SELECT src, sum(w) AS ws FROM he GROUP BY src),
+ wn AS (SELECT e.src, e.dst, (e.w * 1000000) // ws AS q
+        FROM he e JOIN wsum USING (src)),
+ pr0 AS (SELECT host, CAST({base} AS BIGINT) AS rank FROM nodes)"""
+    )
+    for i in range(_HOST_PR_ITERS):
+        # pd/ps/pr prefixes: the normalization chain already owns s1-s5
+        sql += f""",
+ pd{i} AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM pr{i}
+          WHERE host NOT IN (SELECT src FROM he)),
+ ps{i} AS (SELECT w.dst AS host, SUM((r.rank * w.q) // 1000000) AS s
+          FROM pr{i} r JOIN wn w ON w.src = r.host GROUP BY w.dst),
+ pr{i + 1} AS (
+  SELECT n.host,
+         CAST({teleport} + (85 * (COALESCE(s.s, 0)
+           + (SELECT dm FROM pd{i}) // {n})) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN ps{i} s USING (host))"""
+    sql += f"\nSELECT host, rank FROM pr{_HOST_PR_ITERS}"
+    return sql
+
+
+_def("q91_host_pagerank", fn=_q_host_pagerank, duck_sql=_q91_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

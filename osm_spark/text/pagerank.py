@@ -56,19 +56,32 @@ from pyspark.sql import functions as F
 SCALE = 10**12
 
 
+WEIGHT_Q = 10**6  # per-source weight quantization (parts-per-million)
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
     iterations: int = 5,
     damping_pct: int = 85,
     checkpoint_every: int = 0,
+    weight: str | None = None,
 ) -> DataFrame:
     """(url, rank) after ``iterations`` integer PageRank rounds.
 
     ``nodes``: one row per url (the full vertex set — pages nobody
     links to still hold teleport mass). ``edges``: distinct directed
     (src, dst), self-loop-free (:func:`osm_spark.text.links.page_edges`).
-    """
+
+    ``weight``: optional positive int64 edge-weight column (e.g. the
+    host graph's n_links) — mass then flows proportional to weight.
+    To stay in int64 for ANY weight magnitude (rank*w could reach
+    10^12 * 10^9 unweighted-style), each edge's share of its source is
+    pre-quantized to parts-per-million: wn = (w * 10^6) div W(src),
+    contrib = (rank * wn) div 10^6 ≤ SCALE * 10^6 < 2^63. The ppm
+    floor is part of the operator's DEFINED semantics (like the
+    unweighted div-outdeg floor): deterministic at any parallelism and
+    reproducible by a plain SQL oracle (q91)."""
     n = nodes.count()
     if n == 0:
         return nodes.select("url", F.lit(0).cast("long").alias("rank"))
@@ -77,16 +90,29 @@ def pagerank(
 
     # tiny (one row per linking page) but read every round by the
     # dangle anti-join — persist, or each round re-scans raw edges
-    out_deg = (
-        edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
-    )
+    if weight is None:
+        out_deg = (
+            edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+        )
+        fan_src = edges.join(out_deg, "src").select(
+            "src", "dst", F.expr("outdeg").alias("_den")
+        )
+        contrib_expr = "rank div _den"
+    else:
+        out_deg = (
+            edges.groupBy("src")
+            .agg(F.sum(weight).alias("outdeg"))
+            .persist()
+        )
+        fan_src = edges.join(out_deg, "src").select(
+            "src",
+            "dst",
+            F.expr(f"({weight} * {WEIGHT_Q}L) div outdeg").alias("_den"),
+        )
+        contrib_expr = f"(rank * _den) div {WEIGHT_Q}"
     # loop-invariant join input: partitioned by src once, reused every
     # round (only the ranks side shuffles to meet it)
-    fan = (
-        edges.join(out_deg, "src")
-        .repartition("src")
-        .persist()
-    )
+    fan = fan_src.repartition("src").persist()
     node_set = nodes.select("url").repartition("url").persist()
 
     ranks = node_set.select(
@@ -109,7 +135,7 @@ def pagerank(
             ranks.join(fan, ranks["url"] == fan["src"])
             .select(
                 F.col("dst").alias("url"),
-                F.expr("rank div outdeg").alias("contrib"),
+                F.expr(contrib_expr).alias("contrib"),
             )
         )
         sums = contribs.groupBy("url").agg(F.sum("contrib").alias("s"))

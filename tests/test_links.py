@@ -215,3 +215,44 @@ def test_host_graph_weights_and_distinct_pages(spark):
         ("a.com", "b.org"): (3, 2),
         ("a.com", "a.com"): (1, 1),
     }
+
+
+def test_weighted_pagerank_matches_python_twin(spark):
+    from osm_spark.text.pagerank import SCALE, WEIGHT_Q, pagerank
+
+    nodes = ["a", "b", "c", "d"]  # d dangles
+    edges_w = [("a", "b", 3), ("a", "c", 1), ("b", "c", 5), ("c", "a", 2)]
+    iters, damping = 3, 85
+
+    n = len(nodes)
+    base = SCALE // n
+    tele = (100 - damping) * base // 100
+    w_tot = {}
+    for s, _d, w in edges_w:
+        w_tot[s] = w_tot.get(s, 0) + w
+    wn = {(s, d): (w * WEIGHT_Q) // w_tot[s] for s, d, w in edges_w}
+    r = {u: base for u in nodes}
+    for _ in range(iters):
+        dangle = sum(r[u] for u in nodes if u not in w_tot)
+        shared = dangle // n
+        acc = {u: 0 for u in nodes}
+        for (a, b), q in wn.items():
+            acc[b] += (r[a] * q) // WEIGHT_Q
+        r = {
+            u: tele + (damping * (acc[u] + shared)) // 100 for u in nodes
+        }
+
+    got = {
+        row["url"]: row["rank"]
+        for row in pagerank(
+            spark.createDataFrame([(u,) for u in nodes], ["url"]),
+            spark.createDataFrame(edges_w, ["src", "dst", "w"]),
+            iterations=iters,
+            damping_pct=damping,
+            weight="w",
+        ).collect()
+    }
+    assert got == r
+    # weights matter: b (weight 3 of 4 from a) outranks nothing else
+    # linking it, and c (5/5 from b + 1/4 from a) outranks b
+    assert got["c"] > got["b"] > got["d"]
