@@ -3164,7 +3164,8 @@ WITH d AS (
   SELECT doc_id, host, unnest(list_distinct(string_split(text, chr(10)))) AS line
   FROM d),
  counts AS (
-  SELECT host, line, count(*) AS n FROM lines GROUP BY host, line),
+  SELECT host, line, count(*) AS n FROM lines
+  WHERE line != '' GROUP BY host, line),
  hd AS (SELECT host, count(*) AS host_docs FROM d GROUP BY host),
  bp AS (
   SELECT c.host, list(c.line) AS bp_lines
@@ -3436,11 +3437,12 @@ WITH d AS (
   FROM d CROSS JOIN generate_series(0, 7) AS g(i)
   WHERE g.i < len(parts)),
  w AS (
-  SELECT para, min(doc_id * 1000000 + pos) AS wkey FROM p GROUP BY para),
+  SELECT para, min(doc_id * 1000000 + pos) AS wkey FROM p
+  WHERE para != '' GROUP BY para),
  tagged AS (
   SELECT p.doc_id, p.pos, p.para,
-         (p.doc_id * 1000000 + p.pos = w.wkey) AS keep
-  FROM p JOIN w ON p.para = w.para),
+         (p.para = '' OR p.doc_id * 1000000 + p.pos = w.wkey) AS keep
+  FROM p LEFT JOIN w ON p.para = w.para),
  rebuilt AS (
   SELECT doc_id,
          string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos)
@@ -3483,8 +3485,10 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINKS_DUCK = """
  anchors AS (
   SELECT url AS src,
-         unnest(regexp_extract_all(html_str,
-                '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+         unnest(list_concat(
+           regexp_extract_all(html_str, '<a\\s[^>]*href="([^"]*)"', 1),
+           regexp_extract_all(html_str,
+                '<a\\s[^>]*href=''([^'']*)''', 1))) AS href
   FROM pages),
  kepth AS (
   SELECT src, href FROM anchors
@@ -3496,7 +3500,11 @@ _LINKS_DUCK = """
           regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) || ':' || href
         WHEN href LIKE '/%' THEN
           regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) || href
-        ELSE regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)', 1) || href
+        ELSE (CASE
+          WHEN regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)', 1) = ''
+          THEN regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) || '/'
+          ELSE regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)', 1)
+         END) || href
    END AS u
   FROM kepth),
  l2 AS (SELECT src, regexp_replace(u, '#.*', '', 'g') AS u FROM l1),

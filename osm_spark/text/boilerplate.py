@@ -39,13 +39,17 @@ def boilerplate_lines(
     """(host, line, n_docs_with_line, host_docs) for every line whose
     within-host document frequency is >= min_pct percent, over hosts
     with at least ``min_docs`` pages (tiny hosts can't vote)."""
+    # the empty line (paragraph separator) is document STRUCTURE: it
+    # trivially clears any df threshold on multi-paragraph hosts, and
+    # stripping it would merge unrelated paragraphs corpus-wide —
+    # excluded from candidacy up front
     lines = docs.select(
         F.col(key),
         F.col(host),
         F.explode(
             F.array_distinct(F.split(F.col(text), "\n"))
         ).alias("line"),
-    )
+    ).where(F.col("line") != "")
     counts = lines.groupBy(host, "line").agg(
         F.count("*").alias("n_docs_with_line")
     )

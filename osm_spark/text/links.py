@@ -36,28 +36,46 @@ from pyspark.sql import functions as F
 
 from osm_spark.text.urls import normalize_url
 
-# href capture: the <a ...> form worldgen emits plus the common
-# single/double-quote variants a real crawl carries.
-_HREF_RE = r'<a\\s[^>]*href="([^"]*)"'
+# href capture: double- and single-quoted <a ... href=...> forms (a
+# real crawl carries both; worldgen emits the double-quoted form).
+_HREF_RE_DQ = r'<a\\s[^>]*href="([^"]*)"'
+_HREF_RE_SQ = r"<a\\s[^>]*href=\'([^\']*)\'"
 
 _SKIP_RE = r"^(mailto:|javascript:|tel:|#|$)"
 
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*):"
+_ORIGIN_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)"
+_DIR_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)"
 
-def resolve_href(href: Column, base_url: Column) -> Column:
-    """Absolute URL for ``href`` found on page ``base_url``."""
-    scheme = F.regexp_extract(base_url, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
-    origin = F.regexp_extract(
-        base_url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1
-    )
-    # through the LAST '/' of the path (query/fragment excluded)
-    directory = F.regexp_extract(
-        base_url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)", 1
+
+def _resolve_from_parts(
+    href: Column, scheme: Column, origin: Column, directory: Column
+) -> Column:
+    """RFC-3986-lite resolution given the base URL's precomputed
+    parts — the ONE implementation both resolve_href and extract_links
+    share. A canonical site-root base ('https://a.com', trailing slash
+    stripped by normalize_url) has no '/' after the origin, so the
+    directory regex yields '' — fall back to origin + '/' instead of
+    emitting a schemeless relative dst."""
+    dir_or_root = F.when(directory != "", directory).otherwise(
+        F.concat(origin, F.lit("/"))
     )
     return (
         F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(origin, href))
-        .otherwise(F.concat(directory, href))
+        .otherwise(F.concat(dir_or_root, href))
+    )
+
+
+def resolve_href(href: Column, base_url: Column) -> Column:
+    """Absolute URL for ``href`` found on page ``base_url``."""
+    return _resolve_from_parts(
+        href,
+        F.regexp_extract(base_url, _SCHEME_RE, 1),
+        F.regexp_extract(base_url, _ORIGIN_RE, 1),
+        # through the LAST '/' of the path (query/fragment excluded)
+        F.regexp_extract(base_url, _DIR_RE, 1),
     )
 
 
@@ -70,8 +88,10 @@ def extract_links(
     links so anchor-level statistics stay possible. ``page_edges``
     applies the graph-semantics cleanup (distinct, self-free).
     """
+    html_s = f"CAST({html} AS STRING)"
     hrefs = F.expr(
-        f"regexp_extract_all(CAST({html} AS STRING), '{_HREF_RE}', 1)"
+        f"concat(regexp_extract_all({html_s}, '{_HREF_RE_DQ}', 1), "
+        f"regexp_extract_all({html_s}, '{_HREF_RE_SQ}', 1))"
     )
     # The base-URL parts (scheme/origin/directory) depend only on the
     # page, so compute them ONCE per page BEFORE the explode. Besides
@@ -86,26 +106,16 @@ def extract_links(
     )
     rows = pages.select(
         "src",
-        F.regexp_extract(
-            "src", r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1
-        ).alias("base_scheme"),
-        F.regexp_extract(
-            "src", r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1
-        ).alias("base_origin"),
-        F.regexp_extract(
-            "src", r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)", 1
-        ).alias("base_dir"),
+        F.regexp_extract("src", _SCHEME_RE, 1).alias("base_scheme"),
+        F.regexp_extract("src", _ORIGIN_RE, 1).alias("base_origin"),
+        F.regexp_extract("src", _DIR_RE, 1).alias("base_dir"),
         F.explode("hrefs").alias("href"),
     ).where(~F.col("href").rlike(_SKIP_RE))
-    href = F.col("href")
-    resolved = (
-        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
-        .when(
-            href.startswith("//"),
-            F.concat(F.col("base_scheme"), F.lit(":"), href),
-        )
-        .when(href.startswith("/"), F.concat(F.col("base_origin"), href))
-        .otherwise(F.concat(F.col("base_dir"), href))
+    resolved = _resolve_from_parts(
+        F.col("href"),
+        F.col("base_scheme"),
+        F.col("base_origin"),
+        F.col("base_dir"),
     )
     return rows.select("src", normalize_url(resolved).alias("dst"))
 

@@ -45,12 +45,22 @@ def dedup_paragraphs(
         F.col(key),
         F.posexplode(F.split(F.col(text), "\n")).alias("pos", "para"),
     )
-    winners = paras.groupBy("para").agg(
-        F.min(F.struct(key, "pos")).alias("w")
+    # The empty paragraph (consecutive/trailing newlines) is document
+    # STRUCTURE, not content: deduping it globally would strip blank
+    # separators from every document but one corpus-wide winner. It is
+    # always kept and never counted as removed.
+    winners = (
+        paras.where(F.col("para") != "")
+        .groupBy("para")
+        .agg(F.min(F.struct(key, "pos")).alias("w"))
     )
-    tagged = paras.join(winners, "para").withColumn(
+    tagged = paras.join(winners, "para", "left").withColumn(
         "keep",
-        (F.col("w." + key) == F.col(key)) & (F.col("w.pos") == F.col("pos")),
+        (F.col("para") == "")
+        | (
+            (F.col("w." + key) == F.col(key))
+            & (F.col("w.pos") == F.col("pos"))
+        ),
     )
     rebuilt = tagged.groupBy(key).agg(
         F.array_join(

@@ -168,12 +168,20 @@ def mix_sample(
     bdf = docs.sparkSession.createDataFrame(
         bounds, f"{source} string, bound long"
     )
-    return toks.join(F.broadcast(bdf), source).select(
-        key,
-        source,
-        "n_tokens",
-        "bound",
-        (hash_bucket(F.col(key), n_buckets, salt) < F.col("bound")).alias(
+    # null-safe equality: a NULL source (absent metadata) is its own
+    # group — its bound is 0 (share lookup misses), so the doc comes
+    # out keep=false INSTEAD of silently vanishing through a plain
+    # inner join (null never equals null), which would break the
+    # "returns every input doc with its verdict" contract and
+    # curate()'s every-doc-accounted disposition union.
+    return toks.join(
+        F.broadcast(bdf), toks[source].eqNullSafe(bdf[source])
+    ).select(
+        toks[key],
+        toks[source].alias(source),
+        toks["n_tokens"],
+        bdf["bound"],
+        (hash_bucket(toks[key], n_buckets, salt) < bdf["bound"]).alias(
             "keep"
         ),
     )

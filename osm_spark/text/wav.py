@@ -66,6 +66,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict]:
         tag = b[pos : pos + 4]
         (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
         body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # declared size overruns the buffer: corrupt/truncated
+            # stream — reject (decode stage degrades to the stub)
+            # rather than decoding a silently-shortened sample set
+            raise ValueError("chunk size overruns payload")
         if tag == b"fmt ":
             fmt = body
         elif tag == b"data":

@@ -256,3 +256,21 @@ def test_weighted_pagerank_matches_python_twin(spark):
     # weights matter: b (weight 3 of 4 from a) outranks nothing else
     # linking it, and c (5/5 from b + 1/4 from a) outranks b
     assert got["c"] > got["b"] > got["d"]
+
+
+def test_extract_links_single_quoted_href_and_root_page_base(spark):
+    from osm_spark.text.links import extract_links
+
+    pages = [
+        # single-quoted anchor form
+        ("https://a.com/dir/p", b"<a class='x' href='https://b.org/q'>"),
+        # relative href on a canonical site-root page (no path slash):
+        # must resolve against origin + '/', not to a bare 'about'
+        ("https://a.com", b'<a href="about">'),
+    ]
+    df = spark.createDataFrame(pages, ["url", "html"])
+    got = sorted(map(tuple, extract_links(df).collect()))
+    assert got == [
+        ("https://a.com", "https://a.com/about"),
+        ("https://a.com/dir/p", "https://b.org/q"),
+    ]

@@ -144,3 +144,34 @@ def test_boilerplate_is_catalyst_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_blank_line_never_boilerplate(spark):
+    from osm_spark.text.boilerplate import remove_boilerplate
+
+    # 4 docs on one host, all containing a blank separator: the ''
+    # line clears any df threshold but must never be stripped
+    docs = [
+        (i, "h", f"unique {i}\n\nbody {i}") for i in range(4)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "host", "text"])
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_boilerplate(df, min_pct=60, min_docs=3).collect()
+    }
+    assert got[0] == "unique 0\n\nbody 0"
+
+
+def test_mix_sample_null_source_kept_with_verdict(spark):
+    from osm_spark.text.sampling import mix_sample
+
+    docs = [
+        (1, "web", "alpha beta gamma"),
+        (2, None, "orphan tokens here"),
+        (3, "web", "delta epsilon"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    rows = mix_sample(df, {"web": 1}, token_budget=1000).collect()
+    assert len(rows) == 3  # every input doc accounted
+    null_row = [r for r in rows if r["source"] is None][0]
+    assert null_row["doc_id"] == 2 and null_row["keep"] is False

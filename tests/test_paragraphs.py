@@ -68,3 +68,20 @@ def test_row_count_preserved(spark):
     out = dedup_paragraphs(_docs(spark, rows)).toPandas()
     assert len(out) == 10
     assert (out["n_kept"] == 0).sum() == 9
+
+
+def test_blank_separators_are_structure_not_content(spark):
+    from osm_spark.text.paragraphs import dedup_paragraphs
+
+    docs = [(1, "a\n\nb"), (2, "c\n\nd"), (3, "a\n\n\nz")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+        for r in dedup_paragraphs(df).collect()
+    }
+    # every doc keeps its blank lines; only the repeated 'a' is removed
+    assert got[1] == ("a\n\nb", 0)
+    assert got[2] == ("c\n\nd", 0)
+    # doc 3's 'a' (dup of doc 1) is removed with its separator; the
+    # two blank paragraphs survive: ['', '', 'z'] -> '\n\nz'
+    assert got[3] == ("\n\nz", 1)

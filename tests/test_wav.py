@@ -85,3 +85,10 @@ def test_decode_audio_last_block_absorbs_remainder():
     feats, meta = decode_audio(encode_wav(samples), dim=4)
     assert meta["n_samples"] == 10
     assert np.allclose(feats, 1.0 / 32768.0)
+
+
+def test_rejects_chunk_size_overrun():
+    blob = bytearray(encode_wav(np.array([1, 2], dtype=np.int16)))
+    blob[40:44] = struct.pack("<I", 100000)  # data chunk claims 100 kB
+    with pytest.raises(ValueError):
+        decode_wav(bytes(blob))
