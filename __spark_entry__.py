@@ -2791,13 +2791,16 @@ _URL_NORM_DUCK = """
                substr(u, length(regexp_extract(u,
                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*')) + 1)) AS u
         FROM s1),
- s3 AS (SELECT doc_id, url, regexp_replace(u, '://www\\.', '://', 'g') AS u FROM s2),
+ s3 AS (SELECT doc_id, url,
+        regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\\.', '\\1') AS u
+        FROM s2),
  s4 AS (SELECT doc_id, url,
-        regexp_replace(regexp_replace(u, ':(80|443)/', '/', 'g'),
-                       ':(80|443)$', '', 'g') AS u FROM s3),
+        regexp_replace(u,
+          '^([a-z][a-z0-9+.-]*://[^/:?#]+):(80|443)([/?#].*)?$',
+          '\\1\\3') AS u FROM s3),
  s5 AS (SELECT doc_id, url,
         regexp_replace(regexp_replace(regexp_replace(u,
-          'utm_[a-z_]+=[^&#]*&', '', 'g'),
+          '([?&])(utm_[a-z_]+=[^&#]*&)+', '\\1', 'g'),
           '[?&]utm_[a-z_]+=[^&#]*$', '', 'g'),
           '\\?$', '', 'g') AS u FROM s4),
  norm AS (SELECT doc_id, url, regexp_replace(u, '/+$', '', 'g') AS norm_url
@@ -3513,13 +3516,16 @@ _LINKS_DUCK = """
                substr(u, length(regexp_extract(u,
                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*')) + 1)) AS u
         FROM l2),
- l4 AS (SELECT src, regexp_replace(u, '://www\\.', '://', 'g') AS u FROM l3),
+ l4 AS (SELECT src,
+        regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\\.', '\\1') AS u
+        FROM l3),
  l5 AS (SELECT src,
-        regexp_replace(regexp_replace(u, ':(80|443)/', '/', 'g'),
-                       ':(80|443)$', '', 'g') AS u FROM l4),
+        regexp_replace(u,
+          '^([a-z][a-z0-9+.-]*://[^/:?#]+):(80|443)([/?#].*)?$',
+          '\\1\\3') AS u FROM l4),
  l6 AS (SELECT src,
         regexp_replace(regexp_replace(regexp_replace(u,
-          'utm_[a-z_]+=[^&#]*&', '', 'g'),
+          '([?&])(utm_[a-z_]+=[^&#]*&)+', '\\1', 'g'),
           '[?&]utm_[a-z_]+=[^&#]*$', '', 'g'),
           '\\?$', '', 'g') AS u FROM l5),
  linkrows AS (SELECT src, regexp_replace(u, '/+$', '', 'g') AS dst FROM l6),

@@ -263,6 +263,11 @@ class ManifestTable:
         # FileExistsError → CommitConflict and never clobbers the winner's
         # committed manifest. (Posix open(O_CREAT|O_EXCL) is atomic; this
         # is the filesystem equivalent of Iceberg's catalog CAS.)
+        # A writer that CRASHES between this claim and the VERSION swap
+        # leaves an orphan claim that wedges future commits with
+        # CommitConflict; that is resolved by the explicit recover()
+        # (operator action), never automatically here — an orphan is
+        # indistinguishable from a live writer mid-swap.
         try:
             fh = open(self._snapshot_path(version), "x")
         except FileExistsError:
@@ -351,6 +356,54 @@ class ManifestTable:
         return df
 
     # -- maintenance ------------------------------------------------------
+
+    def recover(self) -> str:
+        """Repair an interrupted commit (OPERATOR action — run only
+        when no writer is live).
+
+        A writer that crashes between claiming ``v{N+1}.json`` (the
+        atomic O_EXCL create) and swapping VERSION leaves an orphan
+        claim: every future write computes the same version, hits
+        FileExistsError and raises CommitConflict — the table is
+        wedged until the orphan is resolved. write() deliberately does
+        NOT auto-resolve (a claim indistinguishable from a LIVE
+        writer mid-swap must not be deleted — that would re-introduce
+        the clobber race the O_EXCL claim exists to prevent); with the
+        no-live-writer precondition asserted by the caller, recovery
+        is unambiguous:
+
+        - orphan manifest parses complete and consistent → the crash
+          happened AFTER the manifest was durably written: ROLL
+          FORWARD (point VERSION at it — its data files were written
+          before commit). Returns ``"rolled_forward"``.
+        - orphan unreadable/inconsistent (crash mid-json.dump) →
+          ROLL BACK (delete the claim). Returns ``"rolled_back"``.
+        - no orphan → ``"clean"``.
+        """
+        v = self.current_version()
+        nxt = (v or 0) + 1
+        path = self._snapshot_path(nxt)
+        if not os.path.exists(path):
+            return "clean"
+        try:
+            with open(path) as fh:
+                snap = json.load(fh)
+            ok = (
+                snap.get("version") == nxt
+                and snap.get("parent") == v
+                and isinstance(snap.get("files"), list)
+                and "schema" in snap
+            )
+        except (json.JSONDecodeError, OSError):
+            ok = False
+        if not ok:
+            os.remove(path)
+            return "rolled_back"
+        tmp = self._version_file() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(str(nxt))
+        os.replace(tmp, self._version_file())
+        return "rolled_forward"
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files unreferenced by the ``keep_last`` newest

@@ -9,10 +9,11 @@ blocklists) need one canonical form first.
 All steps are pure Catalyst string/regex expressions (JVM-side,
 codegen-safe): no UDF, no shuffle for the per-row part; the host
 aggregation is one map-side-combinable groupBy. The regexes use only
-the Java/RE2-common subset and never reference capture groups in
-replacements (Java spells them ``$1``, RE2 ``\\1`` — a portability trap
-this module avoids by construction, so the DuckDB oracle can apply an
-independently written chain, q68).
+the Java/RE2-common PATTERN subset (no lookaround — RE2 has none);
+replacements DO use backreferences, each dialect spelling its own
+(``$1`` in Java/Spark here, ``\\1`` in the DuckDB oracle chain) — the
+q68 oracle pins the two chains equal, so the syntax split is tested,
+not assumed.
 
 ``registered_domain`` is the last two dot-labels — a deliberate
 approximation (no public-suffix list in the sandbox; a real deployment
@@ -43,10 +44,18 @@ def normalize_url(url: Column) -> Column:
     u = F.regexp_replace(url, r"#.*", "")
     prefix = F.regexp_extract(u, _SCHEME_HOST_RE, 0)
     u = F.concat(F.lower(prefix), F.substr(u, F.length(prefix) + F.lit(1)))
-    u = F.regexp_replace(u, r"://www\.", "://")
-    u = F.regexp_replace(u, r":(80|443)/", "/")
-    u = F.regexp_replace(u, r":(80|443)$", "")
-    u = F.regexp_replace(u, r"utm_[a-z_]+=[^&#]*&", "")
+    # Every structural rule below is ANCHORED to the URL's own shape:
+    # unanchored variants rewrote path/query CONTENT ('?to=https://
+    # www.b.com' losing its www, '/time:80/view' losing ':80', and
+    # 'xutm_a=1&' losing the tail of a non-utm parameter name) —
+    # collapsing distinct pages into one canonical form. The rules use
+    # backreferences; each engine spells its own syntax ($1 Java here,
+    # \1 RE2 in the DuckDB oracle chain) and q68 pins their equality.
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)www\.", "$1")
+    u = F.regexp_replace(
+        u, r"^([a-z][a-z0-9+.-]*://[^/:?#]+):(80|443)([/?#].*)?$", "$1$3"
+    )
+    u = F.regexp_replace(u, r"([?&])(utm_[a-z_]+=[^&#]*&)+", "$1")
     u = F.regexp_replace(u, r"[?&]utm_[a-z_]+=[^&#]*$", "")
     u = F.regexp_replace(u, r"\?$", "")
     return F.regexp_replace(u, r"/+$", "")

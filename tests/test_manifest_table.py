@@ -316,3 +316,38 @@ def test_stats_pruning_append_and_statless_files_kept(spark, tmp_path):
     got = t.read_where({"id": (0, 50)})
     assert sorted(r.id for r in got.collect()) == list(range(0, 51))
     assert len(paths) == 2
+
+
+def test_recover_rolls_forward_complete_orphan_claim(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "rf"))
+    t.write(_df(spark, 0, 10))
+    # simulate a writer that crashed AFTER durably writing v2.json but
+    # BEFORE the VERSION swap: perform a real append, then rewind
+    # VERSION to 1 (the manifest itself is complete and consistent)
+    t.write(_df(spark, 10, 20), mode="append")
+    with open(os.path.join(str(tmp_path / "rf"), "VERSION"), "w") as fh:
+        fh.write("1")
+    assert t.current_version() == 1
+    # the table is wedged: the next commit computes v2 and conflicts
+    with pytest.raises(CommitConflict):
+        t.write(_df(spark, 20, 30), mode="append")
+    assert t.recover() == "rolled_forward"
+    assert t.current_version() == 2
+    assert t.read().count() == 20  # the interrupted append is visible
+    t.write(_df(spark, 20, 30), mode="append")  # table writable again
+    assert t.read().count() == 30
+    assert t.recover() == "clean"
+
+
+def test_recover_rolls_back_truncated_orphan_claim(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "rb"))
+    t.write(_df(spark, 0, 10))
+    # simulate a crash mid-json.dump: an empty claimed v2 manifest
+    open(t._snapshot_path(2), "w").close()
+    with pytest.raises(CommitConflict):
+        t.write(_df(spark, 10, 20), mode="append")
+    assert t.recover() == "rolled_back"
+    assert t.current_version() == 1
+    t.write(_df(spark, 10, 20), mode="append")
+    assert t.current_version() == 2
+    assert t.read().count() == 20

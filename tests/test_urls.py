@@ -50,6 +50,32 @@ CASES = [
         "x.org",
         "x.org",
     ),
+    # anchored-rule regressions: structural rewrites must never touch
+    # path/query CONTENT
+    (
+        "https://a.com/r?to=https://www.b.com/x",
+        "https://a.com/r?to=https://www.b.com/x",
+        "a.com",
+        "a.com",
+    ),
+    (
+        "https://a.com/time:80/view",
+        "https://a.com/time:80/view",
+        "a.com",
+        "a.com",
+    ),
+    (
+        "https://a.com/p?xutm_a=1&b=2",
+        "https://a.com/p?xutm_a=1&b=2",
+        "a.com",
+        "a.com",
+    ),
+    (  # port 8080 is NOT a default port
+        "https://a.com:8080/x",
+        "https://a.com:8080/x",
+        "a.com",
+        "a.com",
+    ),
 ]
 
 
