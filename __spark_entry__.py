@@ -4125,6 +4125,149 @@ WITH caps AS (
 _def("q91_host_pagerank", fn=_q_host_pagerank, duck_sql=_q91_oracle_sql())
 
 
+# Temporal custom operators (operators/temporal.py) — the three
+# canonical "Spark lacks the verb" time-series joins. Each oracle is a
+# DIFFERENT algorithm for the same semantics (DuckDB's native ASOF
+# JOIN / plain inequality join / grouping-sets), so the rewrites are
+# externally checked, not self-verified.
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the customer's most recent
+    order at-or-before the event timestamp (union-tag + running-window
+    formulation — ONE shuffle; see operators/temporal.py for why the
+    inequality-join formulation is the wrong plan at 10^12 rows).
+    Right side deduped per (custkey, ts) by max o_orderkey — the
+    stated determinism rule; DuckDB re-derives the same matches with
+    its native ASOF LEFT JOIN."""
+    from osm_spark.operators.temporal import asof_join
+
+    _load(spark, sf_dir)
+    events = spark.table("events")
+    orders = (
+        spark.table("orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        events,
+        orders,
+        left_ts="ts",
+        right_ts="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        value_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("matched_o_orderdate").alias("last_order_ts"),
+        F.col("o_orderkey").alias("last_order"),
+    )
+
+
+_def(
+    "q92_asof_join",
+    fn=_q_asof_join,
+    duck_sql="""
+WITH r AS (SELECT o_custkey, o_orderdate,
+                  max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.user_id,
+       r.o_orderdate AS last_order_ts,
+       r.o_orderkey  AS last_order
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+""",
+)
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join via bucket binning (operators/temporal.py
+    range_join): events falling inside 6-hour windows opened by a
+    deterministic ~0.2% of events, with NO equi key — the rewrite
+    turns the would-be cross join into an equi-join on hour buckets
+    plus an exact residual. Aggregated per window so the oracle
+    (a plain inequality join) compares a stable shape."""
+    from osm_spark.operators.temporal import range_join
+
+    _load(spark, sf_dir)
+    events = spark.table("events")
+    windows = (
+        events.where(F.col("event_id") % 499 == 0)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOUR")).alias("w_end"),
+        )
+    )
+    pairs = range_join(events, windows, "ts", "w_start", "w_end", bucket="1 hour")
+    return pairs.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+_def(
+    "q93_range_join",
+    fn=_q_range_join,
+    duck_sql="""
+WITH w AS (SELECT event_id AS window_id, ts AS w_start,
+                  ts + INTERVAL 6 HOUR AS w_end
+           FROM events WHERE event_id % 499 = 0)
+SELECT w.window_id,
+       CAST(count(*) AS BIGINT)  AS n_events,
+       CAST(sum(e.value) AS DOUBLE) AS sum_value,
+       min(e.event_id)           AS first_event,
+       max(e.event_id)           AS last_event
+FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+""",
+)
+
+
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour AND day rollups of
+    the events stream per event_type in ONE scan via GROUPING SETS
+    (operators/temporal.py time_rollup). The oracle computes each
+    granularity as a separate scan and unions — same rows, different
+    algorithm."""
+    from osm_spark.operators.temporal import time_rollup
+
+    _load(spark, sf_dir)
+    out = time_rollup(
+        spark.table("events"),
+        "ts",
+        dims=["event_type"],
+        aggs=[
+            "CAST(count(*) AS BIGINT) AS n",
+            "CAST(sum(value) AS DOUBLE) AS sum_value",
+            "CAST(min(event_id) AS BIGINT) AS first_event",
+        ],
+        granularities=["hour", "day"],
+    )
+    return out
+
+
+_def(
+    "q94_time_rollup",
+    fn=_q_time_rollup,
+    duck_sql="""
+SELECT 'hour' AS gran, date_trunc('hour', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(value) AS DOUBLE) AS sum_value,
+       CAST(min(event_id) AS BIGINT) AS first_event
+FROM events GROUP BY bucket, event_type
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       CAST(count(*) AS BIGINT), CAST(sum(value) AS DOUBLE),
+       CAST(min(event_id) AS BIGINT)
+FROM events GROUP BY 2, 3
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
