@@ -4268,6 +4268,119 @@ FROM events GROUP BY 2, 3
 )
 
 
+# X — SemDeDup: cluster-scoped embedding dedup (text/semdedup.py).
+# The oracle re-derives EVERYTHING: the quantizer (same pure-numpy
+# train on a pyarrow read — the q45 pattern), nearest-centroid
+# assignment, within-cluster cosine pairs (sequential list_reduce,
+# bit-identical to Spark's aggregate(zip_with)), the transitive
+# closure, and the min-id keeper rule.
+_Q95_THRESHOLD = 0.35
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.semdedup import semantic_dedup
+
+    _load(spark, sf_dir)
+    return semantic_dedup(
+        spark.table("embeddings"), threshold=_Q95_THRESHOLD
+    ).select(
+        "vec_id",
+        F.col("list_id").cast("int").alias("list_id"),
+        "component",
+        "cluster_size",
+        "keep",
+    )
+
+
+def _q95_oracle_sql() -> str:
+    """Centroids trained by the SAME order-invariant numpy function on
+    a pyarrow read of the same parquet (q45's externally-checkable
+    pattern), embedded as literals; assignment / pairs / closure /
+    keeper all recomputed in SQL."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osm_spark.text.ann import auto_n_lists, train_ivf_centroids_np
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tb["vec_id"].to_pylist(), dtype=np.int64)
+    X = np.asarray(tb["embedding"].to_pylist(), dtype=np.float64)
+    n_lists = auto_n_lists(len(ids))
+    C = train_ivf_centroids_np(ids, X, n_lists, 5)
+    vals = ",\n".join(
+        "(" + ",".join(
+            [str(j)] + [f"CAST('{C[j, d]!r}' AS DOUBLE)" for d in range(C.shape[1])]
+        ) + ")"
+        for j in range(n_lists)
+    )
+    cent_cols = ", ".join(f"c{d}" for d in range(C.shape[1]))
+    cent_list = "list_value(" + ", ".join(
+        f"c{d}" for d in range(C.shape[1])
+    ) + ")"
+    return f"""
+WITH RECURSIVE cent_rows({cent_cols.replace('c0', 'j, c0')}) AS (VALUES {vals}),
+cent AS (SELECT j, {cent_list} AS cv FROM cent_rows),
+vn AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+  FROM embeddings
+),
+cdots AS (
+  SELECT v.vec_id, c.j,
+         list_reduce(list_transform(range(1, len(v.embedding) + 1),
+             i -> CAST(v.embedding[i] AS DOUBLE) / (CASE WHEN v.nrm = 0 THEN 1.0 ELSE v.nrm END) * c.cv[i]),
+             (x, y) -> x + y) AS dot
+  FROM vn v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, j AS list_id FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, j) AS r
+    FROM cdots) WHERE r = 1
+),
+e AS (SELECT a.vec_id, a.list_id, b.embedding AS v
+      FROM assigned a JOIN embeddings b USING (vec_id)),
+jp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(range(1, len(a.v) + 1),
+            i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(range(1, len(a.v) + 1),
+              i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(range(1, len(b.v) + 1),
+              i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), (x, y) -> x + y)))
+        >= {_Q95_THRESHOLD}),
+sym AS (SELECT id_a AS a, id_b AS b FROM jp
+        UNION SELECT id_b, id_a FROM jp),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+comp AS (
+  SELECT a.vec_id, a.list_id,
+         least(a.vec_id, coalesce(min(r.dst), a.vec_id)) AS component
+  FROM assigned a LEFT JOIN reach r ON r.src = a.vec_id
+  GROUP BY a.vec_id, a.list_id),
+sizes AS (SELECT component AS c2, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component)
+SELECT vec_id, CAST(list_id AS INT) AS list_id, component, cluster_size,
+       vec_id = component AS keep
+FROM comp JOIN sizes ON component = c2
+"""
+
+
+_def("q95_semdedup", fn=_q_semdedup, duck_sql=_q95_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
