@@ -4381,6 +4381,58 @@ FROM comp JOIN sizes ON component = c2
 _def("q95_semdedup", fn=_q_semdedup, duck_sql=_q95_oracle_sql())
 
 
+# X — CCNet-style char-trigram LM quality score (text/lm.py): model
+# trained distributed on the 'en' reference subset (top-2k grams so
+# the truncation and OOV paths are genuinely exercised at sf0.01),
+# every document scored in micro-nats (integer fold — no float-order
+# drift). The oracle retrains and rescores from scratch in SQL.
+_Q96_TOP_V = 2000
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.lm import score_docs, train_char_lm
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    model = train_char_lm(
+        docs.where(F.col("lang") == "en"), order=3, top_v=_Q96_TOP_V
+    )
+    return score_docs(docs, model, order=3)
+
+
+_def(
+    "q96_lm_score",
+    fn=_q_lm_score,
+    duck_sql=f"""
+WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+ g AS (SELECT substr(text, CAST(i AS INT), 3) AS gram
+       FROM ref, unnest(range(1, greatest(length(text) - 2, 0) + 1)) t(i)),
+ counts AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+ top AS (SELECT gram, c FROM counts ORDER BY c DESC, gram LIMIT {_Q96_TOP_V}),
+ tot AS (SELECT sum(c) AS N, count(*) AS V FROM top),
+ model AS (SELECT gram,
+                  CAST(round(ln(CAST(c + 1 AS DOUBLE) / (N + V + 1)) * 1000000)
+                       AS BIGINT) AS lp
+           FROM top, tot),
+ oov AS (SELECT CAST(round(ln(1.0 / (N + V + 1)) * 1000000) AS BIGINT) AS lp
+         FROM tot),
+ dg AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+        FROM documents, unnest(range(1, greatest(length(text) - 2, 0) + 1)) t(i)),
+ sc AS (SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN m.lp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               sum(coalesce(m.lp, (SELECT lp FROM oov))) AS s
+        FROM dg d LEFT JOIN model m USING (gram) GROUP BY d.doc_id)
+SELECT doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_oov, 0)   AS n_oov,
+       CAST(s AS DOUBLE) / (1000000.0 * n_grams) AS avg_logp
+FROM documents LEFT JOIN sc USING (doc_id)
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
