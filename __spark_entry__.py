@@ -4433,6 +4433,110 @@ FROM documents LEFT JOIN sc USING (doc_id)
 )
 
 
+# X — polygon-polygon overlap join (spatial/overlap.py): cell-
+# candidate pairs + exact integer classification kernel. The oracle is
+# a completely different algorithm: elementary-cell decomposition of
+# the hand-derived rect/hole models (_world_rects — worldgen
+# constants, independent of the assembly output) classified by pure
+# interval arithmetic, embedded as VALUES. Both sides use regularized
+# (closure-of-interior) semantics: measure-zero seams between a
+# multipolygon's parts don't break containment, and boundary-only
+# touching (shared admin borders) is NOT a relationship.
+def _q_poly_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.covering import build_polygon_cells, polygon_geometry
+    from osm_spark.spatial.overlap import polygon_overlap_join
+
+    out = _world(spark)
+    pcells = build_polygon_cells(out["locations"], 4, 8)
+    pgeom = polygon_geometry(out["locations"])
+    return polygon_overlap_join(pcells, pgeom, level=4)
+
+
+def _q97_expected() -> list[tuple[int, int, str]]:
+    """Interval-arithmetic ground truth: decompose the plane into
+    elementary open cells at every rect/hole breakpoint, compute each
+    relation's cell set (strict rect, weak hole exclusion — evaluated
+    at cell centers, which avoid all boundaries), classify pairs by
+    set algebra."""
+    shapes: dict[int, list] = {}
+    for rel, rings in _world_rects():
+        rect = next(geom for kind, geom in rings if kind == "rect")
+        holes = [geom for kind, geom in rings if kind == "hole"]
+        shapes.setdefault(rel, []).append((rect, holes))
+    xs = sorted(
+        {
+            v
+            for entries in shapes.values()
+            for rect, holes in entries
+            for box in [rect] + holes
+            for v in (box[0], box[2])
+        }
+    )
+    ys = sorted(
+        {
+            v
+            for entries in shapes.values()
+            for rect, holes in entries
+            for box in [rect] + holes
+            for v in (box[1], box[3])
+        }
+    )
+
+    def member(rel: int, cx2: int, cy2: int) -> bool:
+        # cx2/cy2 are DOUBLED center coords (exact integers)
+        for rect, holes in shapes[rel]:
+            x0, y0, x1, y1 = rect
+            if not (2 * x0 < cx2 < 2 * x1 and 2 * y0 < cy2 < 2 * y1):
+                continue
+            if any(
+                2 * h[0] <= cx2 <= 2 * h[2] and 2 * h[1] <= cy2 <= 2 * h[3]
+                for h in holes
+            ):
+                continue
+            return True
+        return False
+
+    centers = [
+        (xs[i] + xs[i + 1], ys[j] + ys[j + 1])
+        for i in range(len(xs) - 1)
+        for j in range(len(ys) - 1)
+    ]
+    sets = {
+        rel: frozenset(
+            k for k, c in enumerate(centers) if member(rel, c[0], c[1])
+        )
+        for rel in shapes
+    }
+    out = []
+    rels = sorted(shapes)
+    for i, a in enumerate(rels):
+        for b in rels[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not (sa & sb):
+                continue
+            if sa == sb:
+                r = "equal"
+            elif sb < sa:
+                r = "a_contains_b"
+            elif sa < sb:
+                r = "b_contains_a"
+            else:
+                r = "overlap"
+            out.append((a, b, r))
+    return out
+
+
+def _q97_oracle_sql() -> str:
+    rows = ",\n".join(
+        f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), '{r}')"
+        for a, b, r in _q97_expected()
+    )
+    return f"SELECT * FROM (VALUES {rows}) t(rel_a, rel_b, relation)"
+
+
+_def("q97_poly_overlap", fn=_q_poly_overlap, duck_sql=_q97_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
