@@ -64,6 +64,16 @@ CHECKS = {
     # partial-aggregated map-side; the pin is no-Python + codegen scan
     "q88_latest_snapshot": ([], ["EvalPython"], 1),
     "q89_host_graph": ([], ["EvalPython"], 1),
+    # r4 temporal family: pure Catalyst — as-of is window-over-union
+    # (no BroadcastNestedLoopJoin: the inequality-join plan it exists
+    # to avoid), range join is an equi-join after the bucket rewrite
+    "q92_asof_join": (["Window"], ["EvalPython", "BroadcastNestedLoopJoin",
+                                   "CartesianProduct"], 1),
+    "q93_range_join": ([], ["EvalPython", "BroadcastNestedLoopJoin",
+                            "CartesianProduct"], 1),
+    "q94_time_rollup": (["Expand"], ["EvalPython"], 1),
+    # r4 LM scoring: broadcast model, no Python
+    "q96_lm_score": (["BroadcastHashJoin"], ["EvalPython"], 1),
 }
 
 
