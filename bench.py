@@ -399,6 +399,20 @@ def main() -> None:
 
     timed("ann_ivf_scale", run_ivf_scale)
 
+    # SemDeDup over the same clustered corpus: quantizer train +
+    # assignment + within-cluster pairs + components + keeper, end to
+    # end (the trillion-scale embedding-dedup shape; q95 pins
+    # correctness, this leg pins throughput on data WITH near-dup
+    # structure). Count of survivors forces the whole pass.
+    def run_semdedup_scale():
+        from osm_spark.text.semdedup import semantic_dedup
+
+        emb = approx_holder["scale_emb"]
+        out = semantic_dedup(emb, threshold=0.85, sample_mod=5, kernel="gemm")
+        return out.where("keep").count()
+
+    timed("semdedup_scale", run_semdedup_scale)
+
     # Recall vs the already-timed exact baseline (outside the timing).
     from osm_spark.text.ann import cosine_topk
 

@@ -69,6 +69,28 @@ def test_dedup_collapses_clusters(spark, corpus):
     out.unpersist()
 
 
+def test_gemm_kernel_matches_catalyst(spark, corpus):
+    cents = train_ivf_centroids(corpus, n_lists=K)
+    assigned = assign_clusters(corpus, cents)
+    cat = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(assigned, 0.8, kernel="catalyst").collect()
+    }
+    gem = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(assigned, 0.8, kernel="gemm").collect()
+    }
+    assert cat == gem and len(cat) > 100
+    # tiling must not change the pair set (exercise multi-tile blocks)
+    tiled = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(
+            assigned, 0.8, kernel="gemm", tile=16
+        ).collect()
+    }
+    assert tiled == gem
+
+
 def test_quantizer_shared_with_ivf(spark, corpus):
     cents = train_ivf_centroids(corpus, n_lists=K)
     a = semantic_dedup(corpus, threshold=0.8, centroids=cents)
