@@ -4537,6 +4537,68 @@ def _q97_oracle_sql() -> str:
 _def("q97_poly_overlap", fn=_q_poly_overlap, duck_sql=_q97_oracle_sql())
 
 
+# X — REAL video frame decode (text/apng.py): deterministic APNG
+# payloads (4 constant-valued 16×16 frames, value (length(text)+7i)
+# mod 256, 40 ms cadence) are synthesized per page, then
+# sample_frames really parses acTL/fcTL/fdAT and decodes each
+# frame's pixels through zlib+defilter — n_frames, timestamps and
+# features all come from the BYTES, and the oracle reproduces every
+# one from the synthesis formula alone. Completes the media triad
+# (PNG q61, WAV q90, APNG here); only region-composited video falls
+# back to the stub.
+def _q_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from osm_spark.text.multimodal import attach_media, sample_frames
+
+    pages = _pages_df(spark).select(
+        "url", (F.length("text") % 256).cast("int").alias("v")
+    )
+
+    def build(it):
+        from osm_spark.text.apng import encode_apng
+
+        for pdf in it:
+            payloads = [
+                encode_apng(
+                    [
+                        np.full((16, 16), (int(v) + 7 * i) % 256, np.uint8)
+                        for i in range(4)
+                    ],
+                    delay_ms=40,
+                )
+                for v in pdf["v"]
+            ]
+            yield pd.DataFrame({"url": pdf["url"], "payload": payloads})
+
+    media = attach_media(
+        pages.mapInPandas(build, "url string, payload binary"),
+        "payload",
+        "video",
+        keep=["url"],
+    )
+    frames = sample_frames(media, dim=8, keep=["url"])
+    return frames.select(
+        "url",
+        "frame_idx",
+        "ts_ms",
+        F.element_at("features", 1).cast("double").alias("f0"),
+    )
+
+
+_def(
+    "q98_apng_frames",
+    fn=_q_apng_frames,
+    duck_sql=_pages_oracle_cte()
+    + """
+SELECT url, CAST(g.i AS INT) AS frame_idx, CAST(g.i * 40 AS INT) AS ts_ms,
+       CAST(CAST(((length(text) % 256 + 7 * g.i) % 256) / 255.0 AS FLOAT) AS DOUBLE) AS f0
+FROM pages CROSS JOIN generate_series(0, 3) AS g(i)
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

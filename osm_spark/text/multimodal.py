@@ -92,22 +92,28 @@ def decode_image(payload: bytes, dim: int = 16) -> tuple[np.ndarray, dict | None
             img, meta = decode_png(bytes(payload))
         except ValueError:
             return decode_image_stub(payload, dim), None
-        px = img.astype(np.float64)
-        if px.ndim == 3:
-            px = px.mean(axis=2)
-        flat = px.reshape(-1)
-        # dim equal blocks (last one absorbs the remainder).
-        n = flat.shape[0]
-        step = max(1, n // dim)
-        feats = np.zeros(dim, dtype=np.float64)
-        for j in range(dim):
-            lo = j * step
-            hi = (j + 1) * step if j < dim - 1 else n
-            block = flat[lo:hi]
-            if block.size:
-                feats[j] = block.sum() / float(block.size) / 255.0
-        return feats.astype(np.float32), meta
+        return pixel_features(img, dim), meta
     return decode_image_stub(payload, dim), None
+
+
+def pixel_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """dim equal-width block means over the row-major grey pixel
+    stream, each in [0, 1] (the q52/q61/q98 oracle arithmetic —
+    shared by the image and APNG-frame decode paths)."""
+    px = img.astype(np.float64)
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    flat = px.reshape(-1)
+    n = flat.shape[0]
+    step = max(1, n // dim)
+    feats = np.zeros(dim, dtype=np.float64)
+    for j in range(dim):
+        lo = j * step
+        hi = (j + 1) * step if j < dim - 1 else n
+        block = flat[lo:hi]
+        if block.size:
+            feats[j] = block.sum() / float(block.size) / 255.0
+    return feats.astype(np.float32)
 
 
 def extract_features(
@@ -260,44 +266,84 @@ def sample_frames(
     interval_ms: int = 100,
     max_frames: int = 8,
     dim: int = 16,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Frame-sampling plumbing: one media row fans out to
-    min(max_frames, duration//interval + 1) frame rows, each with the
-    frame's (stub-)decoded features — the Spark shape of a video
+    min(max_frames, n_frames) frame rows — the Spark shape of a video
     pre-processing stage (fan-out INSIDE the Arrow batch, no explode /
     shuffle; output batches stay bounded because max_frames caps the
     multiplier).
 
-    duration comes from meta.duration_ms when present; a NULL duration
-    falls back to the payload byte length (deterministic, so the q58
-    oracle can reproduce the fan-out count in SQL)."""
+    Frame decode is REAL for APNG payloads (text/apng.py — the
+    independent-frames subset, so sampling frame k decompresses only
+    frame k, the keyframe-seek property): n_frames and ts come from
+    the animation's own acTL/fcTL metadata and features from decoded
+    pixels (same block-mean arithmetic as the image path). Other
+    payloads keep the historical stub fan-out —
+    min(max_frames, duration//interval + 1) frames with md5 features,
+    duration from meta.duration_ms or the byte length — so arbitrary
+    binaries stay testable and q58's oracle formula holds.
+
+    ``keep``: passthrough columns carried through the fan-out
+    (extract_features' pattern — collision-proof vs re-joining on
+    media_id when distinct sources share identical payloads)."""
+    keep = list(keep or [])
+    schema = FRAMES_SCHEMA + "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in media.schema.fields if f.name in keep
+    )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osm_spark.text.apng import apng_info, decode_apng_frame
+        from osm_spark.text.png import PNG_SIGNATURE
+
         for pdf in it:
             ids, kinds, idxs, tss, feats = [], [], [], [], []
+            kept: dict[str, list] = {c: [] for c in keep}
             durations = [
                 m["duration_ms"] if m is not None and m["duration_ms"] is not None
                 else len(p or b"")
                 for m, p in zip(pdf["meta"], pdf["payload"])
             ]
-            for mid, kind, payload, dur in zip(
-                pdf["media_id"], pdf["kind"], pdf["payload"], durations
+
+            def emit(row_idx, mid, kind, i, ts, f):
+                ids.append(mid)
+                kinds.append(kind)
+                idxs.append(i)
+                tss.append(ts)
+                feats.append(f)
+                for c in keep:
+                    kept[c].append(pdf[c].iloc[row_idx])
+
+            for ri, (mid, kind, payload, dur) in enumerate(
+                zip(pdf["media_id"], pdf["kind"], pdf["payload"], durations)
             ):
+                info = None
+                if payload and bytes(payload[:8]) == PNG_SIGNATURE:
+                    try:
+                        info = apng_info(bytes(payload))
+                    except ValueError:
+                        info = None
+                if info is not None:
+                    n = min(max_frames, info["n_frames"])
+                    delay = info["delay_ms"] or interval_ms
+                    for i in range(max(n, 1)):
+                        img = decode_apng_frame(bytes(payload), i)
+                        emit(ri, mid, kind, i, i * delay,
+                             pixel_features(img, dim).tolist())
+                    continue
                 n = min(max_frames, int(dur) // interval_ms + 1)
                 for i in range(max(n, 1)):
-                    ids.append(mid)
-                    kinds.append(kind)
-                    idxs.append(i)
-                    tss.append(i * interval_ms)
-                    feats.append(decode_frame_stub(payload, i, dim).tolist())
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "kind": kinds,
-                    "frame_idx": idxs,
-                    "ts_ms": tss,
-                    "features": feats,
-                }
-            )
+                    emit(ri, mid, kind, i, i * interval_ms,
+                         decode_frame_stub(payload, i, dim).tolist())
+            out = {
+                "media_id": ids,
+                "kind": kinds,
+                "frame_idx": idxs,
+                "ts_ms": tss,
+                "features": feats,
+            }
+            out.update(kept)
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, FRAMES_SCHEMA)
+    return media.mapInPandas(run, schema)
