@@ -4599,6 +4599,99 @@ FROM pages CROSS JOIN generate_series(0, 3) AS g(i)
 )
 
 
+# X — exact distributed quantiles (operators/quantiles.py): two-phase
+# rank-select, never a global sort/window. The oracle is DuckDB's own
+# quantile_disc — a different algorithm entirely; values must be
+# IDENTICAL elements, not approximations, so the hash check is exact.
+_Q99_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.operators.quantiles import exact_quantiles
+
+    _load(spark, sf_dir)
+    return exact_quantiles(
+        spark.table("lineitem"), "l_extendedprice", _Q99_QS
+    )
+
+
+_def(
+    "q99_exact_quantiles",
+    fn=_q_exact_quantiles,
+    duck_sql="\nUNION ALL\n".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q,"
+        f" quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+        for q in _Q99_QS
+    ),
+)
+
+
+# X — HLL distinct sketch (operators/sketch.py): engine-reproducible
+# HyperLogLog (md5-prefix hash, exact-integer harmonic sum, bin()
+# floor-log2). The oracle recomputes the ENTIRE sketch + estimate in
+# SQL — register assignment, ranks, max-aggregation, correction
+# branch — and also carries the exact distinct count so the record
+# shows the estimate's error, not just its determinism.
+def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.operators.sketch import hll_distinct
+
+    _load(spark, sf_dir)
+    est = hll_distinct(spark.table("lineitem"), "l_orderkey", p=12)
+    exact = spark.table("lineitem").agg(
+        F.count_distinct("l_orderkey").alias("exact")
+    )
+    return est.crossJoin(exact).select(
+        "estimate",
+        "v_zero",
+        "n_registers",
+        "exact",
+        F.round(F.abs(F.col("estimate") - F.col("exact")) / F.col("exact"), 4)
+        .alias("rel_error"),
+    )
+
+
+def _q100_oracle_sql() -> str:
+    from osm_spark.operators.sketch import _alpha
+
+    p, hexn = 12, 12
+    m = 1 << p
+    tail_bits = 4 * hexn - p
+    scale = 1 << tail_bits
+    alpha = _alpha(m)
+    return f"""
+WITH h AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, {hexn})) AS UBIGINT) AS BIGINT) AS hv
+  FROM lineitem WHERE l_orderkey IS NOT NULL),
+ rr AS (
+  SELECT hv >> {tail_bits} AS register,
+         CASE WHEN (hv & {scale - 1}) = 0 THEN {tail_bits + 1}
+              ELSE {tail_bits + 1} - length(bin(hv & {scale - 1})) END AS rank
+  FROM h),
+ sk AS (SELECT register, max(rank) AS max_rank FROM rr GROUP BY register),
+ agg AS (SELECT sum(CAST(1 AS BIGINT) << ({tail_bits} - max_rank)) AS int_sum,
+                count(*) AS n_registers
+         FROM sk),
+ est AS (
+  SELECT CASE WHEN (CAST('{alpha!r}' AS DOUBLE) * {m} * {m})
+                   / (CAST(int_sum + ({m} - n_registers) * CAST({scale} AS BIGINT) AS DOUBLE) / {scale}.0)
+                <= 2.5 * {m} AND ({m} - n_registers) > 0
+         THEN round({m}.0 * ln({m}.0 / ({m} - n_registers)), 4)
+         ELSE round((CAST('{alpha!r}' AS DOUBLE) * {m} * {m})
+                   / (CAST(int_sum + ({m} - n_registers) * CAST({scale} AS BIGINT) AS DOUBLE) / {scale}.0), 4)
+         END AS estimate,
+         CAST({m} - n_registers AS BIGINT) AS v_zero,
+         CAST(n_registers AS BIGINT) AS n_registers
+  FROM agg),
+ ex AS (SELECT count(DISTINCT l_orderkey) AS exact FROM lineitem)
+SELECT estimate, v_zero, n_registers, exact,
+       round(abs(estimate - exact) / exact, 4) AS rel_error
+FROM est, ex
+"""
+
+
+_def("q100_hll_distinct", fn=_q_hll, duck_sql=_q100_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -1,0 +1,114 @@
+"""HyperLogLog distinct-count sketch — engine-reproducible variant.
+
+Spark's ``approx_count_distinct`` and DuckDB's ``approx_count_distinct``
+are both HLL but with different hashes and internals, so they can never
+cross-check each other. This operator implements HLL (Flajolet et al.
+2007) from first principles on the repo's oracle hash convention
+(md5-prefix → int64, the text/sampling.py scheme), with one extra
+twist that makes the estimate BIT-IDENTICAL across engines: the
+harmonic denominator Σ 2^(-M_j) is accumulated as the exact integer
+Σ 2^(37 - M_j) (ranks are ≤ 37 by construction, so every term and the
+4096-register sum fit comfortably in int64) — an order-free fold, so
+Spark's partition-parallel aggregation and DuckDB's sequential one
+produce the same number, and the only float ops are a final division
+and (in the small-range branch) one ln of an integer ratio.
+
+Layout: a 48-bit uniform hash (12 md5 hex chars); the top ``p`` bits
+pick the register, the remaining ``48 - p`` bits give the rank
+(leading zeros + 1, capped at 48 - p + 1). floor(log2) is computed
+EXACTLY via the length of the base-2 string (``bin()`` in both
+engines) — never a float log that could misround at a power of two.
+
+Scale shape: ONE map-side-combinable groupBy over ≤ 2^p groups — the
+sketch table (register, max_rank) is tiny, mergeable across shards /
+snapshots by a further max() groupBy (the property that makes HLL the
+standard distributed-distinct structure), and the estimate is a
+single-row aggregate over it.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = 12          # 48-bit hash (sampling.py convention)
+_BITS = 4 * _HEX
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def _hash48(key: Column) -> Column:
+    return F.conv(F.substring(F.md5(key), 1, _HEX), 16, 10).cast("long")
+
+
+def hll_sketch(df: DataFrame, key: str, p: int = 12) -> DataFrame:
+    """(register, max_rank) sketch rows — mergeable: union sketches
+    and groupBy(register).max(max_rank) to sketch a union of sets."""
+    tail_bits = _BITS - p
+    h = _hash48(F.col(key).cast("string"))
+    register = F.shiftright(h, tail_bits)
+    tail = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
+    # rank = leading zeros in the tail field + 1; exact floor(log2)
+    # via the binary-string length (bin(0) is never consulted).
+    rank = F.when(tail == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits + 1) - F.length(F.bin(tail))
+    )
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(register.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+    """One row: (estimate double, v_zero long, n_registers long).
+
+    estimate = alpha·m² / Σ 2^(-M_j) with the small-range correction
+    m·ln(m/V) when E ≤ 2.5 m and V > 0 (Flajolet et al. §4)."""
+    m = 1 << p
+    tail_bits = _BITS - p
+    scale = 1 << tail_bits  # 2^(48-p): the exact-integer denominator unit
+    alpha = _alpha(m)
+    agg = sketch.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {tail_bits} - max_rank)"))
+        .alias("int_sum"),
+        F.count("*").alias("n_registers"),
+    )
+    v = F.lit(m) - F.col("n_registers")
+    denom = (F.col("int_sum") + v * F.lit(scale)).cast("double") / F.lit(
+        float(scale)
+    )
+    e_raw = F.lit(alpha * m * m) / denom
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((e_raw <= 2.5 * m) & (v > 0), small).otherwise(e_raw)
+    return agg.select(
+        F.round(est, 4).alias("estimate"),
+        v.cast("long").alias("v_zero"),
+        F.col("n_registers").cast("long").alias("n_registers"),
+    )
+
+
+def hll_distinct(df: DataFrame, key: str, p: int = 12) -> DataFrame:
+    """End-to-end: sketch + estimate in one plan."""
+    return hll_estimate(hll_sketch(df, key, p), p)
+
+
+def hll_estimate_py(ranks: dict[int, int], p: int = 12) -> float:
+    """Driver-side twin for tests (same exact-integer arithmetic)."""
+    m = 1 << p
+    tail_bits = _BITS - p
+    scale = 1 << tail_bits
+    int_sum = sum(1 << (tail_bits - r) for r in ranks.values())
+    v = m - len(ranks)
+    denom = (int_sum + v * scale) / float(scale)
+    e_raw = _alpha(m) * m * m / denom
+    if e_raw <= 2.5 * m and v > 0:
+        return round(m * math.log(m / v), 4)
+    return round(e_raw, 4)
