@@ -191,6 +191,34 @@ def main() -> None:
 
     timed("inverted_index", run_inverted_index)
 
+    # As-of join at page scale: every page picks its host's newest
+    # crawl-manifest row at-or-before its warc_ts — the union-tag +
+    # running-window formulation (operators/temporal.py), ONE shuffle
+    # on the host key. The leg is n_pages probe rows against a
+    # deterministic 50k-row manifest side.
+    def run_asof():
+        from osm_spark.operators.temporal import asof_join
+
+        left = pages.select(
+            "url",
+            F.xxhash64(F.expr("parse_url(url, 'HOST')")).alias("hkey"),
+            F.col("warc_ts").alias("ts"),
+        )
+        right = spark.range(50_000).select(
+            (F.col("id") % 10_000).alias("hkey2"),
+            F.timestamp_seconds(
+                F.lit(1_500_000_000) + (F.col("id") * 7919) % 200_000_000
+            ).alias("snap_ts"),
+            F.col("id").alias("snap_id"),
+        ).groupBy("hkey2", "snap_ts").agg(F.max("snap_id").alias("snap_id"))
+        left = left.withColumn("hkey", F.pmod(F.col("hkey"), F.lit(10_000)))
+        out = asof_join(
+            left, right, "ts", "snap_ts", "hkey", "hkey2", ["snap_id"]
+        )
+        return out.where(F.col("snap_id").isNotNull()).count()
+
+    timed("asof_join", run_asof)
+
     sp: dict = {}
 
     # The spatial join is two phases with very different scaling laws:
