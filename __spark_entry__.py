@@ -4692,6 +4692,126 @@ FROM est, ex
 _def("q100_hll_distinct", fn=_q_hll, duck_sql=_q100_oracle_sql())
 
 
+# X65 — BPE tokenizer training + encoding (text/bpe.py): classic
+# Sennrich semantics (per-position pair counts, (cnt DESC, l, r)
+# argmax, greedy left-to-right non-overlapping merge), trained over
+# the Zipf-compressed word-type table. The oracle RE-TRAINS the whole
+# merge table in DuckDB — an unrolled per-round CTE chain (the
+# q81/q91 pattern) whose merge application is the identical greedy
+# fold via list_reduce with a delimiter-encoded accumulator — and
+# q102 additionally RE-ENCODES every document with it, hash-exact.
+_BPE_K = 6
+
+
+def _duck_bpe_fold(e: str, l: str, r: str) -> str:
+    """The greedy-merge fold as a DuckDB list_reduce producing the
+    chr(31)-delimited (result, pending) accumulator string."""
+    pend = "split_part(acc, chr(31), 2)"
+    res = "split_part(acc, chr(31), 1)"
+    emit = f"(CASE WHEN {pend} = '' THEN {res} ELSE {res} || ' ' || {pend} END)"
+    step = (
+        f"CASE WHEN {pend} = {l} AND x = {r} "
+        f"THEN {res} || ' ' || {l} || {r} || chr(31) "
+        f"ELSE {emit} || chr(31) || x END"
+    )
+    return f"list_reduce(list_prepend(chr(31), {e}), (acc, x) -> {step})"
+
+
+_BPE_ACC_TO_LIST = (
+    "list_filter(string_split(CASE WHEN split_part(acc, chr(31), 2) = '' "
+    "THEN split_part(acc, chr(31), 1) "
+    "ELSE split_part(acc, chr(31), 1) || ' ' || split_part(acc, chr(31), 2) "
+    "END, ' '), s -> s <> '')"
+)
+
+
+def _bpe_train_ctes(k_rounds: int) -> list[str]:
+    ctes = [
+        f"""w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         list_transform(range(length(word)), i -> substr(word, CAST(i+1 AS INT), 1)) AS syms
+  FROM (SELECT unnest({_TOKENS_DUCK}) AS word FROM documents) GROUP BY word)"""
+    ]
+    for k in range(1, k_rounds + 1):
+        ctes.append(
+            f"""pc{k} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, unnest(list_transform(range(list_count(syms) - 1),
+          j -> {{'l': syms[CAST(j + 1 AS INT)], 'r': syms[CAST(j + 2 AS INT)]}})) AS pr
+        FROM w{k-1} WHERE list_count(syms) >= 2)
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"m{k} AS (SELECT l, r, cnt FROM pc{k} WHERE cnt >= 2"
+            " ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"a{k} AS (SELECT word, freq, "
+            f"{_duck_bpe_fold('syms', f'm{k}.l', f'm{k}.r')} AS acc "
+            f"FROM w{k-1}, m{k})"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT word, freq, {_BPE_ACC_TO_LIST} AS syms FROM a{k})"
+        )
+    return ctes
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.bpe import bpe_train
+
+    _load(spark, sf_dir)
+    return bpe_train(spark.table("documents"), n_merges=_BPE_K)
+
+
+def _q101_oracle_sql() -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, cnt AS pair_count FROM m{k}"
+        for k in range(1, _BPE_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_bpe_train_ctes(_BPE_K))
+        + f",\nmm AS ({union})\nSELECT * FROM mm ORDER BY merge_rank"
+    )
+
+
+_def("q101_bpe_train", fn=_q_bpe_train, duck_sql=_q101_oracle_sql())
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.bpe import bpe_encode, bpe_train
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    return bpe_encode(docs, bpe_train(docs, n_merges=_BPE_K))
+
+
+def _q102_oracle_sql() -> str:
+    # The fully-merged training word table w{K} IS the encode
+    # dictionary (training applies every merge to every word type) —
+    # same invariant the Spark side's distinct-word dictionary relies
+    # on, derived here through an independent chain.
+    return (
+        "WITH "
+        + ",\n".join(_bpe_train_ctes(_BPE_K))
+        + f""",
+d AS (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS word,
+             unnest(range(list_count(toks))) AS pos FROM d),
+j AS (SELECT e.doc_id, e.pos, w.syms FROM e JOIN w{_BPE_K} w USING (word)),
+g AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS pieces
+      FROM j GROUP BY doc_id)
+SELECT d.doc_id, CAST(list_count(d.toks) AS INT) AS n_words,
+       CAST(coalesce(list_count(g.pieces), 0) AS INT) AS n_bpe_tokens,
+       coalesce(array_to_string(g.pieces, ' '), '') AS bpe_text
+FROM d LEFT JOIN g USING (doc_id)"""
+    )
+
+
+_def("q102_bpe_encode", fn=_q_bpe_encode, duck_sql=_q102_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

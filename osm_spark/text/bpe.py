@@ -1,0 +1,265 @@
+"""Distributed BPE tokenizer training + encoding (classic Sennrich
+semantics), engine-reproducible.
+
+The last tokenizer-adjacent gap after X49's vocabulary statistics:
+actually TRAINING a byte-pair-encoding merge table over the corpus and
+ENCODING documents with it. Semantics are the classic ones
+(Sennrich et al. 2016; the GPT-2 trainer shape):
+
+- pair counting is per adjacent POSITION (a word ``aaa`` contributes 2
+  to pair ``(a, a)``) weighted by word frequency;
+- the winning pair each round is ``(count DESC, left ASC, right ASC)``
+  — a total order, so the merge table is deterministic at any
+  parallelism and reproducible in any engine;
+- applying a merge is greedy left-to-right NON-overlapping
+  (``a a a a`` + merge ``(a,a)`` → ``aa aa``; ``a a a`` → ``aa a``),
+  implemented as ONE ``F.aggregate`` fold over the symbol array — the
+  identical fold runs in DuckDB as ``list_reduce`` with a
+  delimiter-encoded string accumulator, and q101/q102 pin the two
+  engines hash-equal.
+
+Scale shape (the 100-TB view):
+
+- The only corpus-scale pass is the word-count reduction: one explode
+  + one map-side-combinable groupBy collapses 10^12 documents to the
+  word-TYPE table (Zipf: ~10^7 rows for a web corpus). Training never
+  touches the corpus again.
+- Each merge round is one small aggregate over the type table
+  (positions explode → groupBy pair → TakeOrdered 1) plus one column
+  rewrite; rounds are driver-coordinated like PageRank's (X47), with
+  per-round persist/release so round k reads round k-1's cache, not
+  its lineage. K rounds = K small shuffles over the type table —
+  independent of corpus size.
+- Encoding uses the same Zipf dedup: encode each DISTINCT word once
+  (the merge folds are literal-specialized Catalyst expressions — no
+  Python in the loop), then broadcast-join the word→pieces dictionary
+  back to the corpus and reassemble per document ordered by word
+  position. A 32k-merge production vocabulary would cap the nested-
+  expression depth per pass (apply merges in chunks of ~64, K/64
+  sequential column rewrites over the DISTINCT-WORD table — still
+  corpus-size-independent); n_merges here is test-scale.
+
+No reference analog (pmezard/osm has no text pipeline); SURVEY
+§2-ext X65. Oracles: q101 re-trains the whole merge table in DuckDB
+(unrolled per-round CTEs, the q81/q91 pattern); q102 re-trains AND
+re-encodes every document, hash-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_spark.text.analysis import tokens_col
+
+__all__ = [
+    "chars_col",
+    "merge_fold",
+    "word_counts",
+    "bpe_train",
+    "encode_word_col",
+    "bpe_encode",
+]
+
+
+def chars_col(word: Column | str) -> Column:
+    """Symbol array of a word: its characters (the BPE base alphabet).
+
+    Tokens come from the engine-wide tokenizer (lowercase ``[a-z0-9]``
+    runs), so every symbol is a non-empty ASCII string — the fold's
+    ``''`` pending-sentinel and space joiner below are unambiguous.
+    """
+    c = F.col(word) if isinstance(word, str) else word
+    return F.filter(F.split(c, ""), lambda t: t != "")
+
+
+def merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Apply ONE merge ``(left, right)`` greedily left-to-right,
+    non-overlapping, to a symbol array — classic BPE application.
+
+    One ``F.aggregate`` fold: the accumulator is
+    ``struct(res: string, p: string)`` where ``res`` is the
+    space-joined output so far and ``p`` the pending (not yet emitted)
+    symbol; a merge consumes the pending symbol so the merged token
+    can never be the LEFT side of another merge in the same round
+    (``a a a`` → ``aa a``, not ``aa a`` then re-merge). DuckDB runs
+    the identical fold via ``list_reduce`` (see ``_duck_fold`` in
+    ``__spark_entry__``), which is how q101/q102 pin the semantics
+    across engines.
+    """
+    merged = left + right
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.when(
+            (acc["p"] == F.lit(left)) & (x == F.lit(right)),
+            F.struct(
+                F.concat(acc["res"], F.lit(" " + merged)).alias("res"),
+                F.lit("").alias("p"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["p"] == "", acc["res"])
+                .otherwise(F.concat(acc["res"], F.lit(" "), acc["p"]))
+                .alias("res"),
+                x.alias("p"),
+            )
+        )
+
+    def fin(acc: Column) -> Column:
+        full = F.when(acc["p"] == "", acc["res"]).otherwise(
+            F.concat(acc["res"], F.lit(" "), acc["p"])
+        )
+        return F.filter(F.split(full, " "), lambda t: t != "")
+
+    return F.aggregate(
+        syms,
+        F.struct(F.lit("").alias("res"), F.lit("").alias("p")),
+        step,
+        fin,
+    )
+
+
+def word_counts(
+    docs: DataFrame, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(word, freq) over the corpus — the single corpus-scale pass.
+
+    One explode + one map-side-combinable groupBy; everything after
+    this operates on word TYPES (Zipf-compressed), never the corpus.
+    """
+    return (
+        docs.select(F.explode(tokens_col(text)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text: str = "text",
+    key: str = "doc_id",
+    min_freq: int = 1,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns a DataFrame
+    ``(merge_rank, left_sym, right_sym, pair_count)`` ordered by rank.
+
+    Driver-coordinated rounds over the persisted word-type table (the
+    X47 PageRank loop pattern): each round one position-explode pair
+    count → deterministic argmax ``(count DESC, left ASC, right ASC)``
+    → one greedy fold column rewrite. Stops early if no pair with
+    ``pair_count >= 2`` occurrences remains (merging a pair seen once
+    per round is never useful and would make small-corpus training
+    nondeterministic only in uninteresting tails — the cutoff is part
+    of the contract and mirrored by the q101 oracle's unroll guard).
+    """
+    spark = docs.sparkSession
+    words = (
+        word_counts(docs, text=text, key=key)
+        .where(F.col("freq") >= F.lit(min_freq))
+        .select("word", "freq", chars_col("word").alias("syms"))
+        .persist()
+    )
+    words.count()
+
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                words.where(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(syms)-2),"
+                            " i -> struct(syms[i] AS l, syms[i+1] AS r))"
+                        )
+                    ).alias("pr"),
+                )
+                .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < 2:
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((rank, l, r, cnt))
+            nxt = words.withColumn("syms", merge_fold(F.col("syms"), l, r)).persist()
+            nxt.count()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+
+    return spark.createDataFrame(
+        merges, "merge_rank: int, left_sym: string, right_sym: string, pair_count: bigint"
+    )
+
+
+def encode_word_col(
+    word: Column | str, merges: Sequence[tuple[str, str]]
+) -> Column:
+    """Symbol array of a word after applying ``merges`` in rank order
+    — each merge a literal-specialized greedy fold (no Python)."""
+    syms = chars_col(word)
+    for left, right in merges:
+        syms = merge_fold(syms, left, right)
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame | Sequence[tuple[str, str]],
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Encode every document with a trained merge table; returns
+    ``(key, n_words, n_bpe_tokens, bpe_text)`` where ``bpe_text`` is
+    the space-joined piece sequence in document order.
+
+    Zipf path: encode each DISTINCT word once, broadcast the
+    word→pieces dictionary, join back on the exploded corpus, and
+    reassemble per document via sort_array over (position, pieces) —
+    the per-occurrence fold never runs, and the only corpus-side
+    shuffle is the per-document regroup.
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_rank").collect()
+        pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
+    else:
+        pairs = list(merges)
+
+    # Two projection-only scans of the corpus (dictionary pass +
+    # encode pass) — deliberately NOT persisted: tokenization is a
+    # cheap codegen projection, and a session-lifetime cache over the
+    # full corpus is exactly the leak the r4 knn fix removed.
+    toks = docs.select(F.col(key).alias("k"), tokens_col(text).alias("toks"))
+    dictionary = (
+        toks.select(F.explode("toks").alias("word"))
+        .distinct()
+        .select("word", encode_word_col("word", pairs).alias("pieces"))
+    )
+    exploded = toks.select("k", F.posexplode("toks").alias("pos", "word"))
+    joined = exploded.join(F.broadcast(dictionary), "word")
+    encoded = joined.groupBy("k").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "pieces"))),
+                lambda s: s["pieces"],
+            )
+        ).alias("all_pieces")
+    )
+    # Left join from the full doc universe so zero-token documents
+    # come back with empty encodings — no silent row loss (the
+    # curation contract: every input row accounted for).
+    base = toks.select("k", F.size("toks").alias("n_words"))
+    return base.join(encoded, "k", "left").select(
+        F.col("k").alias(key),
+        "n_words",
+        F.coalesce(F.size("all_pieces"), F.lit(0)).alias("n_bpe_tokens"),
+        F.coalesce(F.array_join("all_pieces", " "), F.lit("")).alias("bpe_text"),
+    )
