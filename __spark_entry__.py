@@ -4812,6 +4812,133 @@ FROM d LEFT JOIN g USING (doc_id)"""
 _def("q102_bpe_encode", fn=_q_bpe_encode, duck_sql=_q102_oracle_sql())
 
 
+# X66 — Copy-on-write MERGE + net-row CDC on manifest tables
+# (sources/manifest_table.py merge/changes). The flow is real: base
+# snapshot → MERGE (updates to doc_id%6==1, inserts of doc_id%3==0) →
+# read-back digest (q103) and the version-1→2 CDC changelog (q104).
+# The oracle recomputes the post-merge state / the logical delta from
+# the documents table alone — which equals the NET changelog exactly
+# because changes() cancels rows carried through whole-file rewrites.
+def _merge_flow(spark: SparkSession, sf_dir: str):
+    import shutil
+    import tempfile
+
+    from osm_spark.sources.manifest_table import ManifestTable
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="q103_merge_")
+    t = ManifestTable(spark, path)
+    t.write(docs.where(F.col("doc_id") % 3 != 0).repartition(8), mode="overwrite")
+    source = (
+        docs.where(F.col("doc_id") % 6 == 1)
+        .select("doc_id", F.concat(F.lit("UPD:"), F.col("text")).alias("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 3 == 0).select(
+                "doc_id", F.concat(F.lit("NEW:"), F.col("text")).alias("text")
+            )
+        )
+    )
+    res = t.merge(source, on=["doc_id"])
+    return t, path, res, shutil
+
+
+_MERGE_SRC_DUCK = """src AS (
+  SELECT doc_id, 'UPD:' || text AS text FROM documents WHERE doc_id % 6 = 1
+  UNION ALL
+  SELECT doc_id, 'NEW:' || text AS text FROM documents WHERE doc_id % 3 = 0),
+ base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)"""
+
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, path, res, shutil = _merge_flow(spark, sf_dir)
+    try:
+        row = (
+            t.read()
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.sort_array(
+                            F.collect_list(
+                                F.concat(
+                                    F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                                    F.lit(":"),
+                                    F.md5("text"),
+                                )
+                            )
+                        ),
+                    )
+                ).alias("digest"),
+            )
+            .first()
+        )
+        # merge invariants carried into the checked row: the commit
+        # advanced exactly one version and no file count was lost.
+        ok = (
+            res["version"] == 2
+            and res["files_rewritten"] + res["files_carried"] > 0
+        )
+        return spark.createDataFrame(
+            [(2, bool(ok), row["n_rows"], row["digest"])],
+            "version int, commit_ok boolean, n_rows bigint, digest string",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _q103_oracle_sql() -> str:
+    return f"""
+WITH {_MERGE_SRC_DUCK},
+ fin AS (
+  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM src)
+  UNION ALL SELECT * FROM src)
+SELECT CAST(2 AS INT) AS version, true AS commit_ok,
+       count(*) AS n_rows,
+       md5(string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || md5(text),
+                      '|' ORDER BY lpad(CAST(doc_id AS VARCHAR), 8, '0'))) AS digest
+FROM fin
+"""
+
+
+_def("q103_merge_upsert", fn=_q_merge_upsert, duck_sql=_q103_oracle_sql())
+
+
+def _q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, path, _res, shutil = _merge_flow(spark, sf_dir)
+    try:
+        rows = (
+            t.changes(1, 2)
+            .select(
+                F.col("_change_type").alias("change_type"),
+                "doc_id",
+                F.md5("text").alias("text_md5"),
+            )
+            .collect()
+        )
+        # materialized eagerly (the temp table is deleted below)
+        return spark.createDataFrame(
+            [(r["change_type"], r["doc_id"], r["text_md5"]) for r in rows],
+            "change_type string, doc_id bigint, text_md5 string",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _q104_oracle_sql() -> str:
+    return f"""
+WITH {_MERGE_SRC_DUCK}
+SELECT 'delete' AS change_type, doc_id, md5(text) AS text_md5
+FROM base WHERE doc_id IN (SELECT doc_id FROM src)
+UNION ALL
+SELECT 'insert' AS change_type, doc_id, md5(text) AS text_md5 FROM src
+"""
+
+
+_def("q104_cdc_changes", fn=_q_cdc_changes, duck_sql=_q104_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -240,11 +240,23 @@ class ManifestTable:
             schema_json = parent["schema"]
         else:
             schema_json = json.loads(df.schema.json())
+        self._commit_snapshot(entries, schema_json, mode, base_version)
+
+    def _commit_snapshot(
+        self,
+        entries: list[dict],
+        schema_json: dict,
+        operation: str,
+        base_version: int | None,
+    ) -> int:
+        """Shared commit tail: snapshot json assembly, O_EXCL claim,
+        VERSION swap — the atomicity/optimistic-concurrency contract
+        for every snapshot-producing operation (write / merge)."""
         version = (base_version or 0) + 1
         snap = {
             "version": version,
             "parent": base_version,
-            "operation": mode,
+            "operation": operation,
             "ts": time.time(),
             "schema": schema_json,
             "files": entries,
@@ -292,6 +304,151 @@ class ManifestTable:
         with open(tmp, "w") as fh:
             fh.write(str(version))
         os.replace(tmp, self._version_file())
+        return version
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str = "update",
+        stats_cols: list[str] | None = None,
+    ) -> dict:
+        """Copy-on-write MERGE INTO (the Iceberg COW contract):
+        rows of the current snapshot whose ``on`` key appears in
+        ``source`` are replaced by the source row (``update``) or
+        removed (``delete``); unmatched source rows are inserted
+        (``update`` mode only).
+
+        Only the AFFECTED files are rewritten: a key-semi-join over
+        ``input_file_name()`` identifies which data files contain a
+        matched key (broadcasting the distinct source keys — at scale
+        the source of a MERGE is the small side), every other file is
+        carried into the new snapshot untouched. The rewrite reads the
+        affected files only, drops matched rows with one anti-join,
+        unions the source, and commits through the same O_EXCL
+        claim + VERSION swap as write() — a concurrent reader of the
+        previous snapshot never observes a half-merged table.
+
+        Returns a summary dict (committed version, files rewritten /
+        carried, rows before/after). Raises ``CommitConflict`` under
+        the standard optimistic-concurrency contract.
+        """
+        if when_matched not in ("update", "delete"):
+            raise ValueError(
+                f"when_matched must be update|delete, got {when_matched!r}"
+            )
+        base_version = self.current_version()
+        if base_version is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        parent = self.snapshot(base_version)
+        schema = StructType.fromJson(parent["schema"])
+        if when_matched == "update" and set(source.columns) != {
+            f.name for f in schema.fields
+        }:
+            raise ValueError(
+                "merge source columns must match the table schema: "
+                f"{sorted(source.columns)} vs "
+                f"{sorted(f.name for f in schema.fields)}"
+            )
+        src_keys = source.select(*on).distinct().persist()
+        try:
+            cur = self.read(base_version)
+            hit = (
+                cur.select(*on, F.input_file_name().alias("__f"))
+                .join(F.broadcast(src_keys), on, "left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            )
+            hit_names = {os.path.basename(r["__f"]) for r in hit}
+            affected = [
+                e
+                for e in parent["files"]
+                if os.path.basename(e["path"]) in hit_names
+            ]
+            carried = [
+                e
+                for e in parent["files"]
+                if os.path.basename(e["path"]) not in hit_names
+            ]
+            aff_paths = [e["path"] for e in affected]
+            if aff_paths:
+                old_rows = self.spark.read.schema(schema).parquet(*aff_paths)
+                kept_rows = old_rows.join(F.broadcast(src_keys), on, "left_anti")
+            else:
+                kept_rows = self.spark.createDataFrame([], schema)
+            if when_matched == "update":
+                new_data = kept_rows.unionByName(source)
+            else:
+                new_data = kept_rows
+            commit_dir = os.path.join(
+                self.path, "data", f"c{uuid.uuid4().hex}"
+            )
+            new_data.write.parquet(commit_dir)
+            new_files = sorted(
+                os.path.join(commit_dir, f)
+                for f in os.listdir(commit_dir)
+                if f.endswith(".parquet")
+            )
+            new_entries = _file_lineage(self.spark, new_files, stats_cols)
+        finally:
+            src_keys.unpersist(blocking=False)
+        entries = carried + new_entries
+        version = self._commit_snapshot(
+            entries, parent["schema"], "merge", base_version
+        )
+        return {
+            "version": version,
+            "files_rewritten": len(affected),
+            "files_carried": len(carried),
+            "rows_before": parent["summary"]["total_rows"],
+            "rows_after": sum(e["rows"] for e in entries),
+        }
+
+    def changes(self, from_version: int, to_version: int) -> DataFrame:
+        """NET row-level changes between two snapshots (CDC read).
+
+        File-diff first (manifest-only, driver-side): files present in
+        ``to`` but not ``from`` are candidate inserts, the reverse are
+        candidate deletes — identical carried files never get read.
+        Because copy-on-write rewrites WHOLE files, rows carried
+        through a rewrite would show up as delete+insert pairs in a
+        naive file diff; the net pass cancels them with two full-row
+        anti-joins over ONLY the differing files (cost bounded by
+        churn, not table size). Result: the ``to`` schema plus a
+        ``_change_type`` column (``insert`` | ``delete``) — an updated
+        row appears as its old row deleted and its new row inserted,
+        the standard COW changelog shape.
+
+        Cancellation is SET-based (anti-join on the full row): if an
+        identical row exists with different multiplicities on the two
+        sides, the surplus copies are not reported. Merge-keyed tables
+        are key-unique so this never triggers there; for multiset-
+        exact diffs, aggregate a count per row first.
+        """
+        f_snap = self.snapshot(from_version)
+        t_snap = self.snapshot(to_version)
+        schema = StructType.fromJson(t_snap["schema"])
+        f_paths = {e["path"] for e in f_snap["files"]}
+        t_paths = {e["path"] for e in t_snap["files"]}
+        added = sorted(t_paths - f_paths)
+        removed = sorted(f_paths - t_paths)
+
+        def _read(paths: list[str]) -> DataFrame:
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(*paths)
+
+        cols = [f.name for f in schema.fields]
+        ins = _read(added)
+        del_ = _read(removed)
+        net_ins = ins.join(del_, cols, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        net_del = del_.join(ins, cols, "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return net_ins.unionByName(net_del)
 
     # -- read -------------------------------------------------------------
 

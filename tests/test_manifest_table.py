@@ -351,3 +351,76 @@ def test_recover_rolls_back_truncated_orphan_claim(spark, tmp_path):
     t.write(_df(spark, 10, 20), mode="append")
     assert t.current_version() == 2
     assert t.read().count() == 20
+
+
+# -- merge (copy-on-write upsert) + changes (CDC) -------------------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k: int, v: string")
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]).repartition(3))
+    res = t.merge(_kv(spark, [(2, "B"), (9, "i")]), on=["k"])
+    assert res["version"] == 2
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (9, "i")}
+    # time travel: the pre-merge snapshot is intact
+    old = {(r["k"], r["v"]) for r in t.read(version=1).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_rewrites_only_affected_files(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    # 4 files, one key each — a 1-key merge must carry 3 untouched
+    t.write(_kv(spark, [(i, f"v{i}") for i in range(4)]).repartition(4, "k"))
+    before = {e["path"] for e in t.lineage()}
+    res = t.merge(_kv(spark, [(2, "NEW")]), on=["k"])
+    after = {e["path"] for e in t.lineage()}
+    assert res["files_carried"] >= 2
+    assert res["files_rewritten"] + res["files_carried"] == len(before)
+    # carried files are literally the same paths (no rewrite)
+    assert len(before & after) == res["files_carried"]
+
+
+def test_merge_delete_mode(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge(spark.createDataFrame([(2,)], "k: int"), on=["k"],
+            when_matched="delete")
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {1, 3}
+
+
+def test_merge_schema_mismatch_rejected(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_kv(spark, [(1, "a")]))
+    with pytest.raises(ValueError):
+        t.merge(spark.createDataFrame([(1,)], "k: int"), on=["k"])
+
+
+def test_changes_net_rows_suppress_carried(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    # ONE file holding three keys: updating k=2 rewrites the whole
+    # file, but rows 1 and 3 ride along — net CDC must not report them
+    t.write(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    t.merge(_kv(spark, [(2, "B"), (9, "i")]), on=["k"])
+    ch = {
+        (r["_change_type"], r["k"], r["v"])
+        for r in t.changes(1, 2).collect()
+    }
+    assert ch == {
+        ("delete", 2, "b"),
+        ("insert", 2, "B"),
+        ("insert", 9, "i"),
+    }
+
+
+def test_changes_append_only_is_pure_inserts(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_kv(spark, [(1, "a")]))
+    t.write(_kv(spark, [(2, "b")]), mode="append")
+    ch = [(r["_change_type"], r["k"]) for r in t.changes(1, 2).collect()]
+    assert ch == [("insert", 2)]
