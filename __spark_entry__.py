@@ -4939,6 +4939,69 @@ SELECT 'insert' AS change_type, doc_id, md5(text) AS text_md5 FROM src
 _def("q104_cdc_changes", fn=_q_cdc_changes, duck_sql=_q104_oracle_sql())
 
 
+# X66 — small-file compaction (manifest_table.compact): bin-pack the
+# 8-file trickle table into 1 file; the oracle pins the entire
+# post-compaction data state (the rewrite must be a pure re-binning).
+# File counts are part of the checked row: 8 → 1 is deterministic
+# (ceil(500 / 10^6) = 1 output file).
+def _q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from osm_spark.sources.manifest_table import ManifestTable
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="q105_compact_")
+    try:
+        t = ManifestTable(spark, path)
+        t.write(docs.repartition(8), mode="overwrite")
+        hash_before = t.table_hash()
+        res = t.compact(small_file_rows=1_000_000, target_file_rows=1_000_000)
+        row = (
+            t.read()
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.sort_array(
+                            F.collect_list(
+                                F.concat(
+                                    F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                                    F.lit(":"),
+                                    F.md5("text"),
+                                )
+                            )
+                        ),
+                    )
+                ).alias("digest"),
+            )
+            .first()
+        )
+        ok = res["compacted"] == 8 and t.table_hash() == hash_before
+        return spark.createDataFrame(
+            [(res["version"], res["written"], bool(ok), row["n_rows"], row["digest"])],
+            "version int, files_after int, hash_preserved boolean,"
+            " n_rows bigint, digest string",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _q105_oracle_sql() -> str:
+    return """
+SELECT CAST(2 AS INT) AS version, CAST(1 AS INT) AS files_after,
+       true AS hash_preserved, count(*) AS n_rows,
+       md5(string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || md5(text),
+                      '|' ORDER BY lpad(CAST(doc_id AS VARCHAR), 8, '0'))) AS digest
+FROM documents
+"""
+
+
+_def("q105_compact", fn=_q_compact, duck_sql=_q105_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -197,6 +197,17 @@ class ManifestTable:
         """Per-file lineage entries of a snapshot (path, rows, hash)."""
         return self.snapshot(version)["files"]
 
+    def table_hash(self, version: int | None = None) -> int:
+        """Partition-invariant whole-table content hash derived from
+        the manifest alone (plans.pipeline.content_hash formula:
+        sum of per-row xxhash64 % 2^31, xor total rows). Identical
+        across any file layout of the same rows — the invariant
+        compact() preserves — unlike the snapshot summary's
+        xor-of-files fingerprint, which identifies a specific layout.
+        """
+        entries = self.snapshot(version)["files"]
+        return _entry_sum(entries) ^ sum(e["rows"] for e in entries)
+
     # -- commit -----------------------------------------------------------
 
     def write(
@@ -514,6 +525,75 @@ class ManifestTable:
 
     # -- maintenance ------------------------------------------------------
 
+    def compact(
+        self,
+        small_file_rows: int = 100_000,
+        target_file_rows: int = 1_000_000,
+        stats_cols: list[str] | None = None,
+    ) -> dict:
+        """Bin-pack small data files into ~``target_file_rows`` files
+        (the Iceberg ``rewrite_data_files`` maintenance action).
+
+        The small-file problem is the canonical failure mode of a
+        long-lived append/merge table at scale: 10^5 trickle commits
+        leave 10^5 tiny files, and every scan pays per-file open cost.
+        Compaction reads ONLY the files below ``small_file_rows``
+        (selected driver-side from the manifest — no data touched to
+        plan), rewrites them as ceil(total_rows / target) files, and
+        commits a ``compact`` snapshot carrying every large file
+        untouched. Data is bit-identical by construction; the
+        order-insensitive ``content_hash`` in the new snapshot summary
+        must equal the parent's, and the commit VERIFIES that before
+        publishing (a corrupted rewrite can never become current).
+
+        Returns a summary dict; no-op (returns with ``compacted: 0``,
+        no new snapshot) when fewer than two small files exist.
+        """
+        base_version = self.current_version()
+        if base_version is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        parent = self.snapshot(base_version)
+        small = [e for e in parent["files"] if e["rows"] < small_file_rows]
+        large = [e for e in parent["files"] if e["rows"] >= small_file_rows]
+        if len(small) < 2:
+            return {"version": base_version, "compacted": 0, "written": 0}
+        schema = StructType.fromJson(parent["schema"])
+        total = sum(e["rows"] for e in small)
+        n_out = max(1, -(-total // target_file_rows))
+        commit_dir = os.path.join(self.path, "data", f"c{uuid.uuid4().hex}")
+        (
+            self.spark.read.schema(schema)
+            .parquet(*[e["path"] for e in small])
+            .repartition(n_out)
+            .write.parquet(commit_dir)
+        )
+        new_files = sorted(
+            os.path.join(commit_dir, f)
+            for f in os.listdir(commit_dir)
+            if f.endswith(".parquet")
+        )
+        new_entries = _file_lineage(self.spark, new_files, stats_cols)
+        # Partition-INVARIANT equality check: per-file sums (recovered
+        # as content_hash ^ rows) add across any file grouping, unlike
+        # the summary's xor-of-files fingerprint which identifies a
+        # specific file layout.
+        if _entry_sum(new_entries) != _entry_sum(small) or sum(
+            e["rows"] for e in new_entries
+        ) != total:
+            raise RuntimeError(
+                f"{self.path}: compaction rewrite does not match its "
+                "inputs (hash/rowcount drift) — aborting before commit; "
+                "orphan files will be removed by vacuum()"
+            )
+        version = self._commit_snapshot(
+            large + new_entries, parent["schema"], "compact", base_version
+        )
+        return {
+            "version": version,
+            "compacted": len(small),
+            "written": len(new_entries),
+        }
+
     def recover(self) -> str:
         """Repair an interrupted commit (OPERATOR action — run only
         when no writer is live).
@@ -593,6 +673,12 @@ class ManifestTable:
                 except FileNotFoundError:
                     pass
         return deleted
+
+
+def _entry_sum(entries: list[dict]) -> int:
+    """Sum of per-file row-hash sums (content_hash ^ rows recovers the
+    file's sum term) — additive across any regrouping of the rows."""
+    return sum(e["content_hash"] ^ e["rows"] for e in entries)
 
 
 def _xor(vals: list[int]) -> int:

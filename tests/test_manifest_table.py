@@ -424,3 +424,40 @@ def test_changes_append_only_is_pure_inserts(spark, tmp_path):
     t.write(_kv(spark, [(2, "b")]), mode="append")
     ch = [(r["_change_type"], r["k"]) for r in t.changes(1, 2).collect()]
     assert ch == [("insert", 2)]
+
+
+def test_compact_binpacks_and_preserves_content(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    df = _kv(spark, [(i, f"v{i}") for i in range(20)])
+    t.write(df.repartition(8))
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+    h1 = t.table_hash()
+    res = t.compact(small_file_rows=1000, target_file_rows=1000)
+    assert res["compacted"] == 8 and res["written"] == 1
+    assert t.current_version() == 2
+    # the partition-invariant table hash survives the re-binning
+    assert t.table_hash() == h1
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+    # time travel: pre-compaction snapshot still lists the 8 files
+    assert len(t.lineage(1)) == 8 and len(t.lineage(2)) == 1
+
+
+def test_compact_carries_large_files_untouched(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_kv(spark, [(i, "big") for i in range(50)]).coalesce(1))
+    t.write(_kv(spark, [(100, "s1")]), mode="append")
+    t.write(_kv(spark, [(101, "s2")]), mode="append")
+    big_paths = {e["path"] for e in t.lineage() if e["rows"] >= 10}
+    res = t.compact(small_file_rows=10, target_file_rows=1000)
+    assert res["compacted"] >= 2
+    after = {e["path"] for e in t.lineage()}
+    assert big_paths <= after  # large files carried by path, no rewrite
+    assert t.read().count() == 52
+
+
+def test_compact_noop_below_two_small_files(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.write(_kv(spark, [(1, "a")]).coalesce(1))
+    res = t.compact()
+    assert res == {"version": 1, "compacted": 0, "written": 0}
+    assert t.current_version() == 1
