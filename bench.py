@@ -219,6 +219,21 @@ def main() -> None:
 
     timed("asof_join", run_asof)
 
+    # BPE at page scale: train 8 merges over the word-TYPE table (the
+    # corpus is touched once — explode + map-side-combinable groupBy;
+    # every round after that is a small aggregate over word types,
+    # independent of corpus size), then encode all n_pages documents
+    # through the distinct-word dictionary + broadcast join-back.
+    def run_bpe():
+        from osm_spark.text.bpe import bpe_encode, bpe_train
+
+        docs = pages.select(F.col("url").alias("doc_id"), "text")
+        merges = bpe_train(docs, n_merges=8)
+        enc = bpe_encode(docs, merges)
+        return int(enc.agg(F.sum("n_bpe_tokens")).first()[0])
+
+    timed("bpe_train_encode", run_bpe)
+
     sp: dict = {}
 
     # The spatial join is two phases with very different scaling laws:

@@ -216,22 +216,61 @@ def bpe_encode(
     merges: DataFrame | Sequence[tuple[str, str]],
     text: str = "text",
     key: str = "doc_id",
+    mode: str = "auto",
 ) -> DataFrame:
     """Encode every document with a trained merge table; returns
     ``(key, n_words, n_bpe_tokens, bpe_text)`` where ``bpe_text`` is
     the space-joined piece sequence in document order.
 
-    Zipf path: encode each DISTINCT word once, broadcast the
-    word→pieces dictionary, join back on the exploded corpus, and
-    reassemble per document via sort_array over (position, pieces) —
-    the per-occurrence fold never runs, and the only corpus-side
-    shuffle is the per-document regroup.
+    Two physical strategies with identical output (pinned equal in
+    tests; q102 is green under either):
+
+    - ``direct``: fold every word occurrence in place —
+      ``transform(tokens, w -> folds(chars(w)))`` — ZERO corpus-side
+      shuffles, one embarrassingly-parallel pass. CPU grows with
+      n_merges × occurrences, so this wins while the merge list is
+      small (measured: the 1M-page bench leg dropped ~4× switching
+      the 8-merge encode from dict to direct — the per-doc regroup
+      exchange of (pos, pieces) rows was the whole cost).
+    - ``dict``: encode each DISTINCT word once (Zipf), broadcast the
+      word→pieces dictionary, join back on the exploded corpus,
+      regroup per document. Pays explode + join + regroup over the
+      corpus but folds only word TYPES — the only viable shape for a
+      production 32k-merge vocabulary.
+
+    ``auto`` picks direct for ≤64 merges, dict above — the crossover
+    where per-occurrence fold CPU starts rivaling a corpus exchange.
     """
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("merge_rank").collect()
         pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
     else:
         pairs = list(merges)
+    if mode == "auto":
+        mode = "direct" if len(pairs) <= 64 else "dict"
+    if mode == "direct":
+        return (
+            docs.select(
+                F.col(key), tokens_col(text).alias("toks")
+            )
+            .select(
+                key,
+                F.size("toks").alias("n_words"),
+                F.flatten(
+                    F.transform(
+                        "toks", lambda w: encode_word_col(w, pairs)
+                    )
+                ).alias("all_pieces"),
+            )
+            .select(
+                key,
+                "n_words",
+                F.size("all_pieces").alias("n_bpe_tokens"),
+                F.array_join("all_pieces", " ").alias("bpe_text"),
+            )
+        )
+    if mode != "dict":
+        raise ValueError(f"mode must be auto|direct|dict, got {mode!r}")
 
     # Two projection-only scans of the corpus (dictionary pass +
     # encode pass) — deliberately NOT persisted: tokenization is a

@@ -136,3 +136,12 @@ def test_encode_conserves_bytes(spark, docs):
         F.replace(F.col("bpe_text"), F.lit(" "), F.lit("")) != F.col("raw")
     ).count()
     assert bad == 0
+
+
+def test_encode_modes_identical(spark, docs):
+    from osm_spark.text.bpe import bpe_train, bpe_encode
+
+    merges = bpe_train(docs, n_merges=6)
+    direct = {tuple(r) for r in bpe_encode(docs, merges, mode="direct").collect()}
+    dict_ = {tuple(r) for r in bpe_encode(docs, merges, mode="dict").collect()}
+    assert direct == dict_

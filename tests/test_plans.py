@@ -129,3 +129,27 @@ def test_pip_index_plan_is_single_python_pass(spark, world):
     assert "MapInPandas" in plan
     for forbidden in ("Exchange", "Join", "Generate"):
         assert forbidden not in plan, forbidden
+
+
+def test_bpe_encode_plan_broadcasts_dictionary(spark):
+    """bpe_encode's corpus path: the word→pieces dictionary must come
+    in as a broadcast hash join (never a shuffled sort-merge join of
+    the exploded corpus), and the merge folds must stay Catalyst
+    expressions (no Python eval in the plan)."""
+    from explain_audit import formatted_plan
+
+    from osm_spark.text.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "the lower the newer"), (2, "lower and lowest")],
+        "doc_id: int, text: string",
+    )
+    plan = formatted_plan(
+        bpe_encode(docs, [("t", "h"), ("e", "r")], mode="dict")
+    )
+    assert "BroadcastHashJoin" in plan
+    # The per-document regroup join (LeftOuter on the doc key) is a
+    # legitimate shuffle; only the word-dictionary join falling out of
+    # broadcast (an INNER sort-merge join) would be a plan regression.
+    assert "SortMergeJoin Inner" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
