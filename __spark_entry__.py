@@ -5002,6 +5002,85 @@ FROM documents
 _def("q105_compact", fn=_q_compact, duck_sql=_q105_oracle_sql())
 
 
+# X67 — exact substring dedup (text/spans.py): remove every duplicated
+# K-token span corpus-wide, keeping the globally-first occurrence
+# (Lee et al. 2021 semantics, shuffle plan instead of a suffix array).
+# Injection guarantees both duplication modes on the word-soup corpus:
+# every doc_id%5==3 page grows the SAME 8-token verbatim tail (one
+# global winner — the smallest such doc_id; every other occurrence is
+# a removal span), and every doc_id%9==4 page repeats its own text
+# (within-doc spans, merged islands). The oracle recomputes winners
+# with the integer (doc_id*1e6+pos) total order and a NOT EXISTS
+# coverage probe per token — a different algorithm (no island merge)
+# — and the hash pins the rebuilt cleaned text byte-for-byte.
+
+_SPAN_K = 6
+_SPAN_TEXT_SQL = (
+    "(CASE WHEN doc_id % 5 = 3 THEN text ||"
+    " ' verbatim shared tail alpha bravo charlie delta echo'"
+    " WHEN doc_id % 9 = 4 THEN text || ' ' || text"
+    " ELSE text END)"
+)
+
+
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.spans import dedup_substrings
+
+    _load(spark, sf_dir)
+    injected = spark.table("documents").select(
+        "doc_id", F.expr(_SPAN_TEXT_SQL).alias("text")
+    )
+    return dedup_substrings(injected, k=_SPAN_K)
+
+
+def _q106_oracle_sql() -> str:
+    k = _SPAN_K
+    toks = (
+        "list_filter(regexp_split_to_array(lower("
+        + _SPAN_TEXT_SQL
+        + "), '[^a-z0-9]+'), x -> x != '')"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+ occp AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - {k} + 1, 0))) AS pos
+  FROM d),
+ occ AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         array_to_string(list_slice(toks, pos + 1, pos + {k}), ' ') AS win
+  FROM occp),
+ w AS (
+  SELECT win, min(doc_id * 1000000 + pos) AS wkey, count(*) AS c
+  FROM occ GROUP BY win),
+ spans AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN w ON o.win = w.win
+  WHERE w.c > 1 AND o.doc_id * 1000000 + o.pos != w.wkey),
+ tokp AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks))) AS p FROM d),
+ tok AS (
+  SELECT doc_id, CAST(p AS INT) AS p, toks[p + 1] AS tok FROM tokp),
+ kept AS (
+  SELECT t.* FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND s.pos <= t.p AND t.p < s.pos + {k})),
+ rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text,
+         count(*) AS n_kept FROM kept GROUP BY doc_id),
+ nsp AS (SELECT doc_id, count(*) AS n_sp FROM spans GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.cleaned_text, '') AS cleaned_text,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+       CAST(coalesce(nsp.n_sp, 0) AS BIGINT) AS n_dup_windows
+FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+LEFT JOIN nsp ON d.doc_id = nsp.doc_id
+"""
+
+
+_def("q106_substring_dedup", fn=_q_substring_dedup, duck_sql=_q106_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
