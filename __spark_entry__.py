@@ -5081,6 +5081,68 @@ LEFT JOIN nsp ON d.doc_id = nsp.doc_id
 _def("q106_substring_dedup", fn=_q_substring_dedup, duck_sql=_q106_oracle_sql())
 
 
+# X68 — count-min frequency sketch (operators/sketch.py): the
+# frequency twin of q100's HLL. d=4 × w=512 integer counters on the
+# md5-prefix hash convention; per-key point query = min over the d
+# cells. w=512 < the ~2000 distinct l_partkey values at sf0.01, so
+# collisions are real and the min-of-d does actual work; overcount is
+# reported per key. The oracle recomputes the ENTIRE sketch — cell
+# assignment, counter sums, broadcast-probe min — in SQL; everything
+# is integer, so the hash check is bit-exact, and est ≥ exact is a
+# structural guarantee both engines must agree on.
+_CM_D, _CM_W = 4, 512
+
+
+def _q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.operators.sketch import cm_query, cm_sketch
+
+    _load(spark, sf_dir)
+    li = spark.table("lineitem")
+    sk = cm_sketch(li, "l_partkey", d=_CM_D, w=_CM_W)
+    cand = li.select("l_partkey").distinct()
+    est = cm_query(sk, cand, "l_partkey", d=_CM_D, w=_CM_W)
+    exact = li.groupBy("l_partkey").agg(F.count("*").alias("exact_count"))
+    return est.join(exact, "l_partkey").select(
+        "l_partkey",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+def _q107_oracle_sql() -> str:
+    d, w = _CM_D, _CM_W
+    cell = (
+        "CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 12))"
+        f" AS UBIGINT) AS BIGINT) % {w}"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+  WHERE l_partkey IS NOT NULL),
+ cells AS (
+  SELECT CAST(j AS INT) AS row, CAST({cell} AS INT) AS col
+  FROM base, range({d}) t(j)),
+ sk AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col),
+ cand AS (SELECT DISTINCT l_partkey, CAST(l_partkey AS VARCHAR) AS k
+          FROM lineitem WHERE l_partkey IS NOT NULL),
+ probe AS (
+  SELECT l_partkey, CAST(j AS INT) AS row, CAST({cell} AS INT) AS col
+  FROM cand, range({d}) t(j)),
+ est AS (
+  SELECT p.l_partkey, min(coalesce(sk.cnt, 0)) AS est_count
+  FROM probe p LEFT JOIN sk ON sk.row = p.row AND sk.col = p.col
+  GROUP BY p.l_partkey),
+ ex AS (SELECT l_partkey, count(*) AS exact_count FROM lineitem GROUP BY 1)
+SELECT est.l_partkey, est_count, exact_count,
+       est_count - exact_count AS overcount
+FROM est JOIN ex USING (l_partkey)
+"""
+
+
+_def("q107_cms_counts", fn=_q_cms_counts, duck_sql=_q107_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

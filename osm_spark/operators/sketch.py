@@ -112,3 +112,77 @@ def hll_estimate_py(ranks: dict[int, int], p: int = 12) -> float:
     if e_raw <= 2.5 * m and v > 0:
         return round(m * math.log(m / v), 4)
     return round(e_raw, 4)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the frequency twin
+# of the HLL above: d independent hash rows × w counters, point query
+# = min over the d cells, guaranteed est ≥ true and est ≤ true + εN
+# with ε = e/w at failure probability e^-d. Same engine-reproducible
+# convention (md5-prefix int64 hashes, integer-only counters), so the
+# DuckDB oracle recomputes the ENTIRE sketch + query bit-identically.
+#
+# Scale shape: the build is ONE map-side-combinable groupBy — the d×
+# explode is bounded by partial aggregation (each task emits at most
+# its d·w local grid, regardless of input rows), so shuffle volume is
+# tasks × d·w, not rows × d. Sketches are mergeable by
+# groupBy(row, col).sum(cnt) (counter linearity), which is what makes
+# CMS the standard structure for per-shard / per-snapshot frequency
+# summaries folded across a 10^12-row table. The query side broadcasts
+# the d·w-cell sketch and touches each candidate once.
+# ---------------------------------------------------------------------------
+
+
+def _cm_cell(key: Column, j: int, w: int) -> Column:
+    """Row-j column index: md5('j:'||key) 48-bit prefix mod w."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, _HEX), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(w)).cast("int")
+
+
+def cm_sketch(df: DataFrame, key: str, d: int = 4, w: int = 2048) -> DataFrame:
+    """(row int, col int, cnt long) counters; ≤ d·w rows. Mergeable:
+    union sketches and groupBy(row, col).sum(cnt) to sketch a union
+    of multisets (counter linearity)."""
+    k = F.col(key).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("row"), _cm_cell(k, j, w).alias("col")
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_query(
+    sketch: DataFrame, keys: DataFrame, key: str, d: int = 4, w: int = 2048
+) -> DataFrame:
+    """Point-query each row of ``keys``: (key, est_count long) with
+    est_count = min over the d rows (0 for never-seen keys via the
+    left join). The sketch side is broadcast — d·w cells, a few KB."""
+    k = F.col(key).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("row"), _cm_cell(k, j, w).alias("col")
+            )
+            for j in range(d)
+        ]
+    )
+    probes = keys.select(F.col(key), F.explode(cells).alias("rc")).select(
+        key, F.col("rc.row").alias("row"), F.col("rc.col").alias("col")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .select(key, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(key)
+        .agg(F.min("cnt").alias("est_count"))
+    )

@@ -1,8 +1,12 @@
-"""operators/sketch.py — engine-reproducible HyperLogLog."""
+"""operators/sketch.py — engine-reproducible HyperLogLog + count-min."""
+
+from collections import Counter
 
 from pyspark.sql import functions as F
 
 from osm_spark.operators.sketch import (
+    cm_query,
+    cm_sketch,
     hll_distinct,
     hll_estimate,
     hll_estimate_py,
@@ -56,3 +60,64 @@ def test_duplicates_and_nulls(spark):
     )
     row = hll_distinct(df, "k").collect()[0]
     assert abs(row["estimate"] - 2) < 1
+
+
+# --- count-min ---------------------------------------------------------
+
+
+def _zipf_df(spark, n_keys=200, reps=5):
+    # key i appears ceil(n_keys/ (i+1)) * reps times — a skewed multiset
+    rows = []
+    for i in range(n_keys):
+        rows.extend([(i,)] * (reps * (n_keys // (i + 1))))
+    return spark.createDataFrame(rows, "k int"), Counter(r[0] for r in rows)
+
+
+def test_cm_never_underestimates_and_wide_is_exact(spark):
+    df, truth = _zipf_df(spark)
+    keys = df.select("k").distinct()
+    # narrow sketch: collisions happen, min-of-d still never under
+    est = {
+        r["k"]: r["est_count"]
+        for r in cm_query(cm_sketch(df, "k", d=4, w=64), keys, "k", d=4, w=64).collect()
+    }
+    n = sum(truth.values())
+    for k, true_cnt in truth.items():
+        assert est[k] >= true_cnt, (k, est[k], true_cnt)
+        # CMS bound: overcount ≤ εN with ε = e/w, failure prob e^-d;
+        # assert a loose 4× of the bound so the test is not flaky-shaped
+        assert est[k] - true_cnt <= 4 * 2.7183 * n / 64, (k, est[k], true_cnt)
+    # wide sketch: w >> n_keys·d → no collisions → exact counts
+    exact = {
+        r["k"]: r["est_count"]
+        for r in cm_query(
+            cm_sketch(df, "k", d=4, w=1 << 15), keys, "k", d=4, w=1 << 15
+        ).collect()
+    }
+    assert exact == dict(truth)
+
+
+def test_cm_merge_is_union(spark):
+    a = spark.createDataFrame([(i % 7,) for i in range(300)], "k int")
+    b = spark.createDataFrame([(i % 11,) for i in range(500)], "k int")
+    merged = (
+        cm_sketch(a, "k", d=3, w=32)
+        .unionByName(cm_sketch(b, "k", d=3, w=32))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cm_sketch(a.unionByName(b), "k", d=3, w=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cm_unseen_key_and_nulls(spark):
+    df = spark.createDataFrame([(1,), (None,), (1,)], "k int")
+    sk = cm_sketch(df, "k", d=4, w=256)
+    keys = spark.createDataFrame([(1,), (99,)], "k int")
+    est = {r["k"]: r["est_count"] for r in cm_query(sk, keys, "k", d=4, w=256).collect()}
+    assert est[1] == 2
+    # unseen key: could collide, but with w=256 and one live key the
+    # chance all 4 rows collide is (1/256)^4 — assert the exact 0
+    assert est[99] == 0
