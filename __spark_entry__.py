@@ -5143,6 +5143,88 @@ FROM est JOIN ex USING (l_partkey)
 _def("q107_cms_counts", fn=_q_cms_counts, duck_sql=_q107_oracle_sql())
 
 
+# X69 — bloom-filter join pruning (operators/bloom.py): build a
+# 63-bit-word bloom over the keys of a selective build side (orders
+# with o_totalprice > cutoff), prune the big probe side (lineitem)
+# with k broadcast word-joins — zero shuffle on the probe side (plan
+# pinned in tests/test_bloom.py) — then report survivors vs the exact
+# semi-join: no false negatives is structural, false positives are
+# MEASURED. The oracle rebuilds the identical filter in SQL (same
+# md5-prefix bit positions, bit_or word table, conjunction probe);
+# every column is an integer count, so the hash check is bit-exact.
+_BLOOM_BITS, _BLOOM_K, _BLOOM_CUT = 1 << 14, 5, 80000.0
+
+
+def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.operators.bloom import bloom_build, bloom_prune
+
+    _load(spark, sf_dir)
+    orders = spark.table("orders").where(F.col("o_totalprice") > _BLOOM_CUT)
+    li = spark.table("lineitem")
+    bloom = bloom_build(orders, "o_orderkey", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    kept = bloom_prune(
+        li.select("l_orderkey"), "l_orderkey", bloom,
+        n_bits=_BLOOM_BITS, k=_BLOOM_K,
+    )
+    true_semi = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return (
+        kept.agg(F.count("*").alias("n_survive"))
+        .crossJoin(li.agg(F.count("*").alias("n_probe")))
+        .crossJoin(true_semi.agg(F.count("*").alias("n_true")))
+        .select(
+            "n_probe",
+            "n_survive",
+            "n_true",
+            (F.col("n_survive") - F.col("n_true")).alias("n_false_positive"),
+        )
+    )
+
+
+def _q108_oracle_sql() -> str:
+    nb, k, cut = _BLOOM_BITS, _BLOOM_K, _BLOOM_CUT
+    bit = (
+        "CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || kk), 1, 12))"
+        f" AS UBIGINT) AS BIGINT) % {nb}"
+    )
+    return f"""
+WITH bkeys AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS kk FROM orders
+  WHERE o_totalprice > {cut}),
+ bbits AS (
+  SELECT ({bit}) // 63 AS word,
+         CAST(1 AS BIGINT) << CAST(({bit}) % 63 AS INT) AS mask
+  FROM bkeys, range({k}) t(j)),
+ bloom AS (SELECT word, bit_or(mask) AS bits FROM bbits GROUP BY word),
+ pkeys AS (SELECT DISTINCT l_orderkey, CAST(l_orderkey AS VARCHAR) AS kk
+           FROM lineitem),
+ probes AS (
+  SELECT l_orderkey, ({bit}) // 63 AS word,
+         CAST(1 AS BIGINT) << CAST(({bit}) % 63 AS INT) AS mask
+  FROM pkeys, range({k}) t(j)),
+ hits AS (
+  SELECT p.l_orderkey,
+         count(*) FILTER (b.bits IS NOT NULL
+                          AND (b.bits & p.mask) = p.mask) AS n_hit
+  FROM probes p LEFT JOIN bloom b ON b.word = p.word GROUP BY 1),
+ pass AS (SELECT l_orderkey FROM hits WHERE n_hit = {k}),
+ surv AS (SELECT count(*) AS n_survive FROM lineitem
+          WHERE l_orderkey IN (SELECT l_orderkey FROM pass)),
+ tot AS (SELECT count(*) AS n_probe FROM lineitem),
+ tr AS (SELECT count(*) AS n_true FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_totalprice > {cut}))
+SELECT n_probe, n_survive, n_true, n_survive - n_true AS n_false_positive
+FROM tot, surv, tr
+"""
+
+
+_def("q108_bloom_prune", fn=_q_bloom_prune, duck_sql=_q108_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
