@@ -5225,6 +5225,45 @@ FROM tot, surv, tr
 _def("q108_bloom_prune", fn=_q_bloom_prune, duck_sql=_q108_oracle_sql())
 
 
+# X70 — stratified sampling (text/sampling.py stratified_sample):
+# deterministic per-language caps — each stratum keeps exactly the
+# cap smallest md5(doc_id) hashes, the corpus-balancing move before
+# training. The Spark side runs the scale plan (count → Chernoff-
+# margin hash prefilter → window over ~margin·cap rows per group →
+# under-selection patch); the oracle is the NAIVE full window in
+# DuckDB — different plan, must produce the identical row set, which
+# is the whole point of hash-rank determinism.
+_STRAT_CAPS = {"en": 40, "fr": 25, "de": 25, "es": 25, "zh": 25}
+
+
+def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.sampling import stratified_sample
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang", "n_chars")
+    return stratified_sample(docs, "doc_id", "lang", cap=_STRAT_CAPS)
+
+
+def _q109_oracle_sql() -> str:
+    caps = ", ".join(f"('{k}', {v})" for k, v in _STRAT_CAPS.items())
+    return f"""
+WITH caps(lang, cap) AS (VALUES {caps}),
+ h AS (
+  SELECT d.doc_id, d.lang, d.n_chars, c.cap,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM documents d JOIN caps c ON d.lang = c.lang),
+ r AS (
+  SELECT doc_id, lang, n_chars, cap,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+  FROM h)
+SELECT lang, doc_id, n_chars FROM r WHERE rk <= cap
+"""
+
+
+_def("q109_stratified_sample", fn=_q_stratified, duck_sql=_q109_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

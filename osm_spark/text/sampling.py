@@ -114,6 +114,92 @@ def write_split_tables(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    group: str,
+    cap: int | dict[str, int],
+    salt: str = "",
+    margin: float = 4.0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group`` value, chosen as the cap
+    smallest md5 hashes of ``key`` — a deterministic uniform sample of
+    each stratum (same rows on every run / engine / cluster size), the
+    standard move for balancing a training corpus across languages or
+    sources. ``cap`` is one int for all groups or {group_value: cap}
+    (missing groups keep 0).
+
+    Scale shape: the naive plan is a row_number window over the FULL
+    table partitioned by group — at 10^12 rows that sorts everything.
+    Instead: (1) one map-side-combinable count per group, joined back
+    broadcast; (2) a pure-Catalyst hash prefilter keeps rows whose
+    48-bit hash falls under ``margin × cap/count`` of the hash space —
+    the window then ranks only ~margin·cap rows per group; (3) the
+    exact rank trim. The prefilter is correctness-CHECKED, not
+    trusted: groups where it under-selected (fewer than min(cap, n)
+    survivors — binomially suppressed to ~e^-cap at margin 4) are
+    re-run through the unfiltered window and patched in, so the result
+    is exactly the cap smallest hashes regardless of hash luck.
+    """
+    sp = df.sparkSession
+    if isinstance(cap, dict):
+        cap_df = sp.createDataFrame(
+            [(k, int(v)) for k, v in cap.items()], f"{group} string, _cap long"
+        )
+        # inner join: groups without a cap entry are dropped (cap 0)
+        capped = df.join(
+            F.broadcast(cap_df),
+            df[group].cast("string").eqNullSafe(cap_df[group]),
+        ).drop(cap_df[group])
+    else:
+        capped = df.withColumn("_cap", F.lit(int(cap)))
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, _PREFIX),
+        16,
+        10,
+    ).cast("long")
+    counts = capped.groupBy(group).agg(
+        F.count("*").alias("_n"), F.first("_cap").alias("_gcap")
+    )
+    with_n = capped.join(F.broadcast(counts.drop("_gcap")), [group])
+    space = 1 << (4 * _PREFIX)
+    thresh = F.least(
+        F.lit(space),
+        (F.lit(space) * F.col("_cap") * F.lit(margin) / F.col("_n")).cast("long") + 1,
+    )
+    pre = with_n.withColumn("_h", h).where(F.col("_h") < thresh)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy("_h", key)
+    ranked = pre.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.where(F.col("_rk") <= F.col("_cap"))
+
+    # exactness check: a group under-selects iff it kept fewer than
+    # min(cap, n) rows — rerun just those groups without the prefilter.
+    # Driven from `counts` (EVERY group), not from `kept`: a group the
+    # prefilter starved completely has no kept rows at all and would
+    # otherwise escape the check.
+    kept_counts = kept.groupBy(group).agg(F.count("*").alias("_k"))
+    short = (
+        counts.join(kept_counts, [group], "left")
+        .where(
+            F.coalesce(F.col("_k"), F.lit(0))
+            < F.least(F.col("_gcap"), F.col("_n"))
+        )
+        .select(group)
+    )
+    patch = (
+        with_n.join(F.broadcast(short), [group], "left_semi")
+        .withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_cap"))
+    )
+    fixed = kept.join(F.broadcast(short), [group], "left_anti").unionByName(patch)
+    return fixed.drop("_cap", "_n", "_h", "_rk")
+
+
 def mix_sample(
     docs: DataFrame,
     shares: dict[str, int],

@@ -367,3 +367,79 @@ def test_hash_split_deterministic_and_exhaustive(spark, docs):
     # hash_sample(rate=0.9) keeps exactly the train split (same prefix)
     kept = {r.doc_id for r in hash_sample(keyed, "k", 0.9, salt="v1:").collect()}
     assert kept == {k for k, v in a.items() if v == "train"}
+
+
+# --- stratified_sample (text/sampling.py) -------------------------------
+
+
+def _strat_expected(rows, cap, salt=""):
+    import hashlib
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for k, g in rows:
+        h = int(hashlib.md5((salt + str(k)).encode()).hexdigest()[:12], 16)
+        by_g[g].append((h, k))
+    out = set()
+    for g, hs in by_g.items():
+        c = cap[g] if isinstance(cap, dict) else cap
+        for _, k in sorted(hs)[:c]:
+            out.add((k, g))
+    return out
+
+
+def test_stratified_sample_exact_cap_smallest_hashes(spark):
+    from osm_spark.text.sampling import stratified_sample
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(200)] + [
+        (1000 + i, "rare") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string")
+    got = {
+        (r["k"], r["g"])
+        for r in stratified_sample(df, "k", "g", cap=10).collect()
+    }
+    assert got == _strat_expected(rows, 10)
+    # rare group has only 3 rows < cap → all kept
+    assert sum(1 for _, g in got if g == "rare") == 3
+
+
+def test_stratified_sample_dict_caps_and_missing_group_drops(spark):
+    from osm_spark.text.sampling import stratified_sample
+
+    rows = [(i, ["en", "fr", "zz"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    caps = {"en": 5, "fr": 2}
+    got = {
+        (r["k"], r["g"])
+        for r in stratified_sample(df, "k", "g", cap=caps).collect()
+    }
+    assert got == _strat_expected([r for r in rows if r[1] in caps], caps)
+    assert not any(g == "zz" for _, g in got)
+
+
+def test_stratified_sample_patch_path_still_exact(spark):
+    from osm_spark.text.sampling import stratified_sample
+
+    # margin so small the prefilter keeps ~nothing: the under-selection
+    # check must fire and the patch re-run must restore exactness
+    rows = [(i, "en") for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    got = {
+        (r["k"], r["g"])
+        for r in stratified_sample(df, "k", "g", cap=7, margin=1e-9).collect()
+    }
+    assert got == _strat_expected(rows, 7)
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    from osm_spark.text.sampling import stratified_sample
+
+    rows = [(i, ["a", "b"][i % 2]) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    a = {(r["k"], r["g"]) for r in stratified_sample(df, "k", "g", 8).collect()}
+    b = {
+        (r["k"], r["g"])
+        for r in stratified_sample(df.repartition(17), "k", "g", 8).collect()
+    }
+    assert a == b
