@@ -219,6 +219,25 @@ def main() -> None:
 
     timed("asof_join", run_asof)
 
+    # Bloom-pruned semi-join at page scale (operators/bloom.py): the
+    # build side is a 1% deterministic url sample; the full pages
+    # table is pruned by k=5 broadcast word-joins — the probe side
+    # never shuffles, so leg time ≈ one map-only pass over n_pages.
+    # At n=10k keys in 2^20 bits the expected FP rate is ~3e-7, so the
+    # count is (almost always exactly) the sample size — a correctness
+    # canary riding the throughput leg.
+    def run_bloom():
+        from osm_spark.operators.bloom import bloom_build, bloom_prune
+        from osm_spark.text.sampling import hash_sample
+
+        build = hash_sample(pages.select("url"), "url", 0.01)
+        bloom = bloom_build(build, "url", n_bits=1 << 20, k=5)
+        return bloom_prune(
+            pages.select("url"), "url", bloom, n_bits=1 << 20, k=5
+        ).count()
+
+    timed("bloom_prune", run_bloom)
+
     # BPE at page scale: train 8 merges over the word-TYPE table (the
     # corpus is touched once — explode + map-side-combinable groupBy;
     # every round after that is a small aggregate over word types,
