@@ -63,3 +63,35 @@ def test_probe_plan_is_broadcast_and_python_free(spark):
         "Exchange hashpartitioning(_groupingexpression"
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_persists_in_manifest_table_and_merges_by_or(spark, tmp_path):
+    """The per-shard lifecycle the docstring claims: build a filter per
+    ingest batch, append each word table to a ManifestTable, and OR the
+    full table back into the union filter — identical to building over
+    the union directly, and time travel reaches the batch-1-only
+    filter."""
+    from osm_spark.sources.manifest_table import ManifestTable
+
+    a = spark.range(0, 120).select(F.col("id").alias("k"))
+    b = spark.range(120, 260).select(F.col("id").alias("k"))
+    t = ManifestTable(spark, str(tmp_path / "bloom_tbl"))
+    t.write(bloom_build(a, "k", n_bits=_NB, k=_K), mode="overwrite")
+    t.write(bloom_build(b, "k", n_bits=_NB, k=_K), mode="append")
+
+    merged = (
+        t.read().groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    direct = bloom_build(a.unionByName(b), "k", n_bits=_NB, k=_K)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # time travel to v1 = the batch-1-only filter
+    v1 = (
+        t.read(version=1)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    assert sorted(map(tuple, v1.collect())) == sorted(
+        map(tuple, bloom_build(a, "k", n_bits=_NB, k=_K).collect())
+    )
