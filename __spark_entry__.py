@@ -5264,6 +5264,78 @@ SELECT lang, doc_id, n_chars FROM r WHERE rk <= cap
 _def("q109_stratified_sample", fn=_q_stratified, duck_sql=_q109_oracle_sql())
 
 
+# X71 — grouped HLL (operators/sketch.py hll_distinct_by): distinct
+# l_partkey per l_returnflag — the distinct-per-group shape (urls per
+# host) where exact count_distinct shuffles every (group, key) pair
+# but the sketch wire-cost is groups × 2^p. Same exact-integer
+# arithmetic as q100, so the oracle recomputes the grouped sketch +
+# estimates in SQL bit-exactly, and carries exact counts + rel_error
+# per group.
+def _q_hll_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.operators.sketch import hll_distinct_by
+
+    _load(spark, sf_dir)
+    li = spark.table("lineitem")
+    est = hll_distinct_by(li, "l_returnflag", "l_partkey", p=12)
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "estimate",
+        "v_zero",
+        "n_registers",
+        "exact",
+        F.round(F.abs(F.col("estimate") - F.col("exact")) / F.col("exact"), 4)
+        .alias("rel_error"),
+    )
+
+
+def _q110_oracle_sql() -> str:
+    from osm_spark.operators.sketch import _alpha
+
+    p, hexn = 12, 12
+    m = 1 << p
+    tail_bits = 4 * hexn - p
+    scale = 1 << tail_bits
+    alpha = _alpha(m)
+    return f"""
+WITH h AS (
+  SELECT l_returnflag AS g,
+         CAST(CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, {hexn})) AS UBIGINT) AS BIGINT) AS hv
+  FROM lineitem WHERE l_partkey IS NOT NULL),
+ rr AS (
+  SELECT g, hv >> {tail_bits} AS register,
+         CASE WHEN (hv & {scale - 1}) = 0 THEN {tail_bits + 1}
+              ELSE {tail_bits + 1} - length(bin(hv & {scale - 1})) END AS rank
+  FROM h),
+ sk AS (SELECT g, register, max(rank) AS max_rank FROM rr GROUP BY g, register),
+ agg AS (SELECT g, sum(CAST(1 AS BIGINT) << ({tail_bits} - max_rank)) AS int_sum,
+                count(*) AS n_registers
+         FROM sk GROUP BY g),
+ est AS (
+  SELECT g,
+         CASE WHEN (CAST('{alpha!r}' AS DOUBLE) * {m} * {m})
+                   / (CAST(int_sum + ({m} - n_registers) * CAST({scale} AS BIGINT) AS DOUBLE) / {scale}.0)
+                <= 2.5 * {m} AND ({m} - n_registers) > 0
+         THEN round({m}.0 * ln({m}.0 / ({m} - n_registers)), 4)
+         ELSE round((CAST('{alpha!r}' AS DOUBLE) * {m} * {m})
+                   / (CAST(int_sum + ({m} - n_registers) * CAST({scale} AS BIGINT) AS DOUBLE) / {scale}.0), 4)
+         END AS estimate,
+         CAST({m} - n_registers AS BIGINT) AS v_zero,
+         CAST(n_registers AS BIGINT) AS n_registers
+  FROM agg),
+ ex AS (SELECT l_returnflag AS g, count(DISTINCT l_partkey) AS exact
+        FROM lineitem GROUP BY 1)
+SELECT est.g AS l_returnflag, estimate, v_zero, n_registers, exact,
+       round(abs(estimate - exact) / exact, 4) AS rel_error
+FROM est JOIN ex ON est.g = ex.g
+"""
+
+
+_def("q110_hll_by_group", fn=_q_hll_by, duck_sql=_q110_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -100,6 +100,67 @@ def hll_distinct(df: DataFrame, key: str, p: int = 12) -> DataFrame:
     return hll_estimate(hll_sketch(df, key, p), p)
 
 
+def hll_sketch_by(
+    df: DataFrame, group: str, key: str, p: int = 12
+) -> DataFrame:
+    """Per-group sketch: (group, register, max_rank). Same mergeability
+    as the global sketch, per group value."""
+    tail_bits = _BITS - p
+    h = _hash48(F.col(key).cast("string"))
+    register = F.shiftright(h, tail_bits)
+    tail = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
+    rank = F.when(tail == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits + 1) - F.length(F.bin(tail))
+    )
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(F.col(group), register.alias("register"), rank.alias("rank"))
+        .groupBy(group, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate_by(sketch: DataFrame, group: str, p: int = 12) -> DataFrame:
+    """Per-group estimates: (group, estimate, v_zero, n_registers) —
+    the grouped twin of ``hll_estimate`` with identical arithmetic.
+
+    Scale shape: distinct-per-group is normally a
+    count_distinct(key) GROUP BY group — an exact shuffle of every
+    distinct (group, key) pair, brutal when both are high-cardinality
+    (urls per host at 10^12 rows). Here the wire carries at most
+    groups × 2^p sketch rows, all map-side combined, and per-shard
+    sketches fold by max() without rescanning."""
+    m = 1 << p
+    tail_bits = _BITS - p
+    scale = 1 << tail_bits
+    alpha = _alpha(m)
+    agg = sketch.groupBy(group).agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {tail_bits} - max_rank)"))
+        .alias("int_sum"),
+        F.count("*").alias("n_registers"),
+    )
+    v = F.lit(m) - F.col("n_registers")
+    denom = (F.col("int_sum") + v * F.lit(scale)).cast("double") / F.lit(
+        float(scale)
+    )
+    e_raw = F.lit(alpha * m * m) / denom
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((e_raw <= 2.5 * m) & (v > 0), small).otherwise(e_raw)
+    return agg.select(
+        F.col(group),
+        F.round(est, 4).alias("estimate"),
+        v.cast("long").alias("v_zero"),
+        F.col("n_registers").cast("long").alias("n_registers"),
+    )
+
+
+def hll_distinct_by(
+    df: DataFrame, group: str, key: str, p: int = 12
+) -> DataFrame:
+    """End-to-end per-group distinct estimate in one plan."""
+    return hll_estimate_by(hll_sketch_by(df, group, key, p), group, p)
+
+
 def hll_estimate_py(ranks: dict[int, int], p: int = 12) -> float:
     """Driver-side twin for tests (same exact-integer arithmetic)."""
     m = 1 << p

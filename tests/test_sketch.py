@@ -121,3 +121,38 @@ def test_cm_unseen_key_and_nulls(spark):
     # unseen key: could collide, but with w=256 and one live key the
     # chance all 4 rows collide is (1/256)^4 — assert the exact 0
     assert est[99] == 0
+
+
+# --- grouped HLL --------------------------------------------------------
+
+
+def test_hll_by_group_matches_per_group_global(spark):
+    # each group's (estimate, v_zero, n_registers) must equal what the
+    # GLOBAL sketch computes on that group's rows alone — same
+    # arithmetic, grouped plan
+    df = spark.createDataFrame(
+        [(i % 3, i // 3) for i in range(9000)], "g int, k int"
+    )
+    by = {
+        r["g"]: (r["estimate"], r["v_zero"], r["n_registers"])
+        for r in __import__("osm_spark.operators.sketch", fromlist=["x"])
+        .hll_distinct_by(df, "g", "k")
+        .collect()
+    }
+    from osm_spark.operators.sketch import hll_distinct
+
+    for g in (0, 1, 2):
+        row = hll_distinct(df.where(F.col("g") == g), "k").collect()[0]
+        assert by[g] == (row["estimate"], row["v_zero"], row["n_registers"])
+
+
+def test_hll_by_group_accuracy(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5000)] + [("b", i) for i in range(700)],
+        "g string, k int",
+    )
+    from osm_spark.operators.sketch import hll_distinct_by
+
+    est = {r["g"]: r["estimate"] for r in hll_distinct_by(df, "g", "k").collect()}
+    assert abs(est["a"] - 5000) / 5000 < 0.065
+    assert abs(est["b"] - 700) / 700 < 0.065
