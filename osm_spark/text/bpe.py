@@ -228,18 +228,22 @@ def bpe_encode(
     - ``direct``: fold every word occurrence in place —
       ``transform(tokens, w -> folds(chars(w)))`` — ZERO corpus-side
       shuffles, one embarrassingly-parallel pass. CPU grows with
-      n_merges × occurrences, so this wins while the merge list is
-      small (measured: the 1M-page bench leg dropped ~4× switching
-      the 8-merge encode from dict to direct — the per-doc regroup
-      exchange of (pos, pieces) rows was the whole cost).
+      n_merges × occurrences.
     - ``dict``: encode each DISTINCT word once (Zipf), broadcast the
       word→pieces dictionary, join back on the exploded corpus,
       regroup per document. Pays explode + join + regroup over the
       corpus but folds only word TYPES — the only viable shape for a
       production 32k-merge vocabulary.
 
-    ``auto`` picks direct for ≤64 merges, dict above — the crossover
-    where per-occurrence fold CPU starts rivaling a corpus exchange.
+    ``auto`` picks dict: measured head-to-head at the bench's own
+    operating point (1M pages, 73.9M tokens, 8 merges, local[32],
+    two alternating reps each), dict encoded in 39-44 s vs direct's
+    118-126 s — the per-type fold + one exchange beats 8 rounds of
+    Catalyst array rewriting over every occurrence even at a merge
+    count this small, so there is no measured regime where direct
+    wins on wall-clock. ``direct`` is kept as the explicit
+    zero-shuffle alternative for clusters where shuffle capacity
+    (not CPU) is the binding resource.
     """
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("merge_rank").collect()
@@ -247,7 +251,7 @@ def bpe_encode(
     else:
         pairs = list(merges)
     if mode == "auto":
-        mode = "direct" if len(pairs) <= 64 else "dict"
+        mode = "dict"
     if mode == "direct":
         return (
             docs.select(
