@@ -188,6 +188,60 @@ def stream_tile_assignments_batched(
     return writer.start()
 
 
+def stream_hll_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    key: str,
+    checkpoint_dir: str,
+    p: int = 12,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+):
+    """Maintain a durable distinct-count sketch over a page stream:
+    each micro-batch's HLL sketch (operators/sketch.py) is max-merged
+    into a snapshot-versioned ManifestTable — every batch commits a
+    new time-travelable version, so "distinct urls as of batch k" is a
+    versioned read, and the table stays ≤ 2^p rows forever.
+
+    Delivery semantics matter here and HLL gets them for free:
+    max-merge is IDEMPOTENT as well as commutative (re-merging an
+    already-merged batch changes nothing), so at-least-once replay
+    after a crash between the table commit and the checkpoint advance
+    cannot corrupt the sketch. A count-min sketch (sum-merge) would
+    need the foreachBatch-side txn dedup; HLL does not.
+    """
+    from osm_spark.operators.sketch import hll_sketch
+    from osm_spark.sources.manifest_table import ManifestTable
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = ManifestTable(spark, table_path)
+        sk = hll_sketch(batch_df, key, p)
+        if t.exists():
+            sk = (
+                t.read()
+                .unionByName(sk)
+                .groupBy("register")
+                .agg(F.max("max_rank").alias("max_rank"))
+            )
+        t.write(sk, mode="overwrite")
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_page_counts(
     pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

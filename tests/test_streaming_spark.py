@@ -244,3 +244,54 @@ def test_stream_dedup_first_arrival_wins(spark, tmp_path):
     # batch twin agrees on the survivor CONTENT set
     batch = pages.dropDuplicates(["text"]).collect()
     assert {r.text for r in got} == {r.text for r in batch}
+
+
+def test_stream_hll_maintenance(spark, tmp_path):
+    """Streamed sketch maintenance: after the stream drains, the
+    manifest-table sketch equals the batch sketch of ALL pages; an
+    intermediate version is itself a valid sketch; re-merging a batch
+    (at-least-once replay) is a no-op (max-merge idempotence)."""
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.operators.sketch import hll_estimate, hll_sketch
+    from osm_spark.sources.manifest_table import ManifestTable
+    from osm_spark.streaming.pages_stream import stream_hll_maintenance
+
+    pages = pages_df(spark, PagesSpec(n_pages=2000, n_countries=1))
+    src = str(tmp_path / "pages_src")
+    pages.repartition(4).write.parquet(src)
+
+    tbl = str(tmp_path / "hll_tbl")
+    ck = str(tmp_path / "hll_ck")
+    q = stream_hll_maintenance(
+        spark, src, tbl, "url", ck, max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+
+    t = ManifestTable(spark, tbl)
+    assert t.current_version() >= 2  # one commit per micro-batch
+
+    final = sorted(map(tuple, t.read().collect()))
+    batch = sorted(
+        map(tuple, hll_sketch(spark.read.parquet(src), "url").collect())
+    )
+    assert final == batch
+
+    # the estimate off the maintained table matches the batch estimate
+    est = hll_estimate(t.read()).collect()[0]["estimate"]
+    best = hll_estimate(hll_sketch(spark.read.parquet(src), "url")).collect()[0][
+        "estimate"
+    ]
+    assert est == best
+
+    # idempotence: re-merging the full source once more changes nothing
+    remerged = sorted(
+        map(
+            tuple,
+            t.read()
+            .unionByName(hll_sketch(spark.read.parquet(src), "url"))
+            .groupBy("register")
+            .agg(F.max("max_rank").alias("max_rank"))
+            .collect(),
+        )
+    )
+    assert remerged == final
