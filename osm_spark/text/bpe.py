@@ -164,31 +164,88 @@ def bpe_train(
     )
     words.count()
 
+    # Pair counts live on the DRIVER across rounds: the pair universe
+    # is bounded by (|alphabet| + n_merges)^2 — ~2k entries, manifest-
+    # scale JSON, not data. One full pair-count aggregate seeds it;
+    # each round then updates it from the AFFECTED words only (words
+    # with the winning pair adjacent) — all other words keep their
+    # pair multiset verbatim, so the incremental counts are EXACTLY
+    # the recount (pinned by the q101 oracle, which re-trains with
+    # full per-round recounts in DuckDB). This replaces the old
+    # per-round full 20M-row pair shuffle + full-table fold with one
+    # affected-only delta aggregate + one conditional-fold rewrite
+    # (measured: train8 over 2.7M types dropped 40.3 s → see
+    # BENCH.md r4 notes).
+    _pairs_expr = (
+        "transform(sequence(0, size(syms)-2),"
+        " i -> struct(syms[i] AS l, syms[i+1] AS r))"
+    )
+    seed = (
+        words.where(F.size("syms") >= 2)
+        .select("freq", F.explode(F.expr(_pairs_expr)).alias("pr"))
+        .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    )
+    pc: dict[tuple[str, str], int] = {(row["l"], row["r"]): int(row["cnt"]) for row in seed}
+
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
-            top = (
-                words.where(F.size("syms") >= 2)
-                .select(
-                    "freq",
+            if not pc:
+                break
+            # same total order as the old ORDER BY cnt DESC, l, r
+            (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < 2:
+                break
+            merges.append((rank, l, r, cnt))
+
+            # CASE (not AND) so single-symbol words never evaluate the
+            # sequence(0, -1) arm — CASE is guaranteed lazy per row
+            adj = F.expr(
+                f"CASE WHEN size(syms) >= 2 THEN"
+                f" exists(sequence(0, size(syms)-2),"
+                f" i -> syms[i] = '{l}' and syms[i+1] = '{r}')"
+                f" ELSE false END"
+            )
+            new_syms = merge_fold(F.col("syms"), l, r)
+            # delta over affected words only: old pairs at -freq, new
+            # pairs at +freq, one small groupBy (pair universe ~2k)
+            affected = words.where((F.size("syms") >= 2) & adj).select(
+                "freq", "syms", new_syms.alias("nsyms")
+            )
+            signed = (
+                "CASE WHEN size({a}) >= 2 THEN"
+                " transform(sequence(0, size({a})-2),"
+                " i -> struct({a}[i] AS l, {a}[i+1] AS r,"
+                " CAST({w} AS BIGINT) AS w))"
+                " ELSE CAST(array() AS array<struct<l:string,r:string,w:bigint>>)"
+                " END"
+            )
+            delta = (
+                affected.select(
                     F.explode(
-                        F.expr(
-                            "transform(sequence(0, size(syms)-2),"
-                            " i -> struct(syms[i] AS l, syms[i+1] AS r))"
+                        F.concat(
+                            F.expr(signed.format(a="syms", w="-freq")),
+                            F.expr(signed.format(a="nsyms", w="freq")),
                         )
-                    ).alias("pr"),
+                    ).alias("d")
                 )
-                .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
-                .limit(1)
+                .groupBy(F.col("d.l").alias("l"), F.col("d.r").alias("r"))
+                .agg(F.sum("d.w").alias("w"))
                 .collect()
             )
-            if not top or top[0]["cnt"] < 2:
-                break
-            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-            merges.append((rank, l, r, cnt))
-            nxt = words.withColumn("syms", merge_fold(F.col("syms"), l, r)).persist()
+            for row in delta:
+                k2 = (row["l"], row["r"])
+                nv = pc.get(k2, 0) + int(row["w"])
+                if nv:
+                    pc[k2] = nv
+                else:
+                    pc.pop(k2, None)
+
+            nxt = words.withColumn(
+                "syms", F.when(adj, new_syms).otherwise(F.col("syms"))
+            ).persist()
             nxt.count()
             words.unpersist()
             words = nxt
@@ -204,10 +261,22 @@ def encode_word_col(
     word: Column | str, merges: Sequence[tuple[str, str]]
 ) -> Column:
     """Symbol array of a word after applying ``merges`` in rank order
-    — each merge a literal-specialized greedy fold (no Python)."""
-    syms = chars_col(word)
+    — each merge a literal-specialized greedy fold (no Python).
+
+    Each fold is guarded by ``contains(word, left || right)``: adjacent
+    symbols are always CONTIGUOUS substrings of the word, so a word
+    not containing the concatenation can never have the pair adjacent
+    at any stage — the guard has no false negatives and the fold on a
+    guarded-out word is the identity it would have computed anyway.
+    The CASE short-circuits per row, so a Zipf-tail word that matches
+    none of the merges pays k substring probes instead of k array
+    folds."""
+    w = F.col(word) if isinstance(word, str) else word
+    syms = chars_col(w)
     for left, right in merges:
-        syms = merge_fold(syms, left, right)
+        syms = F.when(
+            w.contains(left + right), merge_fold(syms, left, right)
+        ).otherwise(syms)
     return syms
 
 
