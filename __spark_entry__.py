@@ -5336,6 +5336,85 @@ FROM est JOIN ex ON est.g = ex.g
 _def("q110_hll_by_group", fn=_q_hll_by, duck_sql=_q110_oracle_sql())
 
 
+# X73 — multi-zoom tile-pyramid rollup (heatmap pyramid): per-tile point
+# counts at EVERY level 0..7 from ONE point-scale pass (leaf groupBy →
+# ancestor prefix-shift fan-out → cells-scale groupBy). The oracle is
+# deliberately MORE independent than the Spark plan: it re-floors and
+# re-mortons at every level from the raw micro-degree coordinates (valid
+# because floor(v·2^a) >> (a-b) == floor(v·2^b) on the binary grid),
+# while Spark derives ancestors by prefix shifts of the single leaf
+# morton — two different derivations, hash-equal.
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.pyramid import tile_pyramid
+
+    sp = _spatial(spark)
+    return tile_pyramid(sp["points"], max_level=7, min_level=0)
+
+
+def _q111_oracle_sql() -> str:
+    px, py = "(lon_u / 1000000.0)", "(lat_u / 1000000.0)"
+    per_level = "\nUNION ALL\n".join(
+        f"SELECT CAST({lv} AS INT) AS level, "
+        f"{_tile_expr_duck(px, py, lv)} AS cell, "
+        f"CAST(count(*) AS BIGINT) AS n_points FROM pages GROUP BY 1, 2"
+        for lv in range(0, 8)
+    )
+    return _pages_oracle_cte() + per_level
+
+
+_def("q111_tile_pyramid", fn=_q_tile_pyramid, duck_sql=_q111_oracle_sql())
+
+
+# X74 — grid point→point kNN join: every 41st page to its 3 nearest
+# pages (planar EXACT-INTEGER squared micro-degree metric, data_id
+# tie-break → total order, engine-reproducible). Spark runs the
+# Chebyshev-disk equi-join with the frontier-doubling loop to full
+# exactness (max_radius = grid width); the oracle is the naive exact
+# plan — CROSS JOIN + window — a completely different algorithm,
+# hash-equal including the d2 values.
+def _q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.knn_points import knn_points_join
+
+    sp = _spatial(spark)
+    pts = sp["points"].select("url", "lon", "lat")
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    queries = pts.where(page_no % 41 == 0)
+    out = knn_points_join(
+        queries, pts, k=3, level=6, radius=1, max_radius=1 << 6,
+        query_id="url", data_id="url",
+    )
+    return out.select(
+        F.col("query_id").alias("query_url"),
+        F.col("data_id").alias("data_url"),
+        "d2_u",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q112_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte()
+        + """,
+ q AS (SELECT url, lon_u, lat_u FROM pages
+       WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) % 41 = 0),
+ pairs AS (
+   SELECT q.url AS query_url, p.url AS data_url,
+          (q.lon_u - p.lon_u) * (q.lon_u - p.lon_u)
+          + (q.lat_u - p.lat_u) * (q.lat_u - p.lat_u) AS d2_u
+   FROM q CROSS JOIN pages p),
+ ranked AS (
+   SELECT query_url, data_url, CAST(d2_u AS BIGINT) AS d2_u,
+          CAST(row_number() OVER (
+            PARTITION BY query_url ORDER BY d2_u, data_url) AS BIGINT) AS rank
+   FROM pairs)
+SELECT query_url, data_url, d2_u, rank FROM ranked WHERE rank <= 3
+"""
+    )
+
+
+_def("q112_knn_points", fn=_q_knn_points, duck_sql=_q112_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -1,0 +1,183 @@
+"""Grid kNN join: each query point's k nearest DATA points.
+
+No reference analog (the reference's only proximity op is single-point
+Contains, centroid.go:147-160) and distinct from J9/X8
+(``knn.knn_boundaries``, point→polygon-boundary): this is the
+point→point enrichment shape — every page to its k nearest POIs /
+landmarks / other pages.
+
+Scale plan — pure Catalyst end to end (zero Python, zero geometry
+kernels; point-point distance is closed-form):
+
+    data   --cell at ``level`` (one Morton build)--> (cell, id, coords)
+    queries --Chebyshev disk of radius r: explode(sequence) x 2,
+              lon residues visited at most ONCE even past the wrap,
+              lat rows clipped--> (query, cell)
+        equi-join on cell (data side broadcast when it fits, else a
+        plain shuffled equi-join AQE can skew-split)
+    d2 = exact int64 squared micro-degree distance (whole-stage codegen)
+    window row_number per query --> top-k
+
+Exactness: distances use EXACT INTEGER micro-degrees, so ordering (and
+the d2 values themselves) are bit-identical across engines and
+parallelism. The grid guarantee is the standard one — after examining
+the full Chebyshev disk of cell-radius r, any unexamined point is
+>= r * min(cell_w, cell_h) degrees away (planar), so a query is FINAL
+once its k-th candidate is within that bound. ``max_radius`` runs the
+J3-pattern driver loop over the shrinking unsatisfied frontier
+(doubling r) until every query is final or the cap; r >= grid_n means
+the whole grid was examined and everything is final by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_spark.spatial.cells_sql import _morton_expr, _xy_expr
+
+
+def _disk_cells(q: DataFrame, level: int, radius: int) -> DataFrame:
+    """Fan each query row out to its Chebyshev-disk cells at ``level``.
+    Expects gx/gy grid columns; keeps (query_id, lon_u, lat_u, cell).
+    Lon wraps (pmod) but each residue is emitted at most once — past
+    2r+1 >= n the dx range clamps to exactly the n residues — so no
+    (query, cell) duplicates ever reach the join. Lat clips."""
+    n = 1 << level
+    dx_lo, dx_hi = -min(radius, n // 2), min(radius, (n - 1) // 2)
+    fan = q.select(
+        "*", F.explode(F.sequence(F.lit(dx_lo), F.lit(dx_hi))).alias("dx")
+    ).select(
+        "*", F.explode(F.sequence(F.lit(-radius), F.lit(radius))).alias("dy")
+    )
+    nx = F.pmod(F.col("gx") + F.col("dx"), F.lit(n))
+    ny = F.col("gy") + F.col("dy")
+    cell = (
+        F.shiftleft(_morton_expr(nx, ny, level), 6)
+        .bitwiseOR(F.lit(level))
+        .cast("long")
+    )
+    return fan.where(ny.between(0, n - 1)).select(
+        "query_id", "qlon_u", "qlat_u", "gx", "gy", cell.alias("cell")
+    )
+
+
+def _candidates(
+    qgrid: DataFrame, dcells: DataFrame, level: int, radius: int,
+    broadcast_data: bool,
+) -> DataFrame:
+    right = F.broadcast(dcells) if broadcast_data else dcells
+    cand = _disk_cells(qgrid, level, radius).join(right, "cell")
+    d2 = (F.col("qlon_u") - F.col("dlon_u")) * (
+        F.col("qlon_u") - F.col("dlon_u")
+    ) + (F.col("qlat_u") - F.col("dlat_u")) * (
+        F.col("qlat_u") - F.col("dlat_u")
+    )
+    return cand.select(
+        "query_id", "data_id", d2.cast("long").alias("d2_u")
+    )
+
+
+def knn_points_join(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int = 3,
+    level: int = 8,
+    radius: int = 1,
+    max_radius: int | None = None,
+    broadcast_data: bool = True,
+    query_id: str = "query_id",
+    data_id: str = "data_id",
+) -> DataFrame:
+    """queries(query_id, lon, lat) x data(data_id, lon, lat) →
+    (query_id, data_id, d2_u, rank): the k nearest data points per
+    query by exact int64 squared micro-degree distance, ties broken by
+    data_id (total order — engine- and parallelism-reproducible).
+
+    Single pass by default (queries whose disk holds fewer than k
+    final answers return fewer/unproven rows, like X8's historical
+    shape). ``max_radius`` enables the frontier-doubling loop; pass
+    ``max_radius >= 1 << level`` for guaranteed-exact kNN (terminates
+    at full grid coverage at the latest)."""
+    n = 1 << level
+    x, y = _xy_expr(F.col("lon"), F.col("lat"), level)
+    qgrid = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.round(F.col("lon") * 1e6).cast("long").alias("qlon_u"),
+        F.round(F.col("lat") * 1e6).cast("long").alias("qlat_u"),
+        x.alias("gx"),
+        y.alias("gy"),
+    )
+    dx, dy = _xy_expr(F.col("lon"), F.col("lat"), level)
+    dcells = data.select(
+        F.shiftleft(_morton_expr(dx, dy, level), 6)
+        .bitwiseOR(F.lit(level))
+        .cast("long")
+        .alias("cell"),
+        F.col(data_id).alias("data_id"),
+        F.round(F.col("lon") * 1e6).cast("long").alias("dlon_u"),
+        F.round(F.col("lat") * 1e6).cast("long").alias("dlat_u"),
+    )
+    w = Window.partitionBy("query_id").orderBy("d2_u", "data_id")
+    cand = _candidates(qgrid, dcells, level, radius, broadcast_data)
+    if max_radius is not None and max_radius > radius:
+        # Each iteration nests the previous `cand` TWICE (anti-join +
+        # the frontier's window), so persist() alone leaves a 2^i-leaf
+        # logical plan that the final action would re-analyze and — once
+        # the caches are dropped — re-execute from scratch (observed:
+        # Catalyst spins for minutes after 5 doublings on 5 rows).
+        # Eager localCheckpoint TRUNCATES lineage instead: plan depth
+        # stays constant and the returned plan is a flat read of the
+        # checkpointed blocks (cleaned by the ContextCleaner on GC).
+        # On a real cluster prefer reliable .checkpoint() if executor
+        # loss during the loop must be survivable.
+        qgrid = qgrid.persist()
+        cand = cand.localCheckpoint(eager=True)
+        r = radius
+        try:
+            while r < max_radius and r < n:
+                # Conservative final-answer bound: unexamined points sit
+                # >= r * min(cell_w, cell_h) = r * 180/n degrees away.
+                bound_u = int(r * (180.0 / n) * 1e6)
+                per_q = (
+                    cand.withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") <= k)
+                    .groupBy("query_id")
+                    .agg(
+                        F.count("*").alias("n_cand"),
+                        F.max("d2_u").alias("kth_d2"),
+                    )
+                )
+                frontier = (
+                    qgrid.join(per_q, "query_id", "left")
+                    .where(
+                        (F.coalesce(F.col("n_cand"), F.lit(0)) < k)
+                        | (F.col("kth_d2") > F.lit(bound_u * bound_u))
+                    )
+                    .select("query_id", "qlon_u", "qlat_u", "gx", "gy")
+                    .localCheckpoint(eager=True)
+                )
+                if frontier.limit(1).count() == 0:
+                    break
+                r = min(2 * r, max_radius)
+                cand = (
+                    cand.join(
+                        frontier.select("query_id"), "query_id", "left_anti"
+                    )
+                    .unionByName(
+                        _candidates(frontier, dcells, level, r, broadcast_data)
+                    )
+                    .localCheckpoint(eager=True)
+                )
+        finally:
+            qgrid.unpersist(blocking=False)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "data_id",
+            "d2_u",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,179 @@
+"""Tile-pyramid rollup (X73) and grid point→point kNN join (X74)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_spark.kernels.cells import point_to_cell
+from osm_spark.spatial.knn_points import knn_points_join
+from osm_spark.spatial.pyramid import tile_pyramid
+
+
+def _rand_points(seed: int, n: int, lon_span=(-179.9, 179.9), lat_span=(-89.9, 89.9)):
+    rng = np.random.default_rng(seed)
+    lon = np.round(rng.uniform(*lon_span, n), 6)
+    lat = np.round(rng.uniform(*lat_span, n), 6)
+    return lon, lat
+
+
+@pytest.fixture(scope="module")
+def pts_df(spark):
+    lon, lat = _rand_points(7, 400)
+    rows = [(i, float(lon[i]), float(lat[i])) for i in range(len(lon))]
+    return (
+        spark.createDataFrame(rows, "id long, lon double, lat double")
+        .repartition(8)
+        .persist()
+    )
+
+
+def _pyramid_twin(lon, lat, weights, min_level, max_level):
+    exp = {}
+    for lv in range(min_level, max_level + 1):
+        cells = point_to_cell(lon, lat, lv)
+        for c, w in zip(cells.tolist(), weights.tolist()):
+            key = (lv, c)
+            n, s = exp.get(key, (0, 0))
+            exp[key] = (n + 1, s + w)
+    return exp
+
+
+def test_pyramid_matches_per_level_twin(spark, pts_df):
+    rows = pts_df.select("lon", "lat", "id").collect()
+    lon = np.array([r.lon for r in rows])
+    lat = np.array([r.lat for r in rows])
+    w = np.array([r.id for r in rows], dtype=np.int64)
+    exp = _pyramid_twin(lon, lat, w, 0, 6)
+    got = {
+        (r.level, r.cell): (r.n_points, r.sum_id)
+        for r in tile_pyramid(
+            pts_df, max_level=6, min_level=0, sum_cols=("id",)
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_pyramid_conservation_and_leaf_identity(spark, pts_df):
+    pyr = tile_pyramid(pts_df, max_level=5, min_level=2).persist()
+    totals = (
+        pyr.groupBy("level").agg(F.sum("n_points").alias("t")).collect()
+    )
+    n = pts_df.count()
+    assert {r.level for r in totals} == {2, 3, 4, 5}
+    assert all(r.t == n for r in totals)
+    # Leaf slice == a direct groupBy at max_level.
+    from osm_spark.spatial.cells_sql import cell_expr
+
+    direct = {
+        (5, r.cell): r.n
+        for r in pts_df.groupBy(
+            cell_expr(F.col("lon"), F.col("lat"), 5).alias("cell")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    leaf = {
+        (r.level, r.cell): r.n_points
+        for r in pyr.where(F.col("level") == 5).collect()
+    }
+    assert leaf == direct
+    pyr.unpersist()
+
+
+def _brute_knn(qlon, qlat, qids, dlon, dlat, dids, k):
+    """Exact planar int-micro-degree kNN with (d2, data_id) tie-break."""
+    qlon_u = np.round(qlon * 1e6).astype(np.int64)
+    qlat_u = np.round(qlat * 1e6).astype(np.int64)
+    dlon_u = np.round(dlon * 1e6).astype(np.int64)
+    dlat_u = np.round(dlat * 1e6).astype(np.int64)
+    out = set()
+    for qi, qx, qy in zip(qids, qlon_u, qlat_u):
+        d2 = (dlon_u - qx) ** 2 + (dlat_u - qy) ** 2
+        order = sorted(zip(d2.tolist(), dids.tolist()))[:k]
+        for rank, (dd, di) in enumerate(order, 1):
+            out.add((int(qi), int(di), int(dd), rank))
+    return out
+
+
+def test_knn_points_exact_matches_bruteforce(spark):
+    dlon, dlat = _rand_points(11, 300)
+    qlon, qlat = _rand_points(13, 40)
+    dids = np.arange(300)
+    qids = np.arange(40)
+    data = spark.createDataFrame(
+        [(int(i), float(dlon[i]), float(dlat[i])) for i in dids],
+        "data_id long, lon double, lat double",
+    ).repartition(8)
+    queries = spark.createDataFrame(
+        [(int(i), float(qlon[i]), float(qlat[i])) for i in qids],
+        "query_id long, lon double, lat double",
+    ).repartition(8)
+    got = {
+        (r.query_id, r.data_id, r.d2_u, r.rank)
+        for r in knn_points_join(
+            queries, data, k=3, level=6, radius=1, max_radius=1 << 6
+        ).collect()
+    }
+    exp = _brute_knn(qlon, qlat, qids, dlon, dlat, dids, 3)
+    assert got == exp
+
+
+def test_knn_points_expansion_frontier(spark):
+    # A lone far query forces the doubling loop: all data in one corner,
+    # the query at the opposite corner — radius 1 finds nothing.
+    data = spark.createDataFrame(
+        [(i, -170.0 + i * 0.001, -80.0) for i in range(5)],
+        "data_id long, lon double, lat double",
+    )
+    queries = spark.createDataFrame(
+        [(0, 170.0, 80.0)], "query_id long, lon double, lat double"
+    )
+    res = knn_points_join(
+        queries, data, k=2, level=5, radius=1, max_radius=1 << 5
+    ).collect()
+    assert len(res) == 2
+    # Nearest two by planar distance are the two largest lons.
+    assert {r.data_id for r in res} == {3, 4}
+    assert [r.rank for r in sorted(res, key=lambda r: r.rank)] == [1, 2]
+    assert res[0].d2_u > 0
+
+
+def test_knn_points_lon_wrap_no_duplicates(spark):
+    # Data hugging both sides of the antimeridian; huge radius clamps
+    # the dx fan to each residue once — no duplicate pairs, and the
+    # planar metric still ranks the NON-wrapped side nearest.
+    data = spark.createDataFrame(
+        [(1, 179.5, 0.0), (2, -179.5, 0.0), (3, 178.0, 0.0)],
+        "data_id long, lon double, lat double",
+    )
+    queries = spark.createDataFrame(
+        [(0, 179.0, 0.0)], "query_id long, lon double, lat double"
+    )
+    res = knn_points_join(
+        queries, data, k=3, level=3, radius=50, max_radius=None
+    ).collect()
+    assert len(res) == 3  # each data point exactly once
+    by_rank = [r.data_id for r in sorted(res, key=lambda r: r.rank)]
+    assert by_rank == [1, 3, 2]  # planar: -179.5 is 358.5 degrees away
+
+
+def test_knn_points_shuffle_join_identical(spark):
+    dlon, dlat = _rand_points(17, 120)
+    qlon, qlat = _rand_points(19, 15)
+    data = spark.createDataFrame(
+        [(int(i), float(dlon[i]), float(dlat[i])) for i in range(120)],
+        "data_id long, lon double, lat double",
+    )
+    queries = spark.createDataFrame(
+        [(int(i), float(qlon[i]), float(qlat[i])) for i in range(15)],
+        "query_id long, lon double, lat double",
+    )
+    a = knn_points_join(
+        queries, data, k=4, level=5, radius=2, max_radius=64,
+        broadcast_data=True,
+    )
+    b = knn_points_join(
+        queries, data, k=4, level=5, radius=2, max_radius=64,
+        broadcast_data=False,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
