@@ -336,6 +336,45 @@ def main() -> None:
 
     timed("raster", run_raster)
 
+    def run_pyramid():
+        from osm_spark.spatial.pyramid import tile_pyramid
+
+        # One point-scale pass; ancestor rollup (levels 0..10) happens
+        # on the cells-scale leaf aggregate, so this times the heatmap
+        # shape the way a 10^12-row job would see it.
+        return tile_pyramid(sp["points"], max_level=10, min_level=0).count()
+
+    timed("tile_pyramid", run_pyramid)
+
+    def run_knn_points():
+        from osm_spark.spatial.knn_points import knn_points_join, suggest_level
+
+        page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+        data = sp["points"].select("point_id", "lon", "lat")
+        queries = sp["points"].where(page_no % 40 == 0).select(
+            "point_id", "lon", "lat"
+        )
+        # Density-adaptive level: pages cluster inside countries, so a
+        # fixed coarse level explodes the disk join (43M candidate
+        # pairs at level 8 on the sf0.01 world — measured).
+        lv = sp.setdefault("knn_points_level", suggest_level(data))
+        # broadcast_data=False is the at-scale shape: a 10^12-row data
+        # side can't broadcast, so bench the shuffled cell equi-join.
+        # max_radius guarantees exact k for sparse-neighborhood queries.
+        return knn_points_join(
+            queries,
+            data,
+            k=3,
+            level=lv,
+            radius=1,
+            max_radius=16,
+            broadcast_data=False,
+            query_id="point_id",
+            data_id="point_id",
+        ).count()
+
+    timed("knn_points", run_knn_points)
+
     for t in ["lineitem", "orders", "documents", "embeddings"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 

@@ -174,19 +174,26 @@ def knn_boundaries(
     )
     cand_ids = _knn_candidates(probes, bcells, level, radius)
     if max_radius is not None and max_radius > radius:
-        # Caches live only for the loop: each superseded handle is
-        # unpersisted when replaced and everything is released on exit
-        # (ADVICE r3: per-call cache accumulation). The returned plan
-        # recomputes its lineage once — reuse only happens in-loop.
+        # Each iteration nests the previous cand_ids TWICE (the union
+        # and `remaining`'s count-distinct), so persist() alone leaves
+        # a 2^i-leaf logical plan that the post-loop action — caches
+        # dropped by then — would re-analyze and re-execute from
+        # scratch (Catalyst stalls for minutes after ~5 doublings;
+        # observed on the identically-shaped knn_points loop). Eager
+        # localCheckpoint TRUNCATES lineage instead: plan depth stays
+        # constant and the returned plan reads the checkpointed blocks
+        # (cleaned by the ContextCleaner on GC). On a real cluster
+        # prefer reliable .checkpoint() if executor loss during the
+        # loop must be survivable.
         bcells = bcells.persist()
-        cand_ids = cand_ids.persist()
+        cand_ids = cand_ids.localCheckpoint(eager=True)
         remaining = None
         r = radius
         try:
             while r < max_radius:
                 # Probes with < k distinct candidate relations (including
                 # zero-candidate probes, via the left join).
-                short = (
+                remaining = (
                     (remaining if remaining is not None else probes).join(
                         cand_ids.groupBy("point_id").agg(
                             F.count_distinct("rel_id").alias("n_rel")
@@ -196,28 +203,16 @@ def knn_boundaries(
                     )
                     .where(F.coalesce(F.col("n_rel"), F.lit(0)) < k)
                     .select("point_id", "lon", "lat")
+                    .localCheckpoint(eager=True)
                 )
-                prev_remaining = remaining
-                remaining = short.persist()
-                empty = remaining.limit(1).count() == 0
-                if prev_remaining is not None:
-                    prev_remaining.unpersist(blocking=False)
-                if empty:
+                if remaining.limit(1).count() == 0:
                     break
                 r = min(2 * r, max_radius)
-                prev_cand = cand_ids
                 cand_ids = cand_ids.unionByName(
                     _knn_candidates(remaining, bcells, level, r)
-                ).distinct().persist()
-                # Materialize before dropping the parent cache the union
-                # reads from, so the loop never recomputes from scratch.
-                cand_ids.count()
-                prev_cand.unpersist(blocking=False)
+                ).distinct().localCheckpoint(eager=True)
         finally:
             bcells.unpersist(blocking=False)
-            cand_ids.unpersist(blocking=False)
-            if remaining is not None:
-                remaining.unpersist(blocking=False)
     cand = cand_ids.join(probes, "point_id")
     if refine == "broadcast":
         from osm_spark.spatial.pip_index import build_pip_index, knn_distances_index

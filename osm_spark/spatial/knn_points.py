@@ -31,10 +31,48 @@ the whole grid was examined and everything is final by construction.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from osm_spark.spatial.cells_sql import _morton_expr, _xy_expr
+from osm_spark.spatial.cells_sql import _morton_expr, _xy_expr, cell_expr
+
+
+def suggest_level(
+    data: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    radius: int = 1,
+    target_candidates: int = 96,
+    probe_level: int = 14,
+    max_level: int = 16,
+) -> int:
+    """Pick the grid level whose Chebyshev disk is EXPECTED to hold
+    ~``target_candidates`` data points, from one cells-scale aggregate.
+
+    Real point sets are clustered (pages concentrate in countries), so
+    a level chosen from global area is catastrophically coarse: at
+    level 8 a 100k-point two-country world puts ~10^3 points per
+    OCCUPIED cell and the disk join emits 43M candidate pairs for 2.4k
+    queries (measured). This measures mean occupancy of occupied cells
+    ``m = n / count_distinct(cell@probe_level)`` — a map-side-combinable
+    aggregate, same cost class as the main build — and solves
+    ``disk * m * 4^(probe_level - L) = target`` for L (each coarser
+    level merges 4 cells). Under-dense queries are the frontier loop's
+    job (``max_radius``), so err fine rather than coarse."""
+    disk = (2 * radius + 1) ** 2
+    n, c = data.select(
+        F.count("*").alias("n"),
+        F.count_distinct(
+            cell_expr(F.col(lon), F.col(lat), probe_level)
+        ).alias("c"),
+    ).first()
+    if not n or not c:
+        return probe_level
+    m = n / c
+    level = probe_level - math.log(max(target_candidates / (disk * m), 1e-9), 4)
+    return max(0, min(max_level, round(level)))
 
 
 def _disk_cells(q: DataFrame, level: int, radius: int) -> DataFrame:

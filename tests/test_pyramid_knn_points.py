@@ -157,6 +157,50 @@ def test_knn_points_lon_wrap_no_duplicates(spark):
     assert by_rank == [1, 3, 2]  # planar: -179.5 is 358.5 degrees away
 
 
+def test_suggest_level_tracks_density(spark):
+    from osm_spark.spatial.knn_points import suggest_level
+
+    # Same n, two densities: clustered points need a FINER grid.
+    lon_u, lat_u = _rand_points(23, 2000)
+    lon_c, lat_c = _rand_points(23, 2000, (10.0, 10.1), (45.0, 45.1))
+    uniform = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon_u, lat_u)],
+        "lon double, lat double",
+    )
+    clustered = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon_c, lat_c)],
+        "lon double, lat double",
+    )
+    lu = suggest_level(uniform)
+    lc = suggest_level(clustered)
+    assert lc > lu
+    # And kNN at the suggested level stays exact (with the frontier
+    # loop as the sparse-query guarantee).
+    data = clustered.select(
+        F.monotonically_increasing_id().alias("data_id"), "lon", "lat"
+    ).persist()
+    rows = data.collect()
+    queries = data.limit(8).withColumnRenamed("data_id", "query_id")
+    got = {
+        (r.query_id, r.data_id, r.d2_u, r.rank)
+        for r in knn_points_join(
+            queries, data, k=3, level=lc, radius=1, max_radius=1 << lc
+        ).collect()
+    }
+    dlon = np.array([r.lon for r in rows])
+    dlat = np.array([r.lat for r in rows])
+    dids = np.array([r.data_id for r in rows])
+    qrows = queries.collect()
+    exp = _brute_knn(
+        np.array([r.lon for r in qrows]),
+        np.array([r.lat for r in qrows]),
+        np.array([r.query_id for r in qrows]),
+        dlon, dlat, dids, 3,
+    )
+    data.unpersist()
+    assert got == exp
+
+
 def test_knn_points_shuffle_join_identical(spark):
     dlon, dlat = _rand_points(17, 120)
     qlon, qlat = _rand_points(19, 15)
