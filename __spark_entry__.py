@@ -5415,6 +5415,109 @@ SELECT query_url, data_url, d2_u, rank FROM ranked WHERE rank <= 3
 _def("q112_knn_points", fn=_q_knn_points, duck_sql=_q112_oracle_sql())
 
 
+# X75 — grid-density hotspot clustering (DBSCAN-style): dense grid
+# cells (≥ min_pts points) → connected components under 8-adjacency
+# with the antimeridian wrap → per-cell and per-point cluster labels.
+# Spark runs ONE point-scale groupBy then large-star/small-star
+# contraction at cells scale; the oracle recomputes density from the
+# raw coordinates and closes adjacency with a recursive CTE — a
+# completely different algorithm, hash-equal incl. cluster sizes.
+_HOTSPOT_LEVEL, _HOTSPOT_MIN_PTS = 10, 3
+
+
+def _cell_from_xy_duck(x: str, y: str, level: int) -> str:
+    """DuckDB twin of hotspots._cell_of for integer x/y columns."""
+
+    def spread(v):
+        masks = [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+        e = f"({v} & 268435455)"
+        for s, m in masks:
+            e = f"(({e} | ({e} << {s})) & {m})"
+        return e
+
+    return f"((({spread(x)} | ({spread(y)} << 1)) << 6) | {level})"
+
+
+def _hotspot_oracle_cte() -> str:
+    lv, mp = _HOTSPOT_LEVEL, _HOTSPOT_MIN_PTS
+    n = 1 << lv
+    head = _pages_oracle_cte().replace("WITH pages", "WITH RECURSIVE pages", 1)
+    x = f"CAST(least(greatest(floor(((lon_u / 1000000.0) + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    y = f"CAST(least(greatest(floor(((lat_u / 1000000.0) + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    return (
+        head
+        + f""",
+ grid AS (SELECT {x} AS x, {y} AS y, url FROM pages),
+ cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_points
+           FROM grid GROUP BY x, y),
+ dense AS (SELECT {_cell_from_xy_duck('x', 'y', lv)} AS cell, x, y, n_points
+           FROM cells WHERE n_points >= {mp}),
+ sym AS (SELECT d1.cell AS a, d2.cell AS b
+         FROM dense d1 JOIN dense d2
+           ON abs(d1.y - d2.y) <= 1
+          AND (abs(d1.x - d2.x) <= 1 OR abs(d1.x - d2.x) = {n - 1})
+          AND NOT (d1.x = d2.x AND d1.y = d2.y)),
+ reach(src, dst) AS (
+   SELECT a, b FROM sym
+   UNION
+   SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+ comp AS (
+   SELECT d.cell, d.x, d.y, d.n_points,
+          least(d.cell, coalesce(min(r.dst), d.cell)) AS cluster
+   FROM dense d LEFT JOIN reach r ON r.src = d.cell
+   GROUP BY d.cell, d.x, d.y, d.n_points),
+ sizes AS (SELECT cluster AS c2, CAST(count(*) AS BIGINT) AS cluster_n_cells,
+                  CAST(sum(n_points) AS BIGINT) AS cluster_n_points
+           FROM comp GROUP BY cluster)"""
+    )
+
+
+def _q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.hotspots import grid_clusters
+
+    sp = _spatial(spark)
+    return grid_clusters(sp["points"], _HOTSPOT_LEVEL, _HOTSPOT_MIN_PTS)
+
+
+_def(
+    "q113_hotspot_clusters",
+    fn=_q_hotspots,
+    duck_sql=_hotspot_oracle_cte()
+    + """
+SELECT cell, x, y, n_points, cluster, cluster_n_cells, cluster_n_points
+FROM comp JOIN sizes ON cluster = c2
+""",
+)
+
+
+def _q_hotspot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.hotspots import cluster_points
+
+    sp = _spatial(spark)
+    return cluster_points(
+        sp["points"], _HOTSPOT_LEVEL, _HOTSPOT_MIN_PTS, id_col="url"
+    )
+
+
+_def(
+    "q114_hotspot_points",
+    fn=_q_hotspot_points,
+    duck_sql=_hotspot_oracle_cte()
+    + f"""
+SELECT g.url, {_cell_from_xy_duck('g.x', 'g.y', _HOTSPOT_LEVEL)} AS cell,
+       comp.cluster
+FROM grid g LEFT JOIN comp
+  ON comp.x = g.x AND comp.y = g.y
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
