@@ -5415,6 +5415,47 @@ SELECT query_url, data_url, d2_u, rank FROM ranked WHERE rank <= 3
 _def("q112_knn_points", fn=_q_knn_points, duck_sql=_q112_oracle_sql())
 
 
+# X76 — radius distance join (ST_DWithin): every 17th page to ALL
+# pages within 0.03 planar degrees. Spark runs the single-disk grid
+# equi-join (no loop — the radius is known up front, so one Chebyshev
+# disk of ceil(max_d/cell_h)+1 cells provably covers every pair); the
+# oracle is the naive inequality CROSS JOIN — different algorithm,
+# hash-equal including exact d2 values.
+def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.knn_points import distance_join
+
+    sp = _spatial(spark)
+    pts = sp["points"].select("url", "lon", "lat")
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    queries = pts.where(page_no % 17 == 0)
+    return distance_join(
+        queries, pts, 0.03, query_id="url", data_id="url"
+    ).select(
+        F.col("query_id").alias("query_url"),
+        F.col("data_id").alias("data_url"),
+        "d2_u",
+    )
+
+
+def _q115_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte()
+        + """,
+ q AS (SELECT url, lon_u, lat_u FROM pages
+       WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) % 17 = 0)
+SELECT q.url AS query_url, p.url AS data_url,
+       CAST((q.lon_u - p.lon_u) * (q.lon_u - p.lon_u)
+            + (q.lat_u - p.lat_u) * (q.lat_u - p.lat_u) AS BIGINT) AS d2_u
+FROM q CROSS JOIN pages p
+WHERE (q.lon_u - p.lon_u) * (q.lon_u - p.lon_u)
+      + (q.lat_u - p.lat_u) * (q.lat_u - p.lat_u) <= 30000 * 30000
+"""
+    )
+
+
+_def("q115_distance_join", fn=_q_distance_join, duck_sql=_q115_oracle_sql())
+
+
 # X75 — grid-density hotspot clustering (DBSCAN-style): dense grid
 # cells (≥ min_pts points) → connected components under 8-adjacency
 # with the antimeridian wrap → per-cell and per-point cluster labels.

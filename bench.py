@@ -375,6 +375,15 @@ def main() -> None:
 
     timed("knn_points", run_knn_points)
 
+    def run_hotspots():
+        from osm_spark.spatial.hotspots import grid_clusters
+
+        # Point-scale cost is ONE map-side-combinable groupBy; the
+        # component contraction runs on the (bounded) dense-cell set.
+        return grid_clusters(sp["points"], level=10, min_pts=3).count()
+
+    timed("hotspots", run_hotspots)
+
     for t in ["lineitem", "orders", "documents", "embeddings"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 

@@ -43,7 +43,10 @@ def _xy_expr(lon: Column, lat: Column, level: int) -> tuple[Column, Column]:
 
 
 def _morton_expr(x: Column, y: Column, bits: int) -> Column:
-    """Linear-size bit interleave: x bit i → 2i, y bit i → 2i+1."""
+    """Linear-size bit interleave: x bit i → 2i, y bit i → 2i+1.
+    bits=0 (the level-0 single-cell grid) is the empty interleave: 0."""
+    if bits == 0:
+        return F.lit(0).cast("long")
     m = None
     for i in range(bits):
         tx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)

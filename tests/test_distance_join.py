@@ -1,0 +1,119 @@
+"""Radius distance join (spatial/knn_points.distance_join) vs the
+naive all-pairs computation on the same int64 micro metric."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osm_spark.spatial.knn_points import distance_join
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from osm_spark.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+def _rand_points(seed, n, lon_span=(-179.9, 179.9), lat_span=(-89.9, 89.9)):
+    rng = np.random.default_rng(seed)
+    lon = np.round(rng.uniform(*lon_span, n), 6)
+    lat = np.round(rng.uniform(*lat_span, n), 6)
+    return lon, lat
+
+
+def _df(spark, lon, lat, start_id=0):
+    rows = [
+        (start_id + i, float(a), float(b))
+        for i, (a, b) in enumerate(zip(lon, lat))
+    ]
+    return spark.createDataFrame(rows, "id long, lon double, lat double")
+
+
+def _twin(qlon, qlat, dlon, dlat, max_d, qid0=0, did0=0):
+    qx = np.round(qlon * 1e6).astype(np.int64)
+    qy = np.round(qlat * 1e6).astype(np.int64)
+    dx = np.round(dlon * 1e6).astype(np.int64)
+    dy = np.round(dlat * 1e6).astype(np.int64)
+    d_u = int(round(max_d * 1e6))
+    out = set()
+    for i in range(len(qx)):
+        d2 = (dx - qx[i]) ** 2 + (dy - qy[i]) ** 2
+        for j in np.nonzero(d2 <= d_u * d_u)[0].tolist():
+            out.add((qid0 + i, did0 + j, int(d2[j])))
+    return out
+
+
+def _got(spark, qlon, qlat, dlon, dlat, max_d, **kw):
+    res = distance_join(
+        _df(spark, qlon, qlat),
+        _df(spark, dlon, dlat, start_id=10_000),
+        max_d,
+        query_id="id",
+        data_id="id",
+        **kw,
+    ).collect()
+    return {(r["query_id"], r["data_id"], r["d2_u"]) for r in res}
+
+
+def test_differential_random(spark):
+    qlon, qlat = _rand_points(3, 60)
+    dlon, dlat = _rand_points(4, 400)
+    for max_d in (0.5, 5.0, 30.0):
+        got = _got(spark, qlon, qlat, dlon, dlat, max_d)
+        exp = _twin(qlon, qlat, dlon, dlat, max_d, did0=10_000)
+        assert got == exp, (max_d, len(got), len(exp))
+
+
+def test_differential_clustered(spark):
+    # Dense blob: many qualifying pairs, several per cell.
+    rng = np.random.default_rng(9)
+    lon = np.round(10.0 + rng.normal(0, 0.01, 300), 6)
+    lat = np.round(45.0 + rng.normal(0, 0.01, 300), 6)
+    got = _got(spark, lon, lat, lon, lat, 0.01)
+    exp = _twin(lon, lat, lon, lat, 0.01, did0=10_000)
+    assert got == exp and len(got) > 300  # includes self-pairs
+
+
+def test_boundary_inclusive(spark):
+    # d2 == d_u^2 exactly must be INCLUDED (<=, not <).
+    qlon, qlat = np.array([0.0]), np.array([0.0])
+    dlon, dlat = np.array([0.003, 0.003001]), np.array([0.0, 0.0])
+    got = _got(spark, qlon, qlat, dlon, dlat, 0.003)
+    assert got == {(0, 10_000, 3000 * 3000)}
+
+
+def test_antimeridian_pairs(spark):
+    qlon, qlat = np.array([-179.9995]), np.array([0.0])
+    dlon, dlat = np.array([179.9995, 179.0]), np.array([0.0, 0.0])
+    # planar metric: the wrap pair is 359.999 degrees apart — NOT a
+    # neighbor under the planar contract (matches knn_points' planar
+    # ranking pin), so nothing qualifies at max_d=0.01...
+    assert _got(spark, qlon, qlat, dlon, dlat, 0.01) == set()
+    # ...but the disk fan-out still wraps cells, so a HUGE max_d that
+    # spans the planar gap finds both, with exact planar d2.
+    got = _got(spark, qlon, qlat, dlon, dlat, 360.0)
+    exp = _twin(qlon, qlat, dlon, dlat, 360.0, did0=10_000)
+    assert got == exp and len(got) == 2
+
+
+def test_broadcast_equals_shuffle_and_explicit_level(spark):
+    qlon, qlat = _rand_points(5, 40)
+    dlon, dlat = _rand_points(6, 200)
+    a = _got(spark, qlon, qlat, dlon, dlat, 2.0, broadcast_data=True)
+    b = _got(spark, qlon, qlat, dlon, dlat, 2.0, broadcast_data=False)
+    c = _got(spark, qlon, qlat, dlon, dlat, 2.0, level=9)
+    assert a == b == c == _twin(qlon, qlat, dlon, dlat, 2.0, did0=10_000)
+
+
+def test_rejects_nonpositive_radius(spark):
+    with pytest.raises(ValueError):
+        distance_join(
+            _df(spark, np.array([0.0]), np.array([0.0])),
+            _df(spark, np.array([0.0]), np.array([0.0])),
+            0.0,
+            query_id="id",
+            data_id="id",
+        )

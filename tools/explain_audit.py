@@ -74,6 +74,12 @@ CHECKS = {
     "q94_time_rollup": (["Expand"], ["EvalPython"], 1),
     # r4 LM scoring: broadcast model, no Python
     "q96_lm_score": (["BroadcastHashJoin"], ["EvalPython"], 1),
+    # r4 hotspot clustering: per-point labeling is the 100-TB path —
+    # point-scale morton projection + ONE broadcast join of the
+    # cells-scale cluster map (computed behind a localCheckpoint);
+    # the point table itself never shuffles and never crosses into
+    # Python
+    "q114_hotspot_points": (["BroadcastHashJoin"], ["EvalPython"], 1),
 }
 
 
