@@ -1,0 +1,146 @@
+"""Spatio-temporal sessionization (spatial/trajectories.geo_sessions)
+vs a pure-python twin."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+from osm_spark.spatial.trajectories import geo_sessions
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from osm_spark.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+def _ts(s):
+    return dt.datetime(2020, 9, 13, 12, 26, 40) + dt.timedelta(seconds=s)
+
+
+_EPOCH0 = int(_ts(0).timestamp())
+
+
+def _df(spark, rows):
+    """rows: (key, seconds, lon, lat)"""
+    return spark.createDataFrame(
+        [(k, _ts(s), float(a), float(b)) for k, s, a, b in rows],
+        "key string, ts timestamp, lon double, lat double",
+    )
+
+
+def _twin(rows, gap_s):
+    by_key = {}
+    for k, s, a, b in rows:
+        by_key.setdefault(k, []).append(
+            (s, int(round(a * 1e6)), int(round(b * 1e6)))
+        )
+    out = {}
+    for k, seq in by_key.items():
+        seq.sort()
+        sess, prev = 0, None
+        cur = None
+        for s, xu, yu in seq:
+            if prev is None or s - prev[0] > gap_s:
+                sess += 1
+                cur = out[(k, sess)] = {
+                    "n": 0, "t0": s, "t1": s, "path": 0, "maxstep": 0,
+                    "minx": xu, "maxx": xu, "miny": yu, "maxy": yu,
+                }
+                step = 0
+            else:
+                step = int(round(math.sqrt(
+                    (xu - prev[1]) ** 2 + (yu - prev[2]) ** 2
+                )))
+            cur["n"] += 1
+            cur["t1"] = s
+            cur["path"] += step
+            cur["maxstep"] = max(cur["maxstep"], step)
+            cur["minx"] = min(cur["minx"], xu)
+            cur["maxx"] = max(cur["maxx"], xu)
+            cur["miny"] = min(cur["miny"], yu)
+            cur["maxy"] = max(cur["maxy"], yu)
+            prev = (s, xu, yu)
+    return out
+
+
+def _check(spark, rows, gap_s):
+    got = {
+        (r["key"], r["session_no"]): (
+            r["n_points"],
+            int(r["t_start"].timestamp()) - _EPOCH0,
+            int(r["t_end"].timestamp()) - _EPOCH0,
+            r["path_len_u"],
+            r["max_step_u"],
+            r["min_lon_u"],
+            r["max_lon_u"],
+            r["min_lat_u"],
+            r["max_lat_u"],
+        )
+        for r in geo_sessions(_df(spark, rows), "key", "ts", gap_s).collect()
+    }
+    twin = {
+        k: (
+            v["n"], v["t0"], v["t1"], v["path"], v["maxstep"],
+            v["minx"], v["maxx"], v["miny"], v["maxy"],
+        )
+        for k, v in _twin(rows, gap_s).items()
+    }
+    assert got == twin, (
+        {k: got[k] for k in list(got)[:3]},
+        {k: twin[k] for k in list(twin)[:3]},
+    )
+    return got
+
+
+def test_gap_split_and_boundary(spark):
+    rows = [
+        ("a", 0, 10.0, 45.0),
+        ("a", 60, 10.001, 45.0),    # gap == 60 stays (<=)
+        ("a", 121, 10.002, 45.0),   # gap 61 > 60: new session
+        ("b", 0, 0.0, 0.0),
+    ]
+    got = _check(spark, rows, gap_s=60)
+    assert got[("a", 1)][0] == 2 and got[("a", 2)][0] == 1
+    assert got[("b", 1)][0] == 1
+    # step 0.001 deg = 1000 micro exactly
+    assert got[("a", 1)][3] == 1000
+
+
+def test_path_and_max_step(spark):
+    rows = [
+        ("t", 0, 0.0, 0.0),
+        ("t", 10, 0.003, 0.004),   # step = 5000
+        ("t", 20, 0.003, 0.010),   # step = 6000
+    ]
+    got = _check(spark, rows, gap_s=60)
+    assert got[("t", 1)][3] == 11000 and got[("t", 1)][4] == 6000
+
+
+def test_random_differential(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    t = 0
+    for i in range(800):
+        t += int(rng.integers(1, 200))
+        k = f"k{int(rng.integers(0, 13))}"
+        rows.append((
+            k,
+            t,
+            float(np.round(rng.uniform(-179, 179), 6)),
+            float(np.round(rng.uniform(-89, 89), 6)),
+        ))
+    _check(spark, rows, gap_s=300)
+
+
+def test_single_point_sessions(spark):
+    rows = [("x", i * 1000, float(i), 0.0) for i in range(5)]
+    got = _check(spark, rows, gap_s=10)
+    assert len(got) == 5
+    assert all(v[0] == 1 and v[3] == 0 and v[4] == 0 for v in got.values())
