@@ -5456,6 +5456,57 @@ WHERE (q.lon_u - p.lon_u) * (q.lon_u - p.lon_u)
 _def("q115_distance_join", fn=_q_distance_join, duck_sql=_q115_oracle_sql())
 
 
+# X76b — the same radius join under the EQUIRECTANGULAR metric
+# (lon deltas scaled by round(cos(query lat)·1024), applied as an
+# int64 >> 10 — engine-bit-exact). The pages corpus sits at lat ≈ -84°
+# (cos ≈ 0.105), so the geodesic neighborhood reaches ~10× farther in
+# lon than the planar one — the two queries share a corpus but return
+# very different pair sets, both oracle-pinned.
+def _q_distance_join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.knn_points import distance_join
+
+    sp = _spatial(spark)
+    pts = sp["points"].select("url", "lon", "lat")
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    queries = pts.where(page_no % 17 == 0)
+    return distance_join(
+        queries, pts, 0.03, query_id="url", data_id="url",
+        metric="equirectangular",
+    ).select(
+        F.col("query_id").alias("query_url"),
+        F.col("data_id").alias("data_url"),
+        "d2_u",
+    )
+
+
+def _q117_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte()
+        + """,
+ q AS (SELECT url, lon_u, lat_u,
+              CAST(round(cos(radians(lat_u / 1000000.0)) * 1024) AS BIGINT)
+                AS cq
+       FROM pages
+       WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) % 17 = 0),
+ pairs AS (
+   SELECT q.url AS query_url, p.url AS data_url,
+          ((abs(q.lon_u - p.lon_u) * q.cq) >> 10)
+            * ((abs(q.lon_u - p.lon_u) * q.cq) >> 10)
+          + (q.lat_u - p.lat_u) * (q.lat_u - p.lat_u) AS d2_u
+   FROM q CROSS JOIN pages p)
+SELECT query_url, data_url, CAST(d2_u AS BIGINT) AS d2_u
+FROM pairs WHERE d2_u <= 30000 * 30000
+"""
+    )
+
+
+_def(
+    "q117_distance_join_geodesic",
+    fn=_q_distance_join_geo,
+    duck_sql=_q117_oracle_sql(),
+)
+
+
 # X77 — spatio-temporal sessionization (q116): synthetic "traveler"
 # keys (multiplicative hash of the page number, so inter-page gaps
 # vary irregularly), gap-split sessions with integer movement stats

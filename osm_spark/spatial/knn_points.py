@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm_spark.spatial.cells_sql import _morton_expr, _xy_expr, cell_expr
@@ -87,16 +87,34 @@ def suggest_level(
     return max(0, min(max_level, round(level)))
 
 
-def _disk_cells(q: DataFrame, level: int, radius: int) -> DataFrame:
+def _disk_cells(
+    q: DataFrame,
+    level: int,
+    radius: int,
+    lon_radius: Column | None = None,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
     """Fan each query row out to its Chebyshev-disk cells at ``level``.
     Expects gx/gy grid columns; keeps (query_id, lon_u, lat_u, cell).
     Lon wraps (pmod) but each residue is emitted at most once — past
     2r+1 >= n the dx range clamps to exactly the n residues — so no
-    (query, cell) duplicates ever reach the join. Lat clips."""
+    (query, cell) duplicates ever reach the join. Lat clips.
+
+    ``lon_radius``: optional PER-ROW lon cell radius (a Column) — the
+    equirectangular metric needs a wider lon disk at high latitude
+    (cos shrinks lon distances, so the same metric radius spans more
+    cells). Clamped to the wrap-dedupe bounds like the static radius.
+    ``extra``: passthrough column names to keep on the fan-out."""
     n = 1 << level
-    dx_lo, dx_hi = -min(radius, n // 2), min(radius, (n - 1) // 2)
+    if lon_radius is None:
+        dx_lo = F.lit(-min(radius, n // 2))
+        dx_hi = F.lit(min(radius, (n - 1) // 2))
+    else:
+        r = lon_radius.cast("long")
+        dx_lo = -F.least(r, F.lit(n // 2))
+        dx_hi = F.least(r, F.lit((n - 1) // 2))
     fan = q.select(
-        "*", F.explode(F.sequence(F.lit(dx_lo), F.lit(dx_hi))).alias("dx")
+        "*", F.explode(F.sequence(dx_lo, dx_hi)).alias("dx")
     ).select(
         "*", F.explode(F.sequence(F.lit(-radius), F.lit(radius))).alias("dy")
     )
@@ -108,7 +126,8 @@ def _disk_cells(q: DataFrame, level: int, radius: int) -> DataFrame:
         .cast("long")
     )
     return fan.where(ny.between(0, n - 1)).select(
-        "query_id", "qlon_u", "qlat_u", "gx", "gy", cell.alias("cell")
+        "query_id", "qlon_u", "qlat_u", "gx", "gy",
+        cell.alias("cell"), *extra,
     )
 
 
@@ -241,14 +260,26 @@ def distance_join(
     broadcast_data: bool = True,
     query_id: str = "query_id",
     data_id: str = "data_id",
+    metric: str = "planar",
 ) -> DataFrame:
     """ST_DWithin-style radius join: EVERY (query, data) pair within
-    planar degree distance ``max_d`` → (query_id, data_id, d2_u).
-    Exact on the int64 squared micro-degree metric (d2_u ≤ d_u² with
+    degree distance ``max_d`` → (query_id, data_id, d2_u).
+    Exact on an int64 micro-degree metric (d2_u ≤ d_u² with
     d_u = round(max_d·1e6)) — the same metric contract as
     :func:`knn_points_join`, so the output set is engine- and
     parallelism-reproducible. Self-pairs (same coordinates, distance
     0) are included; callers dedup/filter by id as needed.
+
+    ``metric="planar"`` (default): raw squared micro-degrees — the
+    reference-parity metric. ``metric="equirectangular"``: the lon
+    delta is scaled by cos(query lat) BEFORE squaring — the
+    local-geodesic metric (knn.py's edge_distance contract), correct
+    across latitudes where 1° lon ≠ 1° lat. The scale is quantized to
+    cq = round(cos·1024) and applied as (|Δlon_u|·cq) >> 10 — pure
+    int64 shift arithmetic, so the metric stays engine-bit-exact. The
+    lon fan-out radius is computed PER QUERY ROW (wider disks at high
+    latitude; the full lon ring at the pole where cq = 0), so
+    coverage stays provably complete.
 
     Plan shape (the 100-TB contract): one grid assignment per side
     (linear morton OR-chain, stays in codegen), a bounded Chebyshev
@@ -264,6 +295,8 @@ def distance_join(
     """
     if max_d <= 0:
         raise ValueError("max_d must be positive")
+    if metric not in ("planar", "equirectangular"):
+        raise ValueError(f"unknown metric {metric!r}")
     if level is None:
         level = max(0, min(16, int(math.floor(math.log2(180.0 / max_d)))))
     n = 1 << level
@@ -271,13 +304,21 @@ def distance_join(
     # cell-radius floor, then +1 for the query's offset in its cell.
     radius = int(math.floor((max_d + 2e-6) * n / 180.0)) + 1
     x, y = _xy_expr(F.col("lon"), F.col("lat"), level)
-    qgrid = queries.select(
+    qcols = [
         F.col(query_id).alias("query_id"),
         F.round(F.col("lon") * 1e6).cast("long").alias("qlon_u"),
         F.round(F.col("lat") * 1e6).cast("long").alias("qlat_u"),
         x.alias("gx"),
         y.alias("gy"),
-    )
+    ]
+    d_u = int(round(max_d * 1e6))
+    if metric == "equirectangular":
+        qcols.append(
+            F.round(F.cos(F.radians(F.col("lat"))) * 1024)
+            .cast("long")
+            .alias("cq")
+        )
+    qgrid = queries.select(*qcols)
     dx, dy = _xy_expr(F.col("lon"), F.col("lat"), level)
     dcells = data.select(
         F.shiftleft(_morton_expr(dx, dy, level), 6)
@@ -288,7 +329,34 @@ def distance_join(
         F.round(F.col("lon") * 1e6).cast("long").alias("dlon_u"),
         F.round(F.col("lat") * 1e6).cast("long").alias("dlat_u"),
     )
-    d_u = int(round(max_d * 1e6))
-    return _candidates(
-        qgrid, dcells, level, radius, broadcast_data
+    if metric == "planar":
+        return _candidates(
+            qgrid, dcells, level, radius, broadcast_data
+        ).where(F.col("d2_u") <= F.lit(d_u * d_u))
+    # Equirectangular: per-row lon radius. The lon term passes iff
+    # (|Δlon_u|·cq) >> 10 ≤ d_u ⇔ |Δlon_u| < ((d_u+1)·1024)/cq, so a
+    # micro-degree bound of ((d_u+1)·1024)/max(cq,1) (+2 µdeg rounding
+    # guard) covers every qualifying Δlon; +1 cell for the query's
+    # offset inside its own cell. cq=0 (pole) degenerates to the full
+    # lon ring via _disk_cells' wrap clamp.
+    lon_bound_u = F.floor(
+        F.lit(float((d_u + 1) * 1024)) / F.greatest(F.col("cq"), F.lit(1))
+    ) + F.lit(2)
+    rx = F.when(F.col("cq") <= 0, F.lit(n).cast("long")).otherwise(
+        (
+            F.floor(lon_bound_u.cast("double") / 1e6 * n / 360.0) + F.lit(1)
+        ).cast("long")
+    )
+    right = F.broadcast(dcells) if broadcast_data else dcells
+    cand = _disk_cells(
+        qgrid, level, radius, lon_radius=rx, extra=("cq",)
+    ).join(right, "cell")
+    lon_term = F.shiftright(
+        F.abs(F.col("qlon_u") - F.col("dlon_u")) * F.col("cq"), 10
+    )
+    d2 = lon_term * lon_term + (F.col("qlat_u") - F.col("dlat_u")) * (
+        F.col("qlat_u") - F.col("dlat_u")
+    )
+    return cand.select(
+        "query_id", "data_id", d2.cast("long").alias("d2_u")
     ).where(F.col("d2_u") <= F.lit(d_u * d_u))

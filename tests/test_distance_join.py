@@ -3,6 +3,7 @@ naive all-pairs computation on the same int64 micro metric."""
 
 from __future__ import annotations
 
+import math
 import numpy as np
 import pytest
 
@@ -106,6 +107,71 @@ def test_broadcast_equals_shuffle_and_explicit_level(spark):
     b = _got(spark, qlon, qlat, dlon, dlat, 2.0, broadcast_data=False)
     c = _got(spark, qlon, qlat, dlon, dlat, 2.0, level=9)
     assert a == b == c == _twin(qlon, qlat, dlon, dlat, 2.0, did0=10_000)
+
+
+def _twin_eq(qlon, qlat, dlon, dlat, max_d, qid0=0, did0=0):
+    """Equirectangular twin: lon delta scaled by round(cos(qlat)*1024),
+    applied as an int64 >> 10 — the exact engine contract."""
+    qx = np.round(qlon * 1e6).astype(np.int64)
+    qy = np.round(qlat * 1e6).astype(np.int64)
+    dx = np.round(dlon * 1e6).astype(np.int64)
+    dy = np.round(dlat * 1e6).astype(np.int64)
+    d_u = int(round(max_d * 1e6))
+    out = set()
+    for i in range(len(qx)):
+        cq = int(round(math.cos(math.radians(qlat[i])) * 1024))
+        lon_term = (np.abs(dx - qx[i]) * cq) >> 10
+        d2 = lon_term * lon_term + (dy - qy[i]) ** 2
+        for j in np.nonzero(d2 <= d_u * d_u)[0].tolist():
+            out.add((qid0 + i, did0 + j, int(d2[j])))
+    return out
+
+
+def test_equirectangular_differential(spark):
+    qlon, qlat = _rand_points(13, 50)
+    dlon, dlat = _rand_points(14, 300)
+    for max_d in (1.0, 10.0):
+        got = _got(
+            spark, qlon, qlat, dlon, dlat, max_d, metric="equirectangular"
+        )
+        exp = _twin_eq(qlon, qlat, dlon, dlat, max_d, did0=10_000)
+        assert got == exp, (max_d, len(got), len(exp))
+
+
+def test_equirectangular_equals_planar_at_equator(spark):
+    # cq = 1024 exactly at lat 0 → (|Δlon|·1024) >> 10 == |Δlon|.
+    qlon, qlat = _rand_points(15, 30, lat_span=(0.0, 0.0))
+    dlon, dlat = _rand_points(16, 200, lat_span=(0.0, 0.0))
+    a = _got(spark, qlon, qlat, dlon, dlat, 3.0, metric="planar")
+    b = _got(spark, qlon, qlat, dlon, dlat, 3.0, metric="equirectangular")
+    assert a == b and a
+
+
+def test_equirectangular_high_latitude_widens(spark):
+    # At lat 80, cos ≈ 0.17: a point 0.05° east is ~0.0087° away in
+    # the geodesic metric — inside max_d=0.01 — but 0.05° away in the
+    # planar metric — outside.
+    qlon, qlat = np.array([10.0]), np.array([80.0])
+    dlon, dlat = np.array([10.05]), np.array([80.0])
+    planar = _got(spark, qlon, qlat, dlon, dlat, 0.01, metric="planar")
+    geo = _got(
+        spark, qlon, qlat, dlon, dlat, 0.01, metric="equirectangular"
+    )
+    assert planar == set()
+    assert geo == _twin_eq(qlon, qlat, dlon, dlat, 0.01, did0=10_000)
+    assert len(geo) == 1
+
+
+def test_equirectangular_pole_full_ring(spark):
+    # cq = 0 at the pole: every lon at the same lat is at distance 0.
+    qlon, qlat = np.array([0.0]), np.array([89.999])
+    dlon = np.array([-170.0, 45.0, 170.0])
+    dlat = np.array([89.999, 89.999, 89.999])
+    got = _got(
+        spark, qlon, qlat, dlon, dlat, 0.001, metric="equirectangular"
+    )
+    exp = _twin_eq(qlon, qlat, dlon, dlat, 0.001, did0=10_000)
+    assert got == exp and len(got) == 3
 
 
 def test_rejects_nonpositive_radius(spark):
