@@ -104,15 +104,69 @@ def _edge_digest(edges: DataFrame) -> tuple:
     return (r["n"], r["h1"], r["h2"])
 
 
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Union-find over a COLLECTED canonical edge list — the adaptive
+    small-graph path. Same output contract as the distributed
+    contraction: (node, component = min node id in the component).
+
+    Rationale: the star contraction pays ~4-6 driver-coordinated jobs
+    PER ROUND; on a metadata-scale graph (the hotspot cell-adjacency
+    set is bounded by the GRID, not the corpus — 16.8k edges at 1M
+    points) those fixed costs are the entire wall time (measured
+    5.9 s of a 6.5 s operator). Collecting ≤ driver_threshold edges
+    is the same driver-compile trade as the PIP index auto mode; the
+    distributed contraction remains the path for graphs that grow
+    with the corpus (near-dup pairs at 10^12 docs)."""
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    rows = e.collect()
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    label: dict = {}
+    for nd in parent:
+        root = find(nd)
+        cur = label.get(root)
+        if cur is None or nd < cur:
+            label[root] = nd
+    out = [(nd, label[find(nd)]) for nd in parent]
+    node_t = e.schema[0].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_t, False), StructField("component", node_t, False)]
+    )
+    return e.sparkSession.createDataFrame(sorted(out), schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 40,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of the undirected graph given as an edge
     list. Returns (node, component) for every node that appears in at
     least one edge; component = the minimum node id in its component.
+
+    ``driver_threshold``: canonical edge counts at or below this run
+    union-find on the driver (one collect of the deduped edge list —
+    metadata-scale by definition of the threshold) instead of paying
+    per-round distributed fixed costs; 0 disables. Both paths produce
+    the identical (node, min-id component) rows (pinned by test).
 
     Raises RuntimeError if the edge set has not converged after
     ``max_rounds`` large+small-star rounds (theory: O(log^2 n); in
@@ -128,11 +182,15 @@ def connected_components(
     e = _canon(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(eager=True)
-    prev = _edge_digest(e)
-    if prev[0] == 0:
+    n_edges = e.count()  # cheap: reads the checkpointed blocks
+    if n_edges == 0:
         return e.select(
             F.col("src").alias("node"), F.col("dst").alias("component")
         )
+    if driver_threshold and n_edges <= driver_threshold:
+        return _driver_components(e)
+    # Convergence digests only matter on the distributed path.
+    prev = _edge_digest(e)
     for _ in range(max_rounds):
         nxt = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
         cur = _edge_digest(nxt)

@@ -74,6 +74,30 @@ def test_random_graph_matches_union_find(spark):
     assert got == want
 
 
+def test_driver_and_distributed_paths_identical(spark):
+    # The adaptive small-graph union-find path (default) and the
+    # forced star contraction (driver_threshold=0) must produce the
+    # identical (node, min-id component) rows; both match brute force.
+    rng = random.Random(5)
+    nodes = list(range(1, 80))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(110)]
+    edges = [(a, b) for a, b in edges if a != b]
+    fast = _cc(spark, edges)
+    dist = _cc(spark, edges, driver_threshold=0)
+    assert fast == dist == _brute(edges)
+
+
+def test_driver_path_string_nodes(spark):
+    edges = [("b", "a"), ("c", "b"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    want = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got == want == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_duplicate_and_reversed_edges_are_canonicalized(spark):
     edges = [(2, 1), (1, 2), (2, 1), (3, 2), (2, 3)]
     got = _cc(spark, edges)
