@@ -5415,6 +5415,62 @@ SELECT query_url, data_url, d2_u, rank FROM ranked WHERE rank <= 3
 _def("q112_knn_points", fn=_q_knn_points, duck_sql=_q112_oracle_sql())
 
 
+# X74b — the grid kNN join under the EQUIRECTANGULAR metric: same
+# shape as q112 but lon deltas scaled by round(cos(query lat)·1024)
+# >> 10. On the lat≈-84° pages corpus the two metrics rank genuinely
+# differently; the oracle is the naive CROSS JOIN + window with the
+# identical integer formula.
+def _q_knn_points_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.knn_points import knn_points_join
+
+    sp = _spatial(spark)
+    pts = sp["points"].select("url", "lon", "lat")
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    queries = pts.where(page_no % 41 == 0)
+    out = knn_points_join(
+        queries, pts, k=3, level=6, radius=1, max_radius=1 << 6,
+        query_id="url", data_id="url", metric="equirectangular",
+    )
+    return out.select(
+        F.col("query_id").alias("query_url"),
+        F.col("data_id").alias("data_url"),
+        "d2_u",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q118_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte()
+        + """,
+ q AS (SELECT url, lon_u, lat_u,
+              CAST(round(cos(radians(lat_u / 1000000.0)) * 1024) AS BIGINT)
+                AS cq
+       FROM pages
+       WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) % 41 = 0),
+ pairs AS (
+   SELECT q.url AS query_url, p.url AS data_url,
+          ((abs(q.lon_u - p.lon_u) * q.cq) >> 10)
+            * ((abs(q.lon_u - p.lon_u) * q.cq) >> 10)
+          + (q.lat_u - p.lat_u) * (q.lat_u - p.lat_u) AS d2_u
+   FROM q CROSS JOIN pages p),
+ ranked AS (
+   SELECT query_url, data_url, CAST(d2_u AS BIGINT) AS d2_u,
+          CAST(row_number() OVER (
+            PARTITION BY query_url ORDER BY d2_u, data_url) AS BIGINT) AS rank
+   FROM pairs)
+SELECT query_url, data_url, d2_u, rank FROM ranked WHERE rank <= 3
+"""
+    )
+
+
+_def(
+    "q118_knn_points_geodesic",
+    fn=_q_knn_points_geo,
+    duck_sql=_q118_oracle_sql(),
+)
+
+
 # X76 — radius distance join (ST_DWithin): every 17th page to ALL
 # pages within 0.03 planar degrees. Spark runs the single-disk grid
 # equi-join (no loop — the radius is known up front, so one Chebyshev

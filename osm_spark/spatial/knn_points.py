@@ -157,25 +157,50 @@ def knn_points_join(
     broadcast_data: bool = True,
     query_id: str = "query_id",
     data_id: str = "data_id",
+    metric: str = "planar",
 ) -> DataFrame:
     """queries(query_id, lon, lat) x data(data_id, lon, lat) →
     (query_id, data_id, d2_u, rank): the k nearest data points per
-    query by exact int64 squared micro-degree distance, ties broken by
+    query by an exact int64 micro-degree metric, ties broken by
     data_id (total order — engine- and parallelism-reproducible).
+
+    ``metric="planar"`` (default): raw squared micro-degrees.
+    ``metric="equirectangular"``: lon deltas scaled by
+    round(cos(query lat)·1024) applied as an int64 >> 10 (the
+    distance_join / knn.py contract) — ranking is geodesically
+    correct across latitudes. The candidate disk widens in lon PER
+    QUERY ROW so one cell radius r covers the same METRIC distance in
+    every direction, and the frontier-loop stopping bound shrinks by
+    the shift/rounding slack, so the loop's exactness guarantee is
+    preserved. At the pole (cq = 0) lon contributes nothing and the
+    disk degenerates to the full lon ring.
 
     Single pass by default (queries whose disk holds fewer than k
     final answers return fewer/unproven rows, like X8's historical
     shape). ``max_radius`` enables the frontier-doubling loop; pass
     ``max_radius >= 1 << level`` for guaranteed-exact kNN (terminates
     at full grid coverage at the latest)."""
+    if metric not in ("planar", "equirectangular"):
+        raise ValueError(f"unknown metric {metric!r}")
+    equirect = metric == "equirectangular"
     n = 1 << level
     x, y = _xy_expr(F.col("lon"), F.col("lat"), level)
-    qgrid = queries.select(
+    qcols = [
         F.col(query_id).alias("query_id"),
         F.round(F.col("lon") * 1e6).cast("long").alias("qlon_u"),
         F.round(F.col("lat") * 1e6).cast("long").alias("qlat_u"),
         x.alias("gx"),
         y.alias("gy"),
+    ]
+    if equirect:
+        qcols.append(
+            F.round(F.cos(F.radians(F.col("lat"))) * 1024)
+            .cast("long")
+            .alias("cq")
+        )
+    qgrid = queries.select(*qcols)
+    qpass = ("query_id", "qlon_u", "qlat_u", "gx", "gy") + (
+        ("cq",) if equirect else ()
     )
     dx, dy = _xy_expr(F.col("lon"), F.col("lat"), level)
     dcells = data.select(
@@ -187,8 +212,38 @@ def knn_points_join(
         F.round(F.col("lon") * 1e6).cast("long").alias("dlon_u"),
         F.round(F.col("lat") * 1e6).cast("long").alias("dlat_u"),
     )
+
+    def cands(qg: DataFrame, r: int) -> DataFrame:
+        if not equirect:
+            return _candidates(qg, dcells, level, r, broadcast_data)
+        # Lon disk radius making the disk METRIC-round: the lat reach
+        # is r·cell_h; matching lon degrees = r·cell_h/cos, and
+        # cell_w = 2·cell_h, so rx = ceil(r·1024 / (2·cq)) cells
+        # (+1 floor guard). cq = 0 → the full ring.
+        rx = F.when(F.col("cq") <= 0, F.lit(n).cast("long")).otherwise(
+            (
+                F.floor(
+                    F.lit(float(r * 1024)) / (2.0 * F.col("cq"))
+                )
+                + F.lit(1)
+            ).cast("long")
+        )
+        right = F.broadcast(dcells) if broadcast_data else dcells
+        cand = _disk_cells(
+            qg, level, r, lon_radius=rx, extra=("cq",)
+        ).join(right, "cell")
+        lon_term = F.shiftright(
+            F.abs(F.col("qlon_u") - F.col("dlon_u")) * F.col("cq"), 10
+        )
+        d2 = lon_term * lon_term + (
+            F.col("qlat_u") - F.col("dlat_u")
+        ) * (F.col("qlat_u") - F.col("dlat_u"))
+        return cand.select(
+            "query_id", "data_id", d2.cast("long").alias("d2_u")
+        )
+
     w = Window.partitionBy("query_id").orderBy("d2_u", "data_id")
-    cand = _candidates(qgrid, dcells, level, radius, broadcast_data)
+    cand = cands(qgrid, radius)
     if max_radius is not None and max_radius > radius:
         # Each iteration nests the previous `cand` TWICE (anti-join +
         # the frontier's window), so persist() alone leaves a 2^i-leaf
@@ -207,7 +262,13 @@ def knn_points_join(
             while r < max_radius and r < n:
                 # Conservative final-answer bound: unexamined points sit
                 # >= r * min(cell_w, cell_h) = r * 180/n degrees away.
+                # Equirectangular: the lon disk was sized so unexamined
+                # points' METRIC distance is also >= r·cell_h, minus
+                # the >>10 floor (≤ 1) and coordinate rounding (≤ 1)
+                # slack — hence the -2 margin.
                 bound_u = int(r * (180.0 / n) * 1e6)
+                if equirect:
+                    bound_u = max(0, bound_u - 2)
                 per_q = (
                     cand.withColumn("rn", F.row_number().over(w))
                     .where(F.col("rn") <= k)
@@ -223,7 +284,7 @@ def knn_points_join(
                         (F.coalesce(F.col("n_cand"), F.lit(0)) < k)
                         | (F.col("kth_d2") > F.lit(bound_u * bound_u))
                     )
-                    .select("query_id", "qlon_u", "qlat_u", "gx", "gy")
+                    .select(*qpass)
                     .localCheckpoint(eager=True)
                 )
                 if frontier.limit(1).count() == 0:
@@ -233,9 +294,7 @@ def knn_points_join(
                     cand.join(
                         frontier.select("query_id"), "query_id", "left_anti"
                     )
-                    .unionByName(
-                        _candidates(frontier, dcells, level, r, broadcast_data)
-                    )
+                    .unionByName(cands(frontier, r))
                     .localCheckpoint(eager=True)
                 )
         finally:

@@ -157,6 +157,78 @@ def test_knn_points_lon_wrap_no_duplicates(spark):
     assert by_rank == [1, 3, 2]  # planar: -179.5 is 358.5 degrees away
 
 
+def _brute_knn_eq(qlon, qlat, qids, dlon, dlat, dids, k):
+    """Equirectangular twin: lon delta × round(cos(qlat)·1024) >> 10."""
+    import math
+
+    qlon_u = np.round(qlon * 1e6).astype(np.int64)
+    qlat_u = np.round(qlat * 1e6).astype(np.int64)
+    dlon_u = np.round(dlon * 1e6).astype(np.int64)
+    dlat_u = np.round(dlat * 1e6).astype(np.int64)
+    out = set()
+    for qi, qx, qy, ql in zip(qids, qlon_u, qlat_u, qlat):
+        cq = int(round(math.cos(math.radians(ql)) * 1024))
+        lt = (np.abs(dlon_u - qx) * cq) >> 10
+        d2 = lt * lt + (dlat_u - qy) ** 2
+        order = sorted(zip(d2.tolist(), dids.tolist()))[:k]
+        for rank, (dd, di) in enumerate(order, 1):
+            out.add((int(qi), int(di), int(dd), rank))
+    return out
+
+
+def test_knn_points_equirectangular_exact(spark):
+    # Mixed latitudes incl. high-lat rows where the metrics disagree;
+    # the frontier loop must stay exact under the scaled metric.
+    dlon, dlat = _rand_points(21, 300)
+    qlon, qlat = _rand_points(22, 40, lat_span=(-89.0, 89.0))
+    dids = np.arange(300)
+    qids = np.arange(40)
+    data = spark.createDataFrame(
+        [(int(i), float(dlon[i]), float(dlat[i])) for i in dids],
+        "data_id long, lon double, lat double",
+    ).repartition(8)
+    queries = spark.createDataFrame(
+        [(int(i), float(qlon[i]), float(qlat[i])) for i in qids],
+        "query_id long, lon double, lat double",
+    ).repartition(8)
+    got = {
+        (r.query_id, r.data_id, r.d2_u, r.rank)
+        for r in knn_points_join(
+            queries, data, k=3, level=6, radius=1, max_radius=1 << 6,
+            metric="equirectangular",
+        ).collect()
+    }
+    exp = _brute_knn_eq(qlon, qlat, qids, dlon, dlat, dids, 3)
+    assert got == exp
+    # And the metrics genuinely disagree somewhere on this corpus.
+    planar = _brute_knn(qlon, qlat, qids, dlon, dlat, dids, 3)
+    assert {(q, d) for q, d, _, _ in got} != {
+        (q, d) for q, d, _, _ in planar
+    }
+
+
+def test_knn_points_equirectangular_high_lat_ranking(spark):
+    # At lat 80 (cos≈0.17): 0.05° east is geodesically NEARER than
+    # 0.02° north; planar says the opposite.
+    data = spark.createDataFrame(
+        [(1, 10.05, 80.0), (2, 10.0, 80.02)],
+        "data_id long, lon double, lat double",
+    )
+    queries = spark.createDataFrame(
+        [(0, 10.0, 80.0)], "query_id long, lon double, lat double"
+    )
+    planar = knn_points_join(
+        queries, data, k=2, level=6, radius=1, max_radius=1 << 6
+    ).collect()
+    geo = knn_points_join(
+        queries, data, k=2, level=6, radius=1, max_radius=1 << 6,
+        metric="equirectangular",
+    ).collect()
+    p1 = [r.data_id for r in sorted(planar, key=lambda r: r.rank)]
+    g1 = [r.data_id for r in sorted(geo, key=lambda r: r.rank)]
+    assert p1 == [2, 1] and g1 == [1, 2]
+
+
 def test_suggest_level_tracks_density(spark):
     from osm_spark.spatial.knn_points import suggest_level
 
