@@ -5707,6 +5707,52 @@ FROM comp JOIN sizes ON cluster = c2
 )
 
 
+# X75b — the graft composition end-to-end (q119): web pages →
+# geoparse → hotspot clusters → per-cluster representative page
+# (min url: deterministic) → PIP admin-area assignment of the
+# representative → per-(cluster, admin area) hotspot stats. Every
+# stage is an already-oracle-pinned operator; this pins the
+# COMPOSITION (closure CTE × membership SQL joined in one oracle).
+def _q_hotspot_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.hotspots import cluster_points
+
+    sp = _spatial(spark)
+    labels = cluster_points(
+        sp["points"], _HOTSPOT_LEVEL, _HOTSPOT_MIN_PTS, id_col="url"
+    ).where(F.col("cluster").isNotNull())
+    clusters = labels.groupBy("cluster").agg(
+        F.min("url").alias("rep_url"),
+        F.count("*").cast("long").alias("n_pts"),
+    )
+    pip_urls = (
+        sp["pip"]
+        .join(sp["points"], "point_id")
+        .select("url", "rel_id")
+        .distinct()
+    )
+    return clusters.join(
+        F.broadcast(pip_urls), clusters.rep_url == pip_urls.url
+    ).select("cluster", "rep_url", "rel_id", "n_pts")
+
+
+_def(
+    "q119_hotspot_admin",
+    fn=_q_hotspot_admin,
+    duck_sql=_hotspot_oracle_cte()
+    + f""",
+ clus AS (
+   SELECT comp.cluster, min(g.url) AS rep_url,
+          CAST(count(*) AS BIGINT) AS n_pts
+   FROM grid g JOIN comp ON comp.x = g.x AND comp.y = g.y
+   GROUP BY comp.cluster),
+ member AS (SELECT url, rel_id FROM ({_pip_membership_sql()})
+            GROUP BY url, rel_id)
+SELECT clus.cluster, clus.rep_url, member.rel_id, clus.n_pts
+FROM clus JOIN member ON member.url = clus.rep_url
+""",
+)
+
+
 def _q_hotspot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_spark.spatial.hotspots import cluster_points
 
