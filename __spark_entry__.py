@@ -5626,6 +5626,78 @@ FROM runs GROUP BY key, session_no
 _def("q116_geo_sessions", fn=_q_geo_sessions, duck_sql=_q116_oracle_sql())
 
 
+# X77b — the same sessionization under the equirectangular step
+# metric (each step's lon delta scaled by the segment-START point's
+# round(cos·1024) >> 10). Session structure is metric-independent;
+# path_len_u / max_step_u change, and the oracle recomputes them with
+# the identical integer formula in the DuckDB window chain.
+def _q_geo_sessions_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.trajectories import geo_sessions
+
+    pages = _pages_df(spark)
+    geo = geoparse_pages(pages)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    pts = geo.select(
+        (((page_no * F.lit(2654435761)) % F.lit(1000000)) % F.lit(37)).alias(
+            "traveler"
+        ),
+        "warc_ts",
+        "lon",
+        "lat",
+    )
+    return geo_sessions(
+        pts, "traveler", "warc_ts", _TRAJ_GAP_S, metric="equirectangular"
+    )
+
+
+def _q120_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte()
+        + f""",
+ pts AS (SELECT (CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT)
+                 * 2654435761) % 1000000 % 37 AS key,
+                warc_ts AS ts, CAST(epoch(warc_ts) AS BIGINT) AS ts_s,
+                lon_u, lat_u,
+                CAST(round(cos(radians(lat_u / 1000000.0)) * 1024)
+                     AS BIGINT) AS cq
+         FROM pages),
+ lagd AS (SELECT *, lag(ts_s) OVER w AS p_ts,
+                 lag(lon_u) OVER w AS p_lon, lag(lat_u) OVER w AS p_lat,
+                 lag(cq) OVER w AS p_cq
+          FROM pts WINDOW w AS (PARTITION BY key ORDER BY ts)),
+ marked AS (SELECT *,
+        CASE WHEN p_ts IS NULL OR ts_s - p_ts > {_TRAJ_GAP_S}
+             THEN 1 ELSE 0 END AS new_session,
+        CASE WHEN p_ts IS NULL OR ts_s - p_ts > {_TRAJ_GAP_S} THEN 0
+             ELSE CAST(round(sqrt(CAST(
+                  ((abs(lon_u - p_lon) * p_cq) >> 10)
+                    * ((abs(lon_u - p_lon) * p_cq) >> 10)
+                  + (lat_u - p_lat) * (lat_u - p_lat) AS DOUBLE)))
+                  AS BIGINT) END AS step_u
+        FROM lagd),
+ runs AS (SELECT *, CAST(sum(new_session) OVER (
+            PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS session_no
+          FROM marked)
+SELECT key, session_no, CAST(count(*) AS BIGINT) AS n_points,
+       min(ts) AS t_start, max(ts) AS t_end,
+       CAST(sum(step_u) AS BIGINT) AS path_len_u,
+       CAST(max(step_u) AS BIGINT) AS max_step_u,
+       min(lon_u) AS min_lon_u, max(lon_u) AS max_lon_u,
+       min(lat_u) AS min_lat_u, max(lat_u) AS max_lat_u
+FROM runs GROUP BY key, session_no
+"""
+    )
+
+
+_def(
+    "q120_geo_sessions_geodesic",
+    fn=_q_geo_sessions_geo,
+    duck_sql=_q120_oracle_sql(),
+)
+
+
 # X75 — grid-density hotspot clustering (DBSCAN-style): dense grid
 # cells (≥ min_pts points) → connected components under 8-adjacency
 # with the antimeridian wrap → per-cell and per-point cluster labels.

@@ -46,6 +46,7 @@ def geo_sessions(
     lon: str = "lon",
     lat: str = "lat",
     tiebreak: str | None = None,
+    metric: str = "planar",
 ) -> DataFrame:
     """points(key, ts, lon, lat) → one row per (key, session):
     (key, session_no, n_points, t_start, t_end, path_len_u,
@@ -54,7 +55,15 @@ def geo_sessions(
     ``ts`` must be a timestamp column; ordering inside a key is
     (ts, tiebreak) — pass ``tiebreak`` whenever ts can repeat, or the
     lag() order (hence steps and session ids) is not deterministic.
+
+    ``metric="equirectangular"`` scales each step's lon delta by
+    round(cos(lat)·1024) >> 10 — the segment START point's latitude
+    (deterministic; the shared knn_points/distance_join contract) —
+    so path lengths are geodesically meaningful across latitudes
+    while staying int64-exact.
     """
+    if metric not in ("planar", "equirectangular"):
+        raise ValueError(f"unknown metric {metric!r}")
     epoch = F.unix_timestamp(F.col(ts))
     lon_u = F.round(F.col(lon) * 1e6).cast("long")
     lat_u = F.round(F.col(lat) * 1e6).cast("long")
@@ -65,6 +74,9 @@ def geo_sessions(
         epoch.alias("ts_s"),
         lon_u.alias("lon_u"),
         lat_u.alias("lat_u"),
+        F.round(F.cos(F.radians(F.col(lat))) * 1024)
+        .cast("long")
+        .alias("cq"),
         *([F.col(tiebreak).alias("tb")] if tiebreak else []),
     )
     worder = [F.col("ts")] + ([F.col("tb")] if tiebreak else [])
@@ -77,9 +89,15 @@ def geo_sessions(
     new_session = (
         prev_ts.isNull() | (F.col("ts_s") - prev_ts > F.lit(gap_s))
     ).cast("int")
-    d2 = (F.col("lon_u") - prev_lon) * (F.col("lon_u") - prev_lon) + (
+    if metric == "equirectangular":
+        dlon = F.shiftright(
+            F.abs(F.col("lon_u") - prev_lon) * F.lag("cq").over(w), 10
+        )
+    else:
+        dlon = F.col("lon_u") - prev_lon
+    d2 = dlon * dlon + (F.col("lat_u") - prev_lat) * (
         F.col("lat_u") - prev_lat
-    ) * (F.col("lat_u") - prev_lat)
+    )
     step_u: Column = F.when(
         new_session == 1, F.lit(0)
     ).otherwise(F.round(F.sqrt(d2.cast("double"))).cast("long"))

@@ -139,6 +139,28 @@ def test_random_differential(spark):
     _check(spark, rows, gap_s=300)
 
 
+def test_equirectangular_path_length(spark):
+    from osm_spark.spatial.trajectories import geo_sessions as gs
+
+    # Two east steps at lat 60 (cos = 0.5): planar step = 1000 µdeg,
+    # equirect step = (1000·round(cos(60°)·1024)) >> 10 = 500.
+    rows = [
+        ("t", _ts(0), 10.0, 60.0),
+        ("t", _ts(10), 10.001, 60.0),
+        ("t", _ts(20), 10.002, 60.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, lon double, lat double"
+    )
+    planar = gs(df, "key", "ts", 60).collect()[0]
+    geo = gs(df, "key", "ts", 60, metric="equirectangular").collect()[0]
+    assert planar["path_len_u"] == 2000 and planar["max_step_u"] == 1000
+    assert geo["path_len_u"] == 1000 and geo["max_step_u"] == 500
+    # Session structure (splits, counts, bbox) is metric-independent.
+    assert planar["n_points"] == geo["n_points"] == 3
+    assert planar["min_lon_u"] == geo["min_lon_u"]
+
+
 def test_single_point_sessions(spark):
     rows = [("x", i * 1000, float(i), 0.0) for i in range(5)]
     got = _check(spark, rows, gap_s=10)
