@@ -52,6 +52,32 @@ def _cell_of(x, y, level: int):
     return F.shiftleft(m, 6).bitwiseOR(F.lit(level)).cast("long")
 
 
+def cell_counts(
+    points: DataFrame,
+    level: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """(cell, x, y, n_points) for every OCCUPIED grid cell — the
+    single point-scale pass. Also the mergeable maintenance unit:
+    counts from disjoint batches/shards sum per cell (see
+    streaming.stream_hotspot_maintenance)."""
+    x, y = _xy_expr(F.col(lon), F.col(lat), level)
+    return (
+        points.select(
+            x.alias("x"), y.alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_points"))
+        .select(
+            _cell_of(F.col("x"), F.col("y"), level).alias("cell"),
+            "x",
+            "y",
+            "n_points",
+        )
+    )
+
+
 def dense_cells(
     points: DataFrame,
     level: int,
@@ -61,20 +87,8 @@ def dense_cells(
 ) -> DataFrame:
     """(cell, x, y, n_points) for every grid cell holding ≥ min_pts
     points — the single point-scale pass of the operator."""
-    x, y = _xy_expr(F.col(lon), F.col(lat), level)
-    return (
-        points.select(
-            x.alias("x"), y.alias("y"),
-        )
-        .groupBy("x", "y")
-        .agg(F.count("*").alias("n_points"))
-        .where(F.col("n_points") >= min_pts)
-        .select(
-            _cell_of(F.col("x"), F.col("y"), level).alias("cell"),
-            "x",
-            "y",
-            "n_points",
-        )
+    return cell_counts(points, level, lon=lon, lat=lat).where(
+        F.col("n_points") >= min_pts
     )
 
 
@@ -129,7 +143,27 @@ def grid_clusters(
     under 8-adjacency. One point-scale groupBy; everything else is
     cells-scale.
     """
-    dense = dense_cells(points, level, min_pts, lon=lon, lat=lat)
+    return clusters_from_cells(
+        cell_counts(points, level, lon=lon, lat=lat),
+        level,
+        min_pts,
+        wrap=wrap,
+    )
+
+
+def clusters_from_cells(
+    cells: DataFrame,
+    level: int,
+    min_pts: int,
+    wrap: bool = True,
+) -> DataFrame:
+    """grid_clusters from a PRE-AGGREGATED (cell, x, y, n_points)
+    frame — the entry point for maintained count tables (streaming
+    hotspot maintenance reads its versioned cell counts and clusters
+    any snapshot without touching the original points)."""
+    dense = cells.where(F.col("n_points") >= min_pts).select(
+        "cell", "x", "y", "n_points"
+    )
     # The dense set feeds the fan-out, the semi filter, components
     # AND the final join — persist the (small) cells-scale frame once.
     dense = dense.persist()

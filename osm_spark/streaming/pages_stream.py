@@ -242,6 +242,83 @@ def stream_hll_maintenance(
     return writer.start()
 
 
+def stream_hotspot_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    level: int,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+):
+    """Maintain durable grid cell counts over a page stream: each
+    micro-batch's occupied-cell counts (spatial/hotspots.cell_counts)
+    are SUM-merged into a snapshot-versioned ManifestTable — one
+    time-travelable version per batch, table bounded by occupied
+    cells forever. "Hotspot clusters as of batch k" is then
+    ``clusters_from_cells(table.read(version))`` with no rescan of
+    the original pages.
+
+    Delivery semantics: unlike HLL's max-merge, count SUM-merge is
+    NOT idempotent — an at-least-once replay after a crash between
+    the table commit and the checkpoint advance would double-count.
+    The table therefore carries a marker row (cell = -1, n_points =
+    last applied batch_id; real cell ids are ≥ 0 by construction) and
+    ``process_batch`` skips any batch whose id is already applied —
+    the standard foreachBatch transactional-sink pattern, made atomic
+    by ManifestTable's VERSION swap (marker and counts commit
+    together or not at all)."""
+    from osm_spark.sources.manifest_table import ManifestTable
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.hotspots import cell_counts
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = ManifestTable(spark, table_path)
+        counts = cell_counts(geoparse_pages(batch_df), level)
+        if t.exists():
+            cur = t.read()
+            marker = (
+                cur.where(F.col("cell") == -1)
+                .select("n_points")
+                .first()
+            )
+            if marker is not None and marker["n_points"] >= batch_id:
+                return  # replay of an already-applied batch: no-op
+            counts = (
+                cur.where(F.col("cell") >= 0)
+                .unionByName(counts)
+                .groupBy("cell", "x", "y")
+                .agg(F.sum("n_points").alias("n_points"))
+            )
+        marker_row = spark.createDataFrame(
+            [(-1, -1, -1, batch_id)], "cell long, x long, y long, n_points long"
+        )
+        t.write(
+            counts.select(
+                F.col("cell").cast("long"),
+                F.col("x").cast("long"),
+                F.col("y").cast("long"),
+                F.col("n_points").cast("long"),
+            ).unionByName(marker_row),
+            mode="overwrite",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_page_counts(
     pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

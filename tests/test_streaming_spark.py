@@ -295,3 +295,90 @@ def test_stream_hll_maintenance(spark, tmp_path):
         )
     )
     assert remerged == final
+
+
+def test_stream_hotspot_maintenance(spark, tmp_path):
+    """Streamed cell-count maintenance: after the stream drains the
+    maintained counts equal the batch cell_counts of ALL pages;
+    hotspot clusters derived from the table equal grid_clusters on
+    the full point set; an intermediate version is a valid partial
+    count table; replaying an applied batch is a no-op (marker-row
+    transactional dedup — SUM-merge is not idempotent by itself)."""
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.sources.manifest_table import ManifestTable
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.hotspots import (
+        cell_counts,
+        clusters_from_cells,
+        grid_clusters,
+    )
+    from osm_spark.streaming.pages_stream import stream_hotspot_maintenance
+
+    level, min_pts = 8, 3
+    pages = pages_df(spark, PagesSpec(n_pages=2000, n_countries=1))
+    src = str(tmp_path / "pages_src")
+    pages.repartition(4).write.parquet(src)
+
+    tbl = str(tmp_path / "cells_tbl")
+    ck = str(tmp_path / "cells_ck")
+    q = stream_hotspot_maintenance(
+        spark, src, tbl, level, ck, max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+
+    t = ManifestTable(spark, tbl)
+    assert t.current_version() >= 2  # one commit per micro-batch
+
+    points = geoparse_pages(spark.read.parquet(src))
+    want = sorted(map(tuple, cell_counts(points, level).collect()))
+    got = sorted(
+        map(tuple, t.read().where(F.col("cell") >= 0).collect())
+    )
+    assert got == want
+
+    # an intermediate version is a valid partial table: counts <= final
+    mid = {
+        r["cell"]: r["n_points"]
+        for r in t.read(1).where(F.col("cell") >= 0).collect()
+    }
+    final = {r[0]: r[3] for r in got}
+    assert mid and all(final[c] >= n for c, n in mid.items())
+
+    # clusters from the maintained table == clusters from the points
+    from_table = sorted(
+        map(
+            tuple,
+            clusters_from_cells(
+                t.read().where(F.col("cell") >= 0), level, min_pts
+            ).collect(),
+        )
+    )
+    from_points = sorted(
+        map(tuple, grid_clusters(points, level, min_pts).collect())
+    )
+    assert from_table == from_points and from_table
+
+    # replay dedup: same checkpoint + no new files commits nothing
+    marker = t.read().where(F.col("cell") == -1).collect()[0]
+    before_version = t.current_version()
+    q2 = stream_hotspot_maintenance(
+        spark, src, tbl, level, ck, max_files_per_trigger=2
+    )
+    q2.awaitTermination(300)
+    assert t.current_version() == before_version
+    assert marker["n_points"] >= 0
+
+    # marker-row dedup proper: a FRESH checkpoint re-delivers every
+    # batch (ids restart at 0 — the at-least-once replay shape); the
+    # marker says those ids are already applied, so every batch is a
+    # no-op and neither the version nor the counts move.
+    ck2 = str(tmp_path / "cells_ck_replay")
+    q3 = stream_hotspot_maintenance(
+        spark, src, tbl, level, ck2, max_files_per_trigger=2
+    )
+    q3.awaitTermination(300)
+    assert t.current_version() == before_version
+    assert (
+        sorted(map(tuple, t.read().where(F.col("cell") >= 0).collect()))
+        == got
+    )
