@@ -93,7 +93,8 @@ def dense_cells(
 
 
 def _adjacency_edges(
-    dense: DataFrame, level: int, wrap: bool = True
+    dense: DataFrame, level: int, wrap: bool = True,
+    broadcast_cells: bool = True,
 ) -> DataFrame:
     """Undirected edges between 8-adjacent dense cells (cells-scale).
 
@@ -123,9 +124,10 @@ def _adjacency_edges(
         part = part.select("src", "dst")
         cand = part if cand is None else cand.unionByName(part)
     # Keep only neighbors that are themselves dense.
-    return cand.join(
-        F.broadcast(dense.select(F.col("cell").alias("dst"))), "dst"
-    ).select("src", "dst")
+    dense_ids = dense.select(F.col("cell").alias("dst"))
+    if broadcast_cells:
+        dense_ids = F.broadcast(dense_ids)
+    return cand.join(dense_ids, "dst").select("src", "dst")
 
 
 def grid_clusters(
@@ -135,6 +137,7 @@ def grid_clusters(
     lon: str = "lon",
     lat: str = "lat",
     wrap: bool = True,
+    broadcast_cells: bool = True,
 ) -> DataFrame:
     """Per-dense-cell cluster labels:
     (cell, x, y, n_points, cluster, cluster_n_cells, cluster_n_points).
@@ -148,6 +151,7 @@ def grid_clusters(
         level,
         min_pts,
         wrap=wrap,
+        broadcast_cells=broadcast_cells,
     )
 
 
@@ -156,11 +160,19 @@ def clusters_from_cells(
     level: int,
     min_pts: int,
     wrap: bool = True,
+    broadcast_cells: bool = True,
 ) -> DataFrame:
     """grid_clusters from a PRE-AGGREGATED (cell, x, y, n_points)
     frame — the entry point for maintained count tables (streaming
     hotspot maintenance reads its versioned cell counts and clusters
-    any snapshot without touching the original points)."""
+    any snapshot without touching the original points).
+
+    ``broadcast_cells``: the dense-cell set is bounded by
+    min(occupied cells, 4^level) — broadcastable for the coarse-to-
+    mid levels every heatmap uses, but at level ≥ ~14 over a planet
+    corpus it can reach 10^8 rows; pass False to run the adjacency
+    semi filter, totals and label joins as plain shuffled equi-joins
+    (identical output, pinned by test)."""
     dense = cells.where(F.col("n_points") >= min_pts).select(
         "cell", "x", "y", "n_points"
     )
@@ -168,7 +180,9 @@ def clusters_from_cells(
     # AND the final join — persist the (small) cells-scale frame once.
     dense = dense.persist()
     try:
-        edges = _adjacency_edges(dense, level, wrap=wrap)
+        edges = _adjacency_edges(
+            dense, level, wrap=wrap, broadcast_cells=broadcast_cells
+        )
         labeled = label_components(
             dense.select("cell"), edges, key="cell"
         ).withColumnRenamed("component", "cluster").withColumnRenamed(
@@ -178,8 +192,10 @@ def clusters_from_cells(
         totals = out.groupBy("cluster").agg(
             F.sum("n_points").alias("cluster_n_points")
         )
+        if broadcast_cells:
+            totals = F.broadcast(totals)
         return (
-            out.join(F.broadcast(totals), "cluster")
+            out.join(totals, "cluster")
             .select(
                 "cell",
                 "x",
@@ -203,18 +219,22 @@ def cluster_points(
     lon: str = "lon",
     lat: str = "lat",
     wrap: bool = True,
+    broadcast_cells: bool = True,
 ) -> DataFrame:
     """Per-point labels (id_col, cell, cluster): cluster is NULL for
     noise points (points whose cell is not dense). The point table
     never shuffles — labels arrive by ONE broadcast left join of the
     cells-scale cluster map."""
     labels = grid_clusters(
-        points, level, min_pts, lon=lon, lat=lat, wrap=wrap
+        points, level, min_pts, lon=lon, lat=lat, wrap=wrap,
+        broadcast_cells=broadcast_cells,
     ).select("cell", "cluster")
     x, y = _xy_expr(F.col(lon), F.col(lat), level)
     tagged = points.select(
         F.col(id_col), _cell_of(x, y, level).alias("cell")
     )
-    return tagged.join(F.broadcast(labels), "cell", "left").select(
+    if broadcast_cells:
+        labels = F.broadcast(labels)
+    return tagged.join(labels, "cell", "left").select(
         id_col, "cell", "cluster"
     )

@@ -166,6 +166,44 @@ def test_random_clustered_differential(spark):
     _check(spark, pts, level=7, min_pts=3)
 
 
+def test_broadcast_and_shuffle_paths_identical(spark):
+    rng = np.random.default_rng(17)
+    pts = [
+        (float(a), float(b))
+        for a, b in zip(
+            10.0 + rng.normal(0, 0.3, 150), 45.0 + rng.normal(0, 0.3, 150)
+        )
+    ]
+    a = sorted(
+        map(tuple, grid_clusters(_df(spark, pts), 8, 2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            grid_clusters(
+                _df(spark, pts), 8, 2, broadcast_cells=False
+            ).collect(),
+        )
+    )
+    assert a == b and a
+    pa = sorted(
+        map(
+            tuple,
+            cluster_points(_df(spark, pts), 8, 2, id_col="point_id").collect(),
+        )
+    )
+    pb = sorted(
+        map(
+            tuple,
+            cluster_points(
+                _df(spark, pts), 8, 2, id_col="point_id",
+                broadcast_cells=False,
+            ).collect(),
+        )
+    )
+    assert pa == pb
+
+
 def test_cluster_points_labels_and_noise(spark):
     blob = [(10.0 + 0.0001 * i, 45.0) for i in range(4)]
     noise = [(100.0, 10.0)]

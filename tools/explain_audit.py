@@ -80,6 +80,13 @@ CHECKS = {
     # the point table itself never shuffles and never crosses into
     # Python
     "q114_hotspot_points": (["BroadcastHashJoin"], ["EvalPython"], 1),
+    # radius distance join: disk fan-out + broadcast cell equi-join,
+    # no loop, no Python, no nested-loop join
+    "q115_distance_join": (["BroadcastHashJoin"],
+                           ["EvalPython", "BroadcastNestedLoopJoin",
+                            "CartesianProduct"], 1),
+    # geo sessionization: ONE window shuffle, all signals lag() in it
+    "q116_geo_sessions": (["Window"], ["EvalPython"], 1),
 }
 
 
