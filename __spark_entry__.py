@@ -5847,6 +5847,167 @@ FROM grid g LEFT JOIN comp
 )
 
 
+# X79 — polygon-coverage dissolve (union by key): exact edge
+# cancellation + ring re-stitching. The deterministic input is a
+# 24x18 grid coverage with md5 group assignment (computed in python,
+# embedded as literals for BOTH engines). Spark dissolves to actual
+# multipolygon geometry and then DERIVES the checked columns from the
+# dissolved shape (so stitching itself is under test); the oracle
+# recomputes the surviving-edge set by SQL cancellation and the
+# polygon count by a recursive-CTE 4-adjacency closure over the
+# cells — two completely different derivations, hash-exact.
+_DIS_W, _DIS_H, _DIS_S, _DIS_G = 24, 18, 1000, 6
+
+
+def _dissolve_cells() -> list[tuple[int, int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(_DIS_W):
+        for j in range(_DIS_H):
+            h = hashlib.md5(f"q121:{i}:{j}".encode()).hexdigest()[:8]
+            out.append((i, j, int(h, 16) % _DIS_G))
+    return out
+
+
+def _q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.dissolve import coverage_boundary_edges, dissolve
+
+    s = _DIS_S
+    rows = []
+    for i, j, g in _dissolve_cells():
+        x0, y0 = i * s, j * s
+        ring = [
+            [float(x0), float(y0)],
+            [float(x0 + s), float(y0)],
+            [float(x0 + s), float(y0 + s)],
+            [float(x0), float(y0 + s)],
+            [float(x0), float(y0)],
+        ]
+        rows.append((g, [[ring]]))
+    df = spark.createDataFrame(
+        rows, "group_id long, shape array<array<array<array<double>>>>"
+    )
+    d = dissolve(df, "group_id")
+    # Checked columns derived from the DISSOLVED geometry: exact 2x
+    # area (outer - holes, integer shoelace) and the canonical
+    # boundary-edge digest (re-extracted from the stitched rings —
+    # every edge must survive with net ±1, or the digest breaks).
+    ring_a2 = F.transform(
+        F.col("shape"),
+        lambda poly: F.transform(
+            poly,
+            lambda r: F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(r) - 2),
+                    lambda i: r[i][0].cast("long") * r[i + 1][1].cast("long")
+                    - r[i + 1][0].cast("long") * r[i][1].cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ),
+        ),
+    )
+    area2 = F.aggregate(
+        ring_a2,
+        F.lit(0).cast("long"),
+        lambda acc, rings: acc
+        + F.abs(rings[0])
+        - F.aggregate(
+            F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0))),
+            F.lit(0).cast("long"),
+            lambda a, h: a + F.abs(h),
+        ),
+    )
+    stats = d.select(
+        "group_id",
+        F.col("n_polygons"),
+        F.col("n_rings"),
+        F.col("invalid_edges"),
+        area2.alias("area2_u"),
+    )
+    edges = coverage_boundary_edges(d, "group_id").groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(
+                            ",", F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")
+                        )
+                    )
+                ),
+            )
+        ).alias("edge_digest"),
+    )
+    return stats.join(edges, "group_id").select(
+        "group_id",
+        "n_polygons",
+        "invalid_edges",
+        "area2_u",
+        "n_edges",
+        "edge_digest",
+    )
+
+
+def _q121_oracle_sql() -> str:
+    s = _DIS_S
+    vals = ", ".join(f"({i}, {j}, {g})" for i, j, g in _dissolve_cells())
+    return f"""
+WITH RECURSIVE cells(i, j, g) AS (SELECT * FROM (VALUES {vals}) t(i, j, g)),
+dir_edges AS (
+  SELECT g, CAST(i*{s} AS BIGINT) AS ax, CAST(j*{s} AS BIGINT) AS ay,
+         CAST((i+1)*{s} AS BIGINT) AS bx, CAST(j*{s} AS BIGINT) AS by
+  FROM cells
+  UNION ALL
+  SELECT g, (i+1)*{s}, j*{s}, (i+1)*{s}, (j+1)*{s} FROM cells
+  UNION ALL
+  SELECT g, (i+1)*{s}, (j+1)*{s}, i*{s}, (j+1)*{s} FROM cells
+  UNION ALL
+  SELECT g, i*{s}, (j+1)*{s}, i*{s}, j*{s} FROM cells
+),
+canon AS (
+  SELECT g,
+         CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN bx ELSE ax END AS cax,
+         CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN by ELSE ay END AS cay,
+         CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN ax ELSE bx END AS cbx,
+         CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN ay ELSE by END AS cby,
+         CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN -1 ELSE 1 END AS sign
+  FROM dir_edges
+),
+surviving AS (
+  SELECT g, cax AS ax, cay AS ay, cbx AS bx, cby AS by
+  FROM canon GROUP BY g, cax, cay, cbx, cby HAVING sum(sign) <> 0
+),
+lab(g, i, j, lbl) AS (
+  SELECT g, i, j, i * 1000 + j FROM cells
+  UNION
+  SELECT c.g, c.i, c.j, l.lbl
+  FROM lab l JOIN cells c
+    ON c.g = l.g AND abs(c.i - l.i) + abs(c.j - l.j) = 1
+),
+comp AS (SELECT g, i, j, min(lbl) AS m FROM lab GROUP BY g, i, j),
+polys AS (
+  SELECT g, CAST(count(DISTINCT m) AS INT) AS n_polygons,
+         CAST(2 * count(*) * {s} * {s} AS BIGINT) AS area2_u
+  FROM comp GROUP BY g
+)
+SELECT CAST(p.g AS BIGINT) AS group_id, p.n_polygons,
+       0 AS invalid_edges, p.area2_u,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       md5(string_agg(
+         ax || ',' || ay || ',' || bx || ',' || by, '|'
+         ORDER BY ax || ',' || ay || ',' || bx || ',' || by
+       )) AS edge_digest
+FROM polys p JOIN surviving e ON e.g = p.g
+GROUP BY p.g, p.n_polygons, p.area2_u
+"""
+
+
+_def("q121_dissolve", fn=_q_dissolve, duck_sql=_q121_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
