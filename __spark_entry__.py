@@ -5870,29 +5870,14 @@ def _dissolve_cells() -> list[tuple[int, int, int]]:
     return out
 
 
-def _q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm_spark.spatial.dissolve import coverage_boundary_edges, dissolve
+def _dissolve_stats(d: DataFrame, group_col: str) -> DataFrame:
+    """Oracle-comparable summary DERIVED from dissolved geometry:
+    exact 2x area (outer - holes, integer shoelace) and the canonical
+    boundary-edge digest re-extracted from the stitched rings — if
+    stitching dropped, duplicated or misrouted any edge, the digest or
+    the area breaks."""
+    from osm_spark.spatial.dissolve import coverage_boundary_edges
 
-    s = _DIS_S
-    rows = []
-    for i, j, g in _dissolve_cells():
-        x0, y0 = i * s, j * s
-        ring = [
-            [float(x0), float(y0)],
-            [float(x0 + s), float(y0)],
-            [float(x0 + s), float(y0 + s)],
-            [float(x0), float(y0 + s)],
-            [float(x0), float(y0)],
-        ]
-        rows.append((g, [[ring]]))
-    df = spark.createDataFrame(
-        rows, "group_id long, shape array<array<array<array<double>>>>"
-    )
-    d = dissolve(df, "group_id")
-    # Checked columns derived from the DISSOLVED geometry: exact 2x
-    # area (outer - holes, integer shoelace) and the canonical
-    # boundary-edge digest (re-extracted from the stitched rings —
-    # every edge must survive with net ±1, or the digest breaks).
     ring_a2 = F.transform(
         F.col("shape"),
         lambda poly: F.transform(
@@ -5920,13 +5905,12 @@ def _q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     stats = d.select(
-        "group_id",
+        group_col,
         F.col("n_polygons"),
-        F.col("n_rings"),
         F.col("invalid_edges"),
         area2.alias("area2_u"),
     )
-    edges = coverage_boundary_edges(d, "group_id").groupBy("group_id").agg(
+    edges = coverage_boundary_edges(d, group_col).groupBy(group_col).agg(
         F.count("*").cast("long").alias("n_edges"),
         F.md5(
             F.concat_ws(
@@ -5941,14 +5925,35 @@ def _q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("edge_digest"),
     )
-    return stats.join(edges, "group_id").select(
-        "group_id",
+    return stats.join(edges, group_col).select(
+        group_col,
         "n_polygons",
         "invalid_edges",
         "area2_u",
         "n_edges",
         "edge_digest",
     )
+
+
+def _q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.dissolve import dissolve
+
+    s = _DIS_S
+    rows = []
+    for i, j, g in _dissolve_cells():
+        x0, y0 = i * s, j * s
+        ring = [
+            [float(x0), float(y0)],
+            [float(x0 + s), float(y0)],
+            [float(x0 + s), float(y0 + s)],
+            [float(x0), float(y0 + s)],
+            [float(x0), float(y0)],
+        ]
+        rows.append((g, [[ring]]))
+    df = spark.createDataFrame(
+        rows, "group_id long, shape array<array<array<array<double>>>>"
+    )
+    return _dissolve_stats(dissolve(df, "group_id"), "group_id")
 
 
 def _q121_oracle_sql() -> str:
@@ -6006,6 +6011,111 @@ GROUP BY p.g, p.n_polygons, p.area2_u
 
 
 _def("q121_dissolve", fn=_q_dissolve, duck_sql=_q121_oracle_sql())
+
+
+# X79 composition — per-admin-area vector FOOTPRINT: pages → geoparse
+# → PIP assignment → occupied grid cells per admin area → dissolve
+# into proper merged multipolygons (raster→vector with real merged
+# geometry, upgrading q24's per-row span rectangles). Every upstream
+# stage is already oracle-pinned; this pins the composition. Cell
+# coordinates ARE the grid indices (exact integers); the oracle
+# re-derives membership + flooring + SQL edge cancellation +
+# recursive-CTE 4-adjacency components independently.
+_FOOT_LEVEL = 10
+
+
+def _q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.cells_sql import _xy_expr
+    from osm_spark.spatial.dissolve import dissolve
+
+    sp = _spatial(spark)
+    pts = sp["pip"].join(sp["points"], "point_id").select(
+        "rel_id", "lon", "lat"
+    )
+    x, y = _xy_expr(F.col("lon"), F.col("lat"), _FOOT_LEVEL)
+    cells = pts.select(
+        "rel_id", x.alias("gx"), y.alias("gy")
+    ).distinct()
+    gx = F.col("gx").cast("double")
+    gy = F.col("gy").cast("double")
+    ring = F.array(
+        F.array(gx, gy),
+        F.array(gx + 1, gy),
+        F.array(gx + 1, gy + 1),
+        F.array(gx, gy + 1),
+        F.array(gx, gy),
+    )
+    faces = cells.select("rel_id", F.array(F.array(ring)).alias("shape"))
+    return _dissolve_stats(dissolve(faces, "rel_id"), "rel_id")
+
+
+def _q122_oracle_sql() -> str:
+    n = 1 << _FOOT_LEVEL
+    head = _pages_oracle_cte().replace("WITH pages", "WITH RECURSIVE pages", 1)
+    x = (
+        f"CAST(least(greatest(floor(((lon_u / 1000000.0) + 180.0) / 360.0 "
+        f"* {n}), 0), {n - 1}) AS BIGINT)"
+    )
+    y = (
+        f"CAST(least(greatest(floor(((lat_u / 1000000.0) + 90.0) / 180.0 "
+        f"* {n}), 0), {n - 1}) AS BIGINT)"
+    )
+    return (
+        head
+        + f""",
+member AS (SELECT url, lon_u, lat_u, rel_id
+           FROM ({_pip_membership_sql()}) GROUP BY url, lon_u, lat_u, rel_id),
+cells AS (SELECT rel_id AS g, {x} AS i, {y} AS j FROM member
+          GROUP BY rel_id, {x}, {y}),
+dir_edges AS (
+  SELECT g, i AS ax, j AS ay, i + 1 AS bx, j AS by FROM cells
+  UNION ALL
+  SELECT g, i + 1, j, i + 1, j + 1 FROM cells
+  UNION ALL
+  SELECT g, i + 1, j + 1, i, j + 1 FROM cells
+  UNION ALL
+  SELECT g, i, j + 1, i, j FROM cells
+),
+canon AS (
+  SELECT g,
+         CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN bx ELSE ax END AS cax,
+         CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN by ELSE ay END AS cay,
+         CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN ax ELSE bx END AS cbx,
+         CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN ay ELSE by END AS cby,
+         CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN -1 ELSE 1 END AS sign
+  FROM dir_edges
+),
+surviving AS (
+  SELECT g, cax AS ax, cay AS ay, cbx AS bx, cby AS by
+  FROM canon GROUP BY g, cax, cay, cbx, cby HAVING sum(sign) <> 0
+),
+lab(g, i, j, lbl) AS (
+  SELECT g, i, j, i * 10000000 + j FROM cells
+  UNION
+  SELECT c.g, c.i, c.j, l.lbl
+  FROM lab l JOIN cells c
+    ON c.g = l.g AND abs(c.i - l.i) + abs(c.j - l.j) = 1
+),
+comp AS (SELECT g, i, j, min(lbl) AS m FROM lab GROUP BY g, i, j),
+polys AS (
+  SELECT g, CAST(count(DISTINCT m) AS INT) AS n_polygons,
+         CAST(2 * count(*) AS BIGINT) AS area2_u
+  FROM comp GROUP BY g
+)
+SELECT CAST(p.g AS BIGINT) AS rel_id, p.n_polygons,
+       0 AS invalid_edges, p.area2_u,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       md5(string_agg(
+         ax || ',' || ay || ',' || bx || ',' || by, '|'
+         ORDER BY ax || ',' || ay || ',' || bx || ',' || by
+       )) AS edge_digest
+FROM polys p JOIN surviving e ON e.g = p.g
+GROUP BY p.g, p.n_polygons, p.area2_u
+"""
+    )
+
+
+_def("q122_footprint_dissolve", fn=_q_footprint, duck_sql=_q122_oracle_sql())
 
 
 # ---------------------------------------------------------------------------
