@@ -6118,6 +6118,67 @@ GROUP BY p.g, p.n_polygons, p.area2_u
 _def("q122_footprint_dissolve", fn=_q_footprint, duck_sql=_q122_oracle_sql())
 
 
+# X80 — IDW spatial interpolation (smoothed Shepard, p=2): estimate a
+# text-density field (page text length) at every 17th page point from
+# all pages within 0.03°. Exact-integer weights w = scale DIV
+# (1 + (d2_u >> 10)) make Σw / Σw·v order-free and engine-bit-exact;
+# idw_value is ONE IEEE division of the two integers. The oracle is
+# the naive CROSS JOIN with the identical formula — different
+# algorithm (no grid), hash-exact including the double ratio.
+def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.interpolate import idw_interpolate
+
+    sp = _spatial(spark)
+    pts = sp["points"].select("url", "lon", "lat")
+    tlen = _pages_df(spark).select(
+        "url", F.length("text").cast("long").alias("tlen")
+    )
+    samples = pts.join(tlen, "url")
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    queries = pts.where(page_no % 17 == 0)
+    out = idw_interpolate(
+        queries, samples, "tlen", 0.03, query_id="url", data_id="url"
+    )
+    return out.select(
+        F.col("query_id").alias("query_url"),
+        "n_samples",
+        "w_sum",
+        "wv_sum",
+        "idw_value",
+    )
+
+
+def _q123_oracle_sql() -> str:
+    # d_u = 30000 → shift = bit_length(d_u²) - 20 = 10; scale = 2^30.
+    return (
+        _pages_oracle_cte()
+        + """,
+ q AS (SELECT url, lon_u, lat_u FROM pages
+       WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) % 17 = 0),
+ pairs AS (
+   SELECT q.url AS query_url, CAST(length(p.text) AS BIGINT) AS v,
+          (q.lon_u - p.lon_u) * (q.lon_u - p.lon_u)
+          + (q.lat_u - p.lat_u) * (q.lat_u - p.lat_u) AS d2
+   FROM q CROSS JOIN pages p
+   WHERE (q.lon_u - p.lon_u) * (q.lon_u - p.lon_u)
+         + (q.lat_u - p.lat_u) * (q.lat_u - p.lat_u) <= 30000 * 30000),
+ wtd AS (SELECT query_url, v,
+                1073741824 // (1 + (d2 >> 10)) AS w
+         FROM pairs)
+SELECT query_url,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(w) AS BIGINT) AS w_sum,
+       CAST(sum(w * v) AS BIGINT) AS wv_sum,
+       CAST(CAST(sum(w * v) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS idw_value
+FROM wtd GROUP BY query_url
+"""
+    )
+
+
+_def("q123_idw_interpolate", fn=_q_idw, duck_sql=_q123_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

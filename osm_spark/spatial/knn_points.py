@@ -133,7 +133,7 @@ def _disk_cells(
 
 def _candidates(
     qgrid: DataFrame, dcells: DataFrame, level: int, radius: int,
-    broadcast_data: bool,
+    broadcast_data: bool, data_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     right = F.broadcast(dcells) if broadcast_data else dcells
     cand = _disk_cells(qgrid, level, radius).join(right, "cell")
@@ -143,7 +143,7 @@ def _candidates(
         F.col("qlat_u") - F.col("dlat_u")
     )
     return cand.select(
-        "query_id", "data_id", d2.cast("long").alias("d2_u")
+        "query_id", "data_id", d2.cast("long").alias("d2_u"), *data_cols
     )
 
 
@@ -320,9 +320,15 @@ def distance_join(
     query_id: str = "query_id",
     data_id: str = "data_id",
     metric: str = "planar",
+    data_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """ST_DWithin-style radius join: EVERY (query, data) pair within
-    degree distance ``max_d`` → (query_id, data_id, d2_u).
+    degree distance ``max_d`` → (query_id, data_id, d2_u[, *data_cols]).
+
+    ``data_cols`` names extra DATA-side columns carried through the
+    join onto the output pairs (e.g. the sample VALUE an interpolation
+    consumes) — threading them here keeps the whole enrichment at ONE
+    join instead of a second id join back to the data table.
     Exact on an int64 micro-degree metric (d2_u ≤ d_u² with
     d_u = round(max_d·1e6)) — the same metric contract as
     :func:`knn_points_join`, so the output set is engine- and
@@ -378,6 +384,13 @@ def distance_join(
             .alias("cq")
         )
     qgrid = queries.select(*qcols)
+    reserved = {
+        "cell", "data_id", "query_id", "dlon_u", "dlat_u",
+        "qlon_u", "qlat_u", "gx", "gy", "dx", "dy", "cq", "d2_u",
+    }
+    clash = reserved.intersection(data_cols)
+    if clash:
+        raise ValueError(f"data_cols collide with internals: {sorted(clash)}")
     dx, dy = _xy_expr(F.col("lon"), F.col("lat"), level)
     dcells = data.select(
         F.shiftleft(_morton_expr(dx, dy, level), 6)
@@ -387,10 +400,11 @@ def distance_join(
         F.col(data_id).alias("data_id"),
         F.round(F.col("lon") * 1e6).cast("long").alias("dlon_u"),
         F.round(F.col("lat") * 1e6).cast("long").alias("dlat_u"),
+        *data_cols,
     )
     if metric == "planar":
         return _candidates(
-            qgrid, dcells, level, radius, broadcast_data
+            qgrid, dcells, level, radius, broadcast_data, data_cols
         ).where(F.col("d2_u") <= F.lit(d_u * d_u))
     # Equirectangular: per-row lon radius. The lon term passes iff
     # (|Δlon_u|·cq) >> 10 ≤ d_u ⇔ |Δlon_u| < ((d_u+1)·1024)/cq, so a
@@ -417,5 +431,5 @@ def distance_join(
         F.col("qlat_u") - F.col("dlat_u")
     )
     return cand.select(
-        "query_id", "data_id", d2.cast("long").alias("d2_u")
+        "query_id", "data_id", d2.cast("long").alias("d2_u"), *data_cols
     ).where(F.col("d2_u") <= F.lit(d_u * d_u))
