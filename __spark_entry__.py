@@ -6179,6 +6179,68 @@ FROM wtd GROUP BY query_url
 _def("q123_idw_interpolate", fn=_q_idw, duck_sql=_q123_oracle_sql())
 
 
+# X81 — integer HITS (hubs & authorities) over the page link graph,
+# the second classic link fixed point next to q81's PageRank. Max-
+# normalization via a divisor-first floor (d = ceil(max/SCALE), score
+# = raw div d) keeps everything in int64 with NO multiplication — the
+# only bound is n·SCALE < 2^63. The oracle is an unrolled K-round CTE
+# chain over the same independently-extracted edge set (the q81
+# pattern) — hash-exact.
+_HITS_ITERS = 3
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.hits import hits
+    from osm_spark.text.links import page_edges
+
+    _load(spark, sf_dir)
+    pages = _pages_df(spark)
+    return hits(
+        pages.select("url"), page_edges(pages), iterations=_HITS_ITERS
+    )
+
+
+def _q124_oracle_sql() -> str:
+    from osm_spark.text.hits import SCALE
+
+    sql = (
+        _pages_oracle_cte(columns="url, html_str")
+        + ","
+        + _LINKS_DUCK
+        + f""",
+ nodes AS (SELECT url FROM pages),
+ h0 AS (SELECT url, CAST({SCALE} AS BIGINT) AS hub FROM nodes)"""
+    )
+    for i in range(_HITS_ITERS):
+        sql += f""",
+ ar{i} AS (SELECT e.dst AS url, CAST(sum(h.hub) AS BIGINT) AS s
+           FROM h{i} h JOIN edges e ON e.src = h.url GROUP BY e.dst),
+ ad{i} AS (SELECT greatest(
+             (coalesce(max(s), 0) + {SCALE} - 1) // {SCALE}, 1) AS d
+           FROM ar{i}),
+ a{i + 1} AS (SELECT n.url,
+           CAST(coalesce(ar.s, 0) // (SELECT d FROM ad{i}) AS BIGINT)
+             AS authority
+           FROM nodes n LEFT JOIN ar{i} ar ON n.url = ar.url),
+ hr{i} AS (SELECT e.src AS url, CAST(sum(a.authority) AS BIGINT) AS s
+           FROM a{i + 1} a JOIN edges e ON e.dst = a.url GROUP BY e.src),
+ hd{i} AS (SELECT greatest(
+             (coalesce(max(s), 0) + {SCALE} - 1) // {SCALE}, 1) AS d
+           FROM hr{i}),
+ h{i + 1} AS (SELECT n.url,
+           CAST(coalesce(hr.s, 0) // (SELECT d FROM hd{i}) AS BIGINT)
+             AS hub
+           FROM nodes n LEFT JOIN hr{i} hr ON n.url = hr.url)"""
+    sql += (
+        f"\nSELECT h.url, h.hub, a.authority FROM h{_HITS_ITERS} h "
+        f"JOIN a{_HITS_ITERS} a ON h.url = a.url"
+    )
+    return sql
+
+
+_def("q124_hits", fn=_q_hits, duck_sql=_q124_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -384,6 +384,60 @@ def main() -> None:
 
     timed("hotspots", run_hotspots)
 
+    def run_idw():
+        from osm_spark.spatial.interpolate import idw_interpolate
+
+        page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+        samples = sp["points"].select(
+            "point_id", "lon", "lat",
+            F.pmod(F.col("point_id"), F.lit(1000)).alias("val"),
+        )
+        queries = sp["points"].where(page_no % 40 == 0).select(
+            "point_id", "lon", "lat"
+        )
+        # broadcast_data=False: the sample side is corpus-scale at
+        # 10^12 rows, so bench the shuffled cell equi-join shape.
+        return idw_interpolate(
+            queries, samples, "val", 0.03,
+            broadcast_data=False,
+            query_id="point_id", data_id="point_id",
+        ).count()
+
+    timed("idw", run_idw)
+
+    def run_dissolve():
+        from pyspark.sql import functions as F2
+
+        from osm_spark.spatial.cells_sql import _xy_expr
+        from osm_spark.spatial.dissolve import dissolve
+
+        # The q122 footprint shape at full page scale: occupied grid
+        # cells per admin area → merged multipolygons. The point-scale
+        # cost is ONE map-side-combinable distinct; edge cancellation
+        # and face tracing run on the (bounded) occupied-cell set.
+        pts = sp["pip"].join(sp["points"], "point_id").select(
+            "rel_id", "lon", "lat"
+        )
+        x, y = _xy_expr(F2.col("lon"), F2.col("lat"), 10)
+        cells = pts.select(
+            "rel_id", x.alias("gx"), y.alias("gy")
+        ).distinct()
+        gx = F2.col("gx").cast("double")
+        gy = F2.col("gy").cast("double")
+        ring = F2.array(
+            F2.array(gx, gy),
+            F2.array(gx + 1, gy),
+            F2.array(gx + 1, gy + 1),
+            F2.array(gx, gy + 1),
+            F2.array(gx, gy),
+        )
+        faces = cells.select(
+            "rel_id", F2.array(F2.array(ring)).alias("shape")
+        )
+        return dissolve(faces, "rel_id").count()
+
+    timed("dissolve", run_dissolve)
+
     for t in ["lineitem", "orders", "documents", "embeddings"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 

@@ -1,0 +1,101 @@
+"""Integer HITS (text/hits.py) vs an independent python twin."""
+
+from __future__ import annotations
+
+import pytest
+
+from osm_spark.text.hits import SCALE, hits
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from osm_spark.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+def _hits_py(urls, edges, iterations=3):
+    """Pure-python twin of the integer max-normalized HITS spec."""
+
+    def norm(raw):
+        m = max(raw.values(), default=0)
+        d = max(1, (m + SCALE - 1) // SCALE)
+        return {u: raw.get(u, 0) // d for u in urls}
+
+    hub = {u: SCALE for u in urls}
+    auth = {u: 0 for u in urls}
+    for _ in range(iterations):
+        a_raw = {}
+        for s, t in edges:
+            a_raw[t] = a_raw.get(t, 0) + hub[s]
+        auth = norm(a_raw)
+        h_raw = {}
+        for s, t in edges:
+            h_raw[s] = h_raw.get(s, 0) + auth[t]
+        hub = norm(h_raw)
+    return {u: (hub[u], auth[u]) for u in urls}
+
+
+def _got(spark, urls, edges, iterations=3, parts=4):
+    nodes = spark.createDataFrame([(u,) for u in urls], ["url"]).repartition(
+        parts
+    )
+    edf = spark.createDataFrame(
+        edges, "src string, dst string"
+    ).repartition(parts)
+    return {
+        r["url"]: (r["hub"], r["authority"])
+        for r in hits(nodes, edf, iterations).collect()
+    }
+
+
+def test_hits_star(spark):
+    # u1..u5 all point at u0: u0 is the sole authority (score SCALE),
+    # the five pointers are equal hubs (score SCALE), u0 hubs nothing.
+    urls = [f"u{i}" for i in range(6)]
+    edges = [(f"u{i}", "u0") for i in range(1, 6)]
+    got = _got(spark, urls, edges)
+    assert got == _hits_py(urls, edges)
+    assert got["u0"] == (0, SCALE)
+    for i in range(1, 6):
+        assert got[f"u{i}"] == (SCALE, 0)
+
+
+def test_hits_bipartite_and_chain_twin(spark):
+    urls = [f"u{i}" for i in range(12)]
+    edges = (
+        [(f"u{i}", f"u{j}") for i in range(3) for j in (5, 6)]
+        + [("u7", "u8"), ("u8", "u9"), ("u9", "u10")]
+        + [("u11", "u5")]
+    )
+    for k in (1, 3, 5):
+        got = _got(spark, urls, edges, iterations=k)
+        assert got == _hits_py(urls, edges, iterations=k), k
+
+
+def test_hits_partitioning_invariant(spark):
+    urls = [f"u{i}" for i in range(25)]
+    edges = [
+        (f"u{i}", f"u{(i * 11 + 2) % 25}") for i in range(25) if i % 4
+    ]
+    a = _got(spark, urls, edges, parts=1)
+    b = _got(spark, urls, edges, parts=16)
+    assert a == b == _hits_py(urls, edges)
+
+
+def test_hits_isolated_and_empty(spark):
+    urls = ["a", "b", "c"]
+    got = _got(spark, urls, [("a", "b")])
+    assert got == _hits_py(urls, [("a", "b")])
+    assert got["c"] == (0, 0)
+    # no edges at all: everything zero after one normalization
+    got0 = _got(spark, urls, [])
+    assert got0 == {"a": (0, 0), "b": (0, 0), "c": (0, 0)}
+
+
+def test_hits_rejects_zero_iterations(spark):
+    nodes = spark.createDataFrame([("a",)], ["url"])
+    edges = spark.createDataFrame([("a", "a")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        hits(nodes, edges, 0)
