@@ -6241,6 +6241,64 @@ def _q124_oracle_sql() -> str:
 _def("q124_hits", fn=_q_hits, duck_sql=_q124_oracle_sql())
 
 
+# X82 composition — reverse geocoding: each page's FULL admin
+# containment path (country → metro/union → dept → commune), the
+# user-facing "which admin areas is this page in" enrichment = the PIP
+# join + ONE map-side-combinable groupBy(url). The path string is
+# canonically ordered (admin_level, rel_id) so it is engine- and
+# parallelism-exact; the oracle re-derives membership independently
+# and string_aggs with the same ORDER BY.
+def _q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = _spatial(spark)
+    out = _world(spark)
+    levels = out["kept"].select(
+        F.col("id").alias("rel_id"), F.col("admin_level").cast("int")
+    )
+    j = (
+        sp["pip"]
+        .join(sp["points"], "point_id")
+        .join(F.broadcast(levels), "rel_id")
+        .select("url", "admin_level", "rel_id")
+    )
+    path = F.concat_ws(
+        "/",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("admin_level", "rel_id"))
+            ),
+            lambda x: F.concat_ws(
+                ":",
+                x["admin_level"].cast("string"),
+                x["rel_id"].cast("string"),
+            ),
+        ),
+    )
+    return j.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_areas"),
+        F.max("admin_level").cast("int").alias("finest_level"),
+        path.alias("admin_path"),
+    )
+
+
+_def(
+    "q125_reverse_geocode",
+    fn=_q_geocode,
+    duck_sql=_pages_oracle_cte()
+    + f""",
+ pip AS (SELECT url, rel_id FROM ({_pip_membership_sql()})
+         GROUP BY url, rel_id),
+ al AS ({_ADMIN_LEVEL_SQL}),
+ j AS (SELECT url, CAST(al.admin_level AS INT) AS admin_level, rel_id
+       FROM pip JOIN al USING (rel_id))
+SELECT url, CAST(count(*) AS BIGINT) AS n_areas,
+       CAST(max(admin_level) AS INT) AS finest_level,
+       string_agg(admin_level || ':' || rel_id, '/'
+                  ORDER BY admin_level, rel_id) AS admin_path
+FROM j GROUP BY url
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

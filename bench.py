@@ -174,6 +174,15 @@ def main() -> None:
 
     timed("pagerank", run_pagerank)
 
+    def run_hits():
+        from osm_spark.text.hits import hits
+
+        return hits(
+            pages.select("url"), graph["edges"], iterations=3
+        ).count()
+
+    timed("hits", run_hits)
+
     # Inverted index over the full pages table — the explode-heaviest
     # text leg (tokenize → per-(token,doc) map-side pre-count → one
     # groupBy(token) building posting strings, max_df skew cut applied
