@@ -6241,6 +6241,46 @@ def _q124_oracle_sql() -> str:
 _def("q124_hits", fn=_q_hits, duck_sql=_q124_oracle_sql())
 
 
+# X83 — focal (moving-window) raster statistics over the page density
+# grid: the standard GIS smoothing step (focal sum / max / mean of a
+# heatmap). Cells-scale ×9 fan-out + one map-side-combinable groupBy;
+# sparse semantics (only cells with an occupied neighbor exist);
+# focal_mean divides the exact integer sum by the full window area.
+# The oracle recomputes the grid, fans with generate_series offsets,
+# and re-aggregates — hash-exact including the double mean.
+def _q_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.raster import focal_stats, rasterize_points
+
+    sp = _spatial(spark)
+    grid = rasterize_points(sp["points"], level=6)
+    return focal_stats(grid, level=6, radius=1)
+
+
+def _q126_oracle_sql() -> str:
+    n = 1 << 6
+    return (
+        _pages_oracle_cte()
+        + f""",
+ grid AS (SELECT {_gx6} AS gx, {_gy6} AS gy, CAST(count(*) AS BIGINT) AS n
+          FROM pages GROUP BY 1, 2),
+ offs AS (SELECT dx.x AS dx, dy.y AS dy
+          FROM generate_series(-1, 1) dx(x), generate_series(-1, 1) dy(y)),
+ fan AS (SELECT ((gx + dx) % {n} + {n}) % {n} AS tx, gy + dy AS ty, n
+         FROM grid, offs
+         WHERE gy + dy BETWEEN 0 AND {n - 1})
+SELECT tx AS gx, ty AS gy,
+       CAST(sum(n) AS BIGINT) AS focal_sum,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(max(n) AS BIGINT) AS focal_max,
+       CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / 9 AS focal_mean
+FROM fan GROUP BY tx, ty
+"""
+    )
+
+
+_def("q126_focal_stats", fn=_q_focal, duck_sql=_q126_oracle_sql())
+
+
 # X82 composition — reverse geocoding: each page's FULL admin
 # containment path (country → metro/union → dept → commune), the
 # user-facing "which admin areas is this page in" enrichment = the PIP

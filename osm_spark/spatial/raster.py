@@ -86,6 +86,66 @@ def rasterize_polygons(polygon_cells: DataFrame, level: int) -> DataFrame:
     return df.select(gx.alias("gx"), gy.alias("gy"), "n_polygons")
 
 
+def focal_stats(
+    grid: DataFrame,
+    level: int,
+    radius: int = 1,
+    value: str = "n",
+    wrap_lon: bool = True,
+) -> DataFrame:
+    """Moving-window (focal) statistics over a density grid — the
+    standard GIS raster-analytics step after rasterize_points (focal
+    sum / mean / max smoothing of a heatmap).
+
+    For every cell within Chebyshev distance ``radius`` of an occupied
+    cell: (gx, gy, focal_sum, n_cells, focal_max, focal_mean) over the
+    occupied cells in its (2r+1)² window. Sparse semantics: target
+    cells with NO occupied neighbor don't exist (the empty ocean emits
+    nothing), and ``n_cells`` counts occupied contributors, not window
+    slots; ``focal_mean`` divides by the FULL window area (so it is
+    the true smoothed density, zeros included) — one IEEE division of
+    two exact integers.
+
+    Scale shape: the input is already the CELLS-scale aggregate, so
+    the fan-out is ≤ occupied_cells × (2r+1)² rows and the groupBy is
+    map-side combinable — point count never matters. ``wrap_lon``
+    wraps the x fan across the antimeridian (hotspots' adjacency
+    convention); the y fan clips at the poles.
+    """
+    n = 1 << level
+    window_slots = (2 * radius + 1) ** 2
+    seq = F.sequence(F.lit(-radius), F.lit(radius))
+    fan = grid.select(
+        F.col("gx"), F.col("gy"), F.col(value).alias("_v")
+    ).select(
+        "*", F.explode(seq).alias("dx")
+    ).select("*", F.explode(seq).alias("dy"))
+    tx = (
+        F.pmod(F.col("gx") + F.col("dx"), F.lit(n))
+        if wrap_lon
+        else F.col("gx") + F.col("dx")
+    )
+    ty = F.col("gy") + F.col("dy")
+    fan = fan.select(
+        tx.alias("tx"), ty.alias("ty"), "_v"
+    ).where(F.col("ty").between(0, n - 1))
+    if not wrap_lon:
+        fan = fan.where(F.col("tx").between(0, n - 1))
+    out = fan.groupBy("tx", "ty").agg(
+        F.sum("_v").alias("focal_sum"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("_v").alias("focal_max"),
+    )
+    return out.select(
+        F.col("tx").alias("gx"),
+        F.col("ty").alias("gy"),
+        "focal_sum",
+        "n_cells",
+        "focal_max",
+        (F.col("focal_sum") / F.lit(window_slots)).alias("focal_mean"),
+    )
+
+
 def vectorize_grid(grid: DataFrame, level: int, min_count: int = 1) -> DataFrame:
     """Raster → vector: merge occupied cells into maximal horizontal
     spans; emit each as a rectangle (lon0, lat0, lon1, lat1, ring).

@@ -307,6 +307,70 @@ def test_raster_total_and_vectorize(spark, spatial):
         assert r.ring[0] == r.ring[-1]
 
 
+def _focal_py(cells, n, radius=1, wrap=True):
+    """Python twin of focal_stats on a {(gx,gy): v} dict."""
+    out = {}
+    for (gx, gy), v in cells.items():
+        for dx in range(-radius, radius + 1):
+            for dy in range(-radius, radius + 1):
+                tx = (gx + dx) % n if wrap else gx + dx
+                ty = gy + dy
+                if not (0 <= ty < n) or (not wrap and not 0 <= tx < n):
+                    continue
+                s, c, m = out.get((tx, ty), (0, 0, None))
+                out[(tx, ty)] = (
+                    s + v, c + 1, v if m is None else max(m, v)
+                )
+    slots = (2 * radius + 1) ** 2
+    return {
+        k: (s, c, m, s / slots) for k, (s, c, m) in out.items()
+    }
+
+
+def test_focal_stats_matches_twin(spark):
+    from osm_spark.spatial.raster import focal_stats
+
+    import random
+
+    rng = random.Random(7)
+    level = 4
+    n = 1 << level
+    cells = {}
+    while len(cells) < 25:
+        cells[(rng.randrange(n), rng.randrange(n))] = rng.randrange(1, 9)
+    # include wrap and pole edges explicitly
+    cells[(0, 0)] = 5
+    cells[(n - 1, n - 1)] = 7
+    grid = spark.createDataFrame(
+        [(gx, gy, v) for (gx, gy), v in cells.items()],
+        "gx long, gy long, n long",
+    )
+    for wrap in (True, False):
+        got = {
+            (r.gx, r.gy): (r.focal_sum, r.n_cells, r.focal_max, r.focal_mean)
+            for r in focal_stats(grid, level, wrap_lon=wrap).collect()
+        }
+        assert got == _focal_py(cells, n, wrap=wrap), wrap
+    # radius 2, and a bigger window changes the answer
+    got2 = {
+        (r.gx, r.gy): (r.focal_sum, r.n_cells, r.focal_max, r.focal_mean)
+        for r in focal_stats(grid, level, radius=2).collect()
+    }
+    exp2 = _focal_py(cells, n, radius=2)
+    assert got2 == exp2 and len(got2) > len(_focal_py(cells, n))
+
+
+def test_focal_stats_sparse_ocean_absent(spark):
+    from osm_spark.spatial.raster import focal_stats
+
+    grid = spark.createDataFrame([(8, 8, 3)], "gx long, gy long, n long")
+    rows = focal_stats(grid, 5).collect()
+    # exactly the 3x3 window exists; everything else emits nothing
+    assert len(rows) == 9
+    assert all(r.focal_sum == 3 and r.n_cells == 1 for r in rows)
+    assert all(abs(r.focal_mean - 3 / 9) < 1e-15 for r in rows)
+
+
 def test_tile_assignment_parallelism_invariant(spark, world, pages):
     """North rule: identical join output at different parallelism."""
     from osm_spark.plans.spatial_pipeline import run_spatial_pipeline
