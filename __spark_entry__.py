@@ -6281,6 +6281,85 @@ FROM fan GROUP BY tx, ty
 _def("q126_focal_stats", fn=_q_focal, duck_sql=_q126_oracle_sql())
 
 
+# X84 — geohash bucketing: the PUBLIC-standard cell naming (base32,
+# lon-bit-first) as a pure-Catalyst expression, pinned externally by
+# the canonical Wikipedia vectors (test_geohash) and here by a DuckDB
+# oracle that re-derives the full bit interleave + base32 mapping in
+# SQL. Per-bucket count + url-multiset digest.
+_GH_P = 6
+
+
+def _q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.cells_sql import (
+        geohash_chars_expr,
+        geohash_code_expr,
+    )
+
+    sp = _spatial(spark)
+    coded = sp["points"].select(
+        "url",
+        geohash_code_expr(F.col("lon"), F.col("lat"), _GH_P).alias("c"),
+    )
+    gh = coded.select("url", geohash_chars_expr(F.col("c"), _GH_P).alias("geohash"))
+    return gh.groupBy("geohash").agg(
+        F.count("*").cast("long").alias("n"),
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list("url")))
+        ).alias("url_digest"),
+    )
+
+
+def _q127_oracle_sql() -> str:
+    # p=6 → 30 bits, even → xb = yb = 15; code = spread(gy) | spread(gx)<<1
+    # (lon rides the odd = higher lanes, the standard layout).
+    b = 1 << 15
+
+    def spread(v: str) -> str:
+        masks = [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+        e = f"({v} & 268435455)"
+        for s, m in masks:
+            e = f"(({e} | ({e} << {s})) & {m})"
+        return e
+
+    gx = (
+        f"CAST(least(greatest(floor(((lon_u / 1000000.0) + 180.0) / 360.0 "
+        f"* {b}), 0), {b - 1}) AS BIGINT)"
+    )
+    gy = (
+        f"CAST(least(greatest(floor(((lat_u / 1000000.0) + 90.0) / 180.0 "
+        f"* {b}), 0), {b - 1}) AS BIGINT)"
+    )
+    from osm_spark.spatial.cells_sql import GEOHASH_ALPHABET
+
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST((code >> {5 * (_GH_P - 1 - i)}) & 31 AS INT) + 1, 1)"
+        for i in range(_GH_P)
+    )
+    return (
+        _pages_oracle_cte()
+        + f""",
+ xy AS (SELECT url, {gx} AS gx, {gy} AS gy FROM pages),
+ coded AS (SELECT url,
+                  ({spread('gy')} | ({spread('gx')} << 1)) AS code
+           FROM xy),
+ gh AS (SELECT url, {chars} AS geohash FROM coded)
+SELECT geohash, CAST(count(*) AS BIGINT) AS n,
+       md5(string_agg(url, ',' ORDER BY url)) AS url_digest
+FROM gh GROUP BY geohash
+"""
+    )
+
+
+_def("q127_geohash_buckets", fn=_q_geohash, duck_sql=_q127_oracle_sql())
+
+
 # X82 composition — reverse geocoding: each page's FULL admin
 # containment path (country → metro/union → dept → commune), the
 # user-facing "which admin areas is this page in" enrichment = the PIP

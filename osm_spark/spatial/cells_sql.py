@@ -74,6 +74,63 @@ def cell_parent_expr(cell: Column, parent_level: int) -> Column:
     return F.shiftleft(shifted, 6).bitwiseOR(F.lit(parent_level)).cast("long")
 
 
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_code_expr(lon: Column, lat: Column, precision: int) -> Column:
+    """The 5·precision-bit geohash integer for degree coordinates —
+    the standard public geohash bit layout (lon bit first from the
+    MSB, bisection == floor sampling), built with the same linear
+    morton OR-chain as cell_expr so it stays in whole-stage codegen.
+
+    Encode via :func:`geohash_chars_expr` AFTER aliasing this code to
+    a real column — referencing the code tree once per character would
+    multiply the expression p-fold (the let-binding constraint above).
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in 1..12")
+    total = 5 * precision
+    xb = (total + 1) // 2
+    yb = total // 2
+    nx, ny = 1 << xb, 1 << yb
+    gx = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * nx), F.lit(0)
+        ),
+        F.lit(nx - 1),
+    ).cast("long")
+    gy = F.least(
+        F.greatest(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * ny), F.lit(0)
+        ),
+        F.lit(ny - 1),
+    ).cast("long")
+    if total % 2 == 0:
+        # even bit count: MSB position is odd → lon rides the odd lanes
+        return _morton_expr(gy, gx, yb)
+    # odd bit count: MSB position is even → lon rides the even lanes
+    return _morton_expr(gx, gy, xb)
+
+
+def geohash_chars_expr(code: Column, precision: int) -> Column:
+    """base32 geohash string from an aliased code column (5 bits per
+    character, MSB first) — element_at over the literal alphabet, one
+    cheap column reference per character."""
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            alpha,
+            (
+                F.shiftright(code, 5 * (precision - 1 - i))
+                .bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
 def point_cells_expr(lon: Column, lat: Column, levels: list[int]) -> Column:
     """Array of this point's cell ids at each level (for the multi-level
     covering join: explode + equi-join on cell id). One morton build at
