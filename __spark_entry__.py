@@ -6281,6 +6281,89 @@ FROM fan GROUP BY tx, ty
 _def("q126_focal_stats", fn=_q_focal, duck_sql=_q126_oracle_sql())
 
 
+# X85 — areal (area-weighted) interpolation: per-admin-area values
+# spread onto a level-8 raster with EXACT quadtree weights
+# (frac = inside sub-cell centers at level 11 / 4^3). The engine never
+# enumerates interior centers (covering arithmetic covers them); only
+# boundary-cell centers go through the broadcast PIP index. The oracle
+# brute-enumerates EVERY level-11 center in the world bbox and tests
+# the rect membership directly — a completely different derivation,
+# hash-exact including the double areal_value.
+_AREAL_L, _AREAL_S = 8, 11
+
+
+def _areal_values() -> list[tuple[int, int]]:
+    return [
+        (rid, lvl * 100 + rid % 97)
+        for rid, lvl in sorted(_ADMIN_LEVELS.items())
+    ]
+
+
+def _q_areal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.areal import areal_interpolate
+    from osm_spark.spatial.pip_index import build_pip_index
+
+    sp = _spatial(spark)
+    key = ("areal_index", id(spark))
+    if key not in _WORLD_CACHE:
+        _WORLD_CACHE[key] = spark.sparkContext.broadcast(
+            build_pip_index(sp["polygon_cells"], sp["polygon_geometry"])
+        )
+    vals = spark.createDataFrame(_areal_values(), "rel_id long, value long")
+    return areal_interpolate(
+        sp["polygon_cells"], vals, _WORLD_CACHE[key],
+        _AREAL_L, _AREAL_S,
+    )
+
+
+def _q128_oracle_sql() -> str:
+    n = 1 << _AREAL_S
+    d = _AREAL_S - _AREAL_L
+    px, py = "c.x", "c.y"
+    parts = []
+    for rel_id, rings in _world_rects():
+        conds = []
+        for kind, (x0, y0, xx1, yy1) in rings:
+            if kind == "rect":
+                conds.append(
+                    f"({px} > {_deg(x0)} AND {px} < {_deg(xx1)} "
+                    f"AND {py} > {_deg(y0)} AND {py} < {_deg(yy1)})"
+                )
+            else:
+                conds.append(
+                    f"NOT ({px} >= {_deg(x0)} AND {px} <= {_deg(xx1)} "
+                    f"AND {py} >= {_deg(y0)} AND {py} <= {_deg(yy1)})"
+                )
+        parts.append(
+            f"SELECT i, j, CAST({rel_id} AS BIGINT) AS rel_id "
+            f"FROM c WHERE " + " AND ".join(conds)
+        )
+    member = " UNION ALL ".join(parts)
+    vals = ", ".join(f"({r}, {v})" for r, v in _areal_values())
+    return f"""
+WITH c AS (
+  SELECT i.i, j.j,
+         -180.0 + (i.i + 0.5) * (360.0 / {n}) AS x,
+         -90.0 + (j.j + 0.5) * (180.0 / {n}) AS y
+  FROM generate_series(0, 120) i(i), generate_series(30, 220) j(j)),
+ member AS (SELECT i, j, rel_id FROM ({member}) GROUP BY i, j, rel_id),
+ counts AS (SELECT i >> {d} AS gx, j >> {d} AS gy, rel_id,
+                   CAST(count(*) AS BIGINT) AS n_in
+            FROM member GROUP BY 1, 2, rel_id),
+ vals AS (SELECT * FROM (VALUES {vals}) AS v(rel_id, value))
+SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST(count(*) AS BIGINT) AS n_rels,
+       CAST(sum(value * n_in) AS BIGINT) AS num,
+       CAST(CAST(sum(value * n_in) AS BIGINT) AS DOUBLE) / {4 ** d}
+         AS areal_value
+FROM counts JOIN vals USING (rel_id)
+GROUP BY gx, gy
+"""
+
+
+_def("q128_areal_interpolate", fn=_q_areal, duck_sql=_q128_oracle_sql())
+
+
 # X84 — geohash bucketing: the PUBLIC-standard cell naming (base32,
 # lon-bit-first) as a pure-Catalyst expression, pinned externally by
 # the canonical Wikipedia vectors (test_geohash) and here by a DuckDB
