@@ -6026,7 +6026,7 @@ _FOOT_LEVEL = 10
 
 def _q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_spark.spatial.cells_sql import _xy_expr
-    from osm_spark.spatial.dissolve import dissolve
+    from osm_spark.spatial.dissolve import cell_faces, dissolve
 
     sp = _spatial(spark)
     pts = sp["pip"].join(sp["points"], "point_id").select(
@@ -6036,16 +6036,7 @@ def _q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = pts.select(
         "rel_id", x.alias("gx"), y.alias("gy")
     ).distinct()
-    gx = F.col("gx").cast("double")
-    gy = F.col("gy").cast("double")
-    ring = F.array(
-        F.array(gx, gy),
-        F.array(gx + 1, gy),
-        F.array(gx + 1, gy + 1),
-        F.array(gx, gy + 1),
-        F.array(gx, gy),
-    )
-    faces = cells.select("rel_id", F.array(F.array(ring)).alias("shape"))
+    faces = cell_faces(cells, "rel_id")
     return _dissolve_stats(dissolve(faces, "rel_id"), "rel_id")
 
 

@@ -418,7 +418,7 @@ def main() -> None:
         from pyspark.sql import functions as F2
 
         from osm_spark.spatial.cells_sql import _xy_expr
-        from osm_spark.spatial.dissolve import dissolve
+        from osm_spark.spatial.dissolve import cell_faces, dissolve
 
         # The q122 footprint shape at full page scale: occupied grid
         # cells per admin area → merged multipolygons. The point-scale
@@ -431,19 +431,7 @@ def main() -> None:
         cells = pts.select(
             "rel_id", x.alias("gx"), y.alias("gy")
         ).distinct()
-        gx = F2.col("gx").cast("double")
-        gy = F2.col("gy").cast("double")
-        ring = F2.array(
-            F2.array(gx, gy),
-            F2.array(gx + 1, gy),
-            F2.array(gx + 1, gy + 1),
-            F2.array(gx, gy + 1),
-            F2.array(gx, gy),
-        )
-        faces = cells.select(
-            "rel_id", F2.array(F2.array(ring)).alias("shape")
-        )
-        return dissolve(faces, "rel_id").count()
+        return dissolve(cell_faces(cells, "rel_id"), "rel_id").count()
 
     timed("dissolve", run_dissolve)
 

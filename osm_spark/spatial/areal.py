@@ -68,16 +68,6 @@ def areal_interpolate(
     lv = F.col("cell").bitwiseAND(F.lit(0x3F))
     m = F.shiftright(F.col("cell"), 6)
 
-    if (
-        polygon_cells.where(~F.col("interior") & (lv != F.lit(S)))
-        .limit(1)
-        .count()
-    ):
-        raise ValueError(
-            f"boundary covering cells must sit at sub_level={S} — "
-            "rebuild the covering with max_level=sub_level"
-        )
-
     cells = polygon_cells.select("rel_id", "cell", "interior").distinct()
     interior = cells.where("interior")
     # coarse interior (lv <= L): every descendant L-cell is fully in.
@@ -119,7 +109,24 @@ def areal_interpolate(
     # boundary (lv == S): PIP-test the sub-cell center.
     from osm_spark.spatial.pip_index import pip_join_index
 
-    bnd = cells.where(~F.col("interior")).select("rel_id", "cell")
+    # In-plan contract check (no eager job — the builder stays lazy
+    # like every other spatial operator): a boundary cell at any level
+    # other than sub_level means the covering was built with a
+    # different max_level, which would silently mis-weight — fail the
+    # job with a clear message instead.
+    bnd = cells.where(~F.col("interior")).select(
+        "rel_id",
+        F.when(lv == F.lit(S), F.col("cell"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"areal_interpolate: boundary covering cell not at "
+                    f"sub_level={S} — rebuild with max_level=sub_level"
+                )
+            )
+        )
+        .alias("cell"),
+    )
     n = 1 << S
     gx, gy = cell_xy_cols(F.col("cell"), S)
     centers = (

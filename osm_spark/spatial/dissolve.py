@@ -51,6 +51,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def cell_faces(
+    cells: DataFrame, group_col: str, gx: str = "gx", gy: str = "gy"
+) -> DataFrame:
+    """(group, shape) unit-square faces from integer grid cells — the
+    coverage input :func:`dissolve` consumes for rasterized footprints
+    (occupied cells per admin area → merged multipolygons). Cell
+    coordinates ARE the grid indices, so the dissolved geometry stays
+    exact-integer. One shared builder so the pinned query (q122) and
+    the bench leg provably dissolve the identical shape."""
+    cgx = F.col(gx).cast("double")
+    cgy = F.col(gy).cast("double")
+    ring = F.array(
+        F.array(cgx, cgy),
+        F.array(cgx + 1, cgy),
+        F.array(cgx + 1, cgy + 1),
+        F.array(cgx, cgy + 1),
+        F.array(cgx, cgy),
+    )
+    return cells.select(group_col, F.array(F.array(ring)).alias("shape"))
+
+
 def _all_edges(shape_col: str) -> Column:
     """array<struct(a:array<double>, b:array<double>)> of every directed
     ring edge of the multipolygon (closed rings: first == last, so

@@ -113,6 +113,13 @@ def focal_stats(
     convention); the y fan clips at the poles.
     """
     n = 1 << level
+    if 2 * radius + 1 > n:
+        # a window wider than the grid would revisit wrapped cells
+        # (pmod maps several dx to one residue) and break both the
+        # count and the mean's window-area denominator
+        raise ValueError(
+            f"window (2*{radius}+1) exceeds the level-{level} grid width"
+        )
     window_slots = (2 * radius + 1) ** 2
     seq = F.sequence(F.lit(-radius), F.lit(radius))
     fan = grid.select(

@@ -54,6 +54,7 @@ def hits(
     nodes: DataFrame,
     edges: DataFrame,
     iterations: int = 3,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """(url, hub, authority) after ``iterations`` integer HITS rounds.
 
@@ -62,7 +63,9 @@ def hits(
     self-loop-free (:func:`osm_spark.text.links.page_edges`). Scores
     are int64 in [0, SCALE]; every round the best authority (resp.
     hub) holds ~SCALE and everything else is its floor-divided
-    fraction.
+    fraction. ``checkpoint_every``: localCheckpoint both score frames
+    every K rounds (lineage truncation for large iteration counts —
+    the pagerank.py hook).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -95,7 +98,7 @@ def hits(
             F.expr(f"coalesce(s, 0L) div {d}").cast("long").alias(col),
         )
 
-    for _ in range(iterations):
+    for i in range(iterations):
         # Name-based USING joins: the score frames carry the fan
         # tables' lineage from round 2 on, so dataset-qualified refs
         # would trip Spark's ambiguous-self-join check.
@@ -121,6 +124,15 @@ def hits(
             old.unpersist()
         superseded = [hub] + ([auth] if auth is not None else [])
         hub, auth = new_hub, new_auth
+        # lineage truncation for large K (the pagerank checkpoint_every
+        # hook): the eager localCheckpoint materializes from the
+        # just-persisted frames, so it costs one cheap scan and caps
+        # the logical-plan depth at checkpoint_every rounds.
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            old_h, old_a = hub, auth
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+            superseded += [old_h, old_a]
 
     out = hub.join(auth, "url").select(
         "url", "hub", "authority"

@@ -154,6 +154,8 @@ def test_areal_guards(spark):
     pcells, vals, index_bc = _build(spark, S)
     with pytest.raises(ValueError):
         areal_interpolate(pcells, vals, index_bc, 7, 7)
-    with pytest.raises(ValueError, match="boundary covering"):
-        # covering built for S=7 but declared sub_level=9
-        areal_interpolate(pcells, vals, index_bc, 4, 9)
+    # covering built for S=7 but declared sub_level=9: the in-plan
+    # raise_error guard fails the JOB (the builder itself stays lazy).
+    bad = areal_interpolate(pcells, vals, index_bc, 4, 9)
+    with pytest.raises(Exception, match="sub_level"):
+        bad.collect()

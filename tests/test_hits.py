@@ -94,6 +94,16 @@ def test_hits_isolated_and_empty(spark):
     assert got0 == {"a": (0, 0), "b": (0, 0), "c": (0, 0)}
 
 
+def test_hits_checkpoint_every_same_result(spark):
+    urls = [f"u{i}" for i in range(10)]
+    edges = [(f"u{i}", f"u{(i * 3 + 1) % 10}") for i in range(10) if i % 2]
+    nodes = spark.createDataFrame([(u,) for u in urls], ["url"])
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    plain = hits(nodes, edf, 4).collect()
+    ckpt = hits(nodes, edf, 4, checkpoint_every=2).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, ckpt))
+
+
 def test_hits_rejects_zero_iterations(spark):
     nodes = spark.createDataFrame([("a",)], ["url"])
     edges = spark.createDataFrame([("a", "a")], ["src", "dst"])

@@ -360,6 +360,16 @@ def test_focal_stats_matches_twin(spark):
     assert got2 == exp2 and len(got2) > len(_focal_py(cells, n))
 
 
+def test_focal_stats_rejects_window_wider_than_grid(spark):
+    import pytest as _pytest
+
+    from osm_spark.spatial.raster import focal_stats
+
+    grid = spark.createDataFrame([(0, 0, 3)], "gx long, gy long, n long")
+    with _pytest.raises(ValueError, match="window"):
+        focal_stats(grid, level=1, radius=1)
+
+
 def test_focal_stats_sparse_ocean_absent(spark):
     from osm_spark.spatial.raster import focal_stats
 
