@@ -6272,6 +6272,33 @@ FROM fan GROUP BY tx, ty
 _def("q126_focal_stats", fn=_q_focal, duck_sql=_q126_oracle_sql())
 
 
+# X86 — spatial ANTI-join: pages contained by NO admin area (the
+# "offshore/unmatched" filter — the complement every PIP consumer
+# needs for coverage accounting). One broadcast left_anti against the
+# PIP assignment; the oracle is the set complement of the independent
+# membership SQL.
+def _q_spatial_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = _spatial(spark)
+    assigned = sp["pip"].select("point_id").distinct()
+    out = sp["points"].join(assigned, "point_id", "left_anti")
+    return out.select(
+        "url",
+        F.round(F.col("lon") * 1e6).cast("long").alias("lon_u"),
+        F.round(F.col("lat") * 1e6).cast("long").alias("lat_u"),
+    )
+
+
+_def(
+    "q129_spatial_anti_join",
+    fn=_q_spatial_anti,
+    duck_sql=_pages_oracle_cte()
+    + f"""
+SELECT url, lon_u, lat_u FROM pages
+WHERE url NOT IN (SELECT url FROM ({_pip_membership_sql()}))
+""",
+)
+
+
 # X85 — areal (area-weighted) interpolation: per-admin-area values
 # spread onto a level-8 raster with EXACT quadtree weights
 # (frac = inside sub-cell centers at level 11 / 4^3). The engine never
