@@ -87,6 +87,16 @@ CHECKS = {
                             "CartesianProduct"], 1),
     # geo sessionization: ONE window shuffle, all signals lag() in it
     "q116_geo_sessions": (["Window"], ["EvalPython"], 1),
+    # IDW interpolation: ONE broadcast grid equi-join (value threaded
+    # through via data_cols) + map-side-combinable groupBy, no Python,
+    # no nested-loop join
+    "q123_idw_interpolate": (["BroadcastHashJoin"],
+                             ["EvalPython", "BroadcastNestedLoopJoin",
+                              "CartesianProduct"], 1),
+    # focal raster stats: cells-scale fan-out + one groupBy, no Python
+    "q126_focal_stats": ([], ["EvalPython"], 1),
+    # geohash bucketing: pure-Catalyst bit interleave + base32 concat
+    "q127_geohash_buckets": ([], ["EvalPython"], 1),
 }
 
 
