@@ -6272,6 +6272,59 @@ FROM fan GROUP BY tx, ty
 _def("q126_focal_stats", fn=_q_focal, duck_sql=_q126_oracle_sql())
 
 
+# X87 composition — dataset card: the per-(split, language) corpus
+# report every training-data pipeline publishes (docs, token/char
+# totals, mean doc length) — X29 hash split × the q35 tokenizer over
+# the documents table, all integer sums + one ratio. The oracle
+# recomposes split assignment (bucket_sql) and token counts
+# independently.
+def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.sampling import hash_split
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", "lang", "text", "n_chars",
+        F.col("doc_id").cast("string").alias("k"),
+    )
+    s = hash_split(
+        docs, "k", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v1:"
+    )
+    t = s.withColumn("n_tokens", F.expr(f"size({_TOKENS_SPARK})"))
+    return t.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (
+            F.sum("n_tokens").cast("long") / F.count("*").cast("long")
+        ).alias("mean_tokens"),
+    )
+
+
+def _q130_oracle_sql() -> str:
+    from osm_spark.text.sampling import bucket_sql
+
+    b = bucket_sql("CAST(doc_id AS VARCHAR)", 10_000, salt="v1:")
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN {b} < 9000 THEN 'train'
+              WHEN {b} < 9500 THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_chars,
+         len({_TOKENS_DUCK}) AS n_tokens
+  FROM documents)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS BIGINT) AS mean_tokens
+FROM t GROUP BY split, lang
+"""
+
+
+_def("q130_dataset_card", fn=_q_dataset_card, duck_sql=_q130_oracle_sql())
+
+
 # X86 — spatial ANTI-join: pages contained by NO admin area (the
 # "offshore/unmatched" filter — the complement every PIP consumer
 # needs for coverage accounting). One broadcast left_anti against the
