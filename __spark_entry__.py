@@ -6272,6 +6272,58 @@ FROM fan GROUP BY tx, ty
 _def("q126_focal_stats", fn=_q_focal, duck_sql=_q126_oracle_sql())
 
 
+# X88 — mergeable histogram quantile sketch: equi-width int64 bin
+# counts (ONE map-side-combinable groupBy, shuffle ≤ tasks × n_bins)
+# + rank-pick quantile estimates off by ≤ one bin width — the
+# mergeable/streaming companion to q99's exact two-phase quantiles.
+# Everything integer-exact; the oracle recomputes bins, the cumulative
+# window, and the rank pick in SQL.
+_HIST_LO, _HIST_HI, _HIST_NB = 0, 4096, 128
+_HIST_QS = [10_000, 250_000, 500_000, 750_000, 990_000]
+
+
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.operators.sketch import hist_quantiles, hist_sketch
+
+    _load(spark, sf_dir)
+    sk = hist_sketch(
+        spark.table("documents"), "n_chars", _HIST_LO, _HIST_HI, _HIST_NB
+    )
+    return hist_quantiles(sk, _HIST_QS, _HIST_LO, _HIST_HI, _HIST_NB)
+
+
+def _q131_oracle_sql() -> str:
+    lo, hi, nb = _HIST_LO, _HIST_HI, _HIST_NB
+    qs = ", ".join(f"({q})" for q in _HIST_QS)
+    return f"""
+WITH sk AS (
+  SELECT least(greatest((n_chars - {lo}) * {nb} // {hi - lo}, 0), {nb - 1})
+           AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+ cum AS (
+  SELECT bin, n,
+         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM sk),
+ q AS (SELECT * FROM (VALUES {qs}) AS v(q_ppm)),
+ hit AS (
+  SELECT q_ppm, min(bin) AS bin
+  FROM q CROSS JOIN cum
+  WHERE cum > (q_ppm * (total - 1)) // 1000000
+  GROUP BY q_ppm)
+SELECT CAST(q_ppm AS BIGINT) AS q_ppm, CAST(bin AS BIGINT) AS bin,
+       CAST({lo} * {nb} + bin * {hi - lo} AS BIGINT) AS est_num,
+       CAST({nb} AS BIGINT) AS est_den,
+       CAST(CAST({lo} * {nb} + bin * {hi - lo} AS BIGINT) AS DOUBLE) / {nb}
+         AS est
+FROM hit
+"""
+
+
+_def("q131_hist_quantiles", fn=_q_hist_quantiles, duck_sql=_q131_oracle_sql())
+
+
 # X87 composition — dataset card: the per-(split, language) corpus
 # report every training-data pipeline publishes (docs, token/char
 # totals, mean doc length) — X29 hash split × the q35 tokenizer over

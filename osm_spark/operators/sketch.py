@@ -247,3 +247,96 @@ def cm_query(
         .groupBy(key)
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch — mergeable approximate quantiles
+# ---------------------------------------------------------------------------
+# The mergeable companion to operators/quantiles.py (exact two-phase
+# rank-select): a fixed [lo, hi) equi-width bin-count table over an
+# INT64 column. Everything is exact integer arithmetic — the bin
+# assignment is ((x - lo)·n_bins) DIV (hi - lo), clamped — so the
+# sketch is order-free, bit-identical at any parallelism, engine-
+# reproducible (q131 recomputes it in SQL), and merges across shards /
+# snapshots / stream batches by a plain SUM groupBy. The quantile
+# estimate is the LOWER BOUNDARY of the bin holding the target rank
+# (quantile_disc rank semantics: r = ⌊q·(n-1)⌋, first bin with
+# cumulative count > r): off by at most one bin width
+# ceil((hi-lo)/n_bins) — the classic accuracy/size trade against the
+# exact operator's extra shuffle.
+#
+# Scale shape: ONE map-side-combinable groupBy over ≤ n_bins groups
+# (shuffle ≤ tasks × n_bins rows regardless of input size); the
+# quantile lookup runs a window over the n_bins-row sketch — driver-
+# trivial but kept relational so it composes with the oracle.
+
+
+def hist_sketch(
+    df: DataFrame, col: str, lo: int, hi: int, n_bins: int = 256
+) -> DataFrame:
+    """(bin int, n long) equi-width counts of int64 ``col`` over
+    [lo, hi); values outside clamp into the edge bins (documented —
+    the edge bins are therefore open-ended)."""
+    if not lo < hi:
+        raise ValueError("need lo < hi")
+    if n_bins < 1:
+        raise ValueError("need n_bins >= 1")
+    x = F.col(col).cast("long")
+    raw = F.expr(
+        f"(({col} - {lo}L) * {n_bins}L) div {hi - lo}L"
+    )
+    b = F.least(
+        F.greatest(raw, F.lit(0).cast("long")), F.lit(n_bins - 1).cast("long")
+    )
+    return (
+        df.where(x.isNotNull())
+        .select(b.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches of the same (lo, hi, n_bins) config: SUM by bin."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def hist_quantiles(
+    sketch: DataFrame, qs_ppm: list[int], lo: int, hi: int, n_bins: int = 256
+) -> DataFrame:
+    """(q_ppm, bin, est_num, est_den, est) per requested quantile
+    (parts-per-million integers so the rank math stays exact).
+
+    rank r = (q_ppm·(N-1)) div 10^6 over total count N; the answer bin
+    is the first whose cumulative count exceeds r; the estimate is its
+    lower boundary lo + bin·(hi-lo)/n_bins, carried as the exact
+    integer pair (est_num = lo·n_bins + bin·(hi-lo), est_den = n_bins)
+    plus their one-division double ratio."""
+    from pyspark.sql import Window
+
+    qdf = sketch.sparkSession.createDataFrame(
+        [(int(q),) for q in qs_ppm], "q_ppm long"
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin", "n", F.sum("n").over(w).alias("cum")
+    ).withColumn("total", F.sum("n").over(Window.partitionBy()))
+    ranked = qdf.crossJoin(cum).where(
+        F.col("cum")
+        > F.expr("(q_ppm * (total - 1)) div 1000000")
+    )
+    first = (
+        ranked.groupBy("q_ppm")
+        .agg(F.min("bin").cast("long").alias("bin"))
+    )
+    num = F.lit(lo).cast("long") * n_bins + F.col("bin") * (hi - lo)
+    return first.select(
+        "q_ppm",
+        "bin",
+        num.alias("est_num"),
+        F.lit(n_bins).cast("long").alias("est_den"),
+        (num / F.lit(n_bins)).alias("est"),
+    )

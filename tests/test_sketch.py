@@ -156,3 +156,110 @@ def test_hll_by_group_accuracy(spark):
     est = {r["g"]: r["estimate"] for r in hll_distinct_by(df, "g", "k").collect()}
     assert abs(est["a"] - 5000) / 5000 < 0.065
     assert abs(est["b"] - 700) / 700 < 0.065
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch / mergeable approximate quantiles
+# ---------------------------------------------------------------------------
+
+
+def _hist_py(vals, lo, hi, n_bins):
+    out = Counter()
+    for x in vals:
+        b = (x - lo) * n_bins // (hi - lo)
+        out[min(max(b, 0), n_bins - 1)] += 1
+    return dict(out)
+
+
+def _quant_py(vals, q_ppm, lo, hi, n_bins):
+    hist = _hist_py(vals, lo, hi, n_bins)
+    total = sum(hist.values())
+    r = q_ppm * (total - 1) // 1_000_000
+    cum = 0
+    for b in sorted(hist):
+        cum += hist[b]
+        if cum > r:
+            return b, lo * n_bins + b * (hi - lo)
+    raise AssertionError("rank not reached")
+
+
+def test_hist_sketch_matches_twin_and_invariance(spark):
+    import random
+
+    from osm_spark.operators.sketch import hist_quantiles, hist_sketch
+
+    rng = random.Random(5)
+    vals = [rng.randrange(-50, 1200) for _ in range(5000)]  # incl. clamps
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    lo, hi, nb = 0, 1024, 64
+    got = {
+        r["bin"]: r["n"] for r in hist_sketch(df, "x", lo, hi, nb).collect()
+    }
+    assert got == _hist_py(vals, lo, hi, nb)
+    got16 = {
+        r["bin"]: r["n"]
+        for r in hist_sketch(df.repartition(16), "x", lo, hi, nb).collect()
+    }
+    assert got16 == got
+    qs = [10_000, 250_000, 500_000, 750_000, 990_000]
+    sk = hist_sketch(df, "x", lo, hi, nb)
+    res = {
+        r["q_ppm"]: (r["bin"], r["est_num"], r["est_den"], r["est"])
+        for r in hist_quantiles(sk, qs, lo, hi, nb).collect()
+    }
+    for q in qs:
+        b, num = _quant_py(vals, q, lo, hi, nb)
+        assert res[q] == (b, num, nb, num / nb), q
+
+
+def test_hist_quantile_within_one_bin_of_exact(spark):
+    import random
+
+    from osm_spark.operators.sketch import hist_quantiles, hist_sketch
+
+    rng = random.Random(9)
+    vals = sorted(rng.randrange(0, 10_000) for _ in range(4000))
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    lo, hi, nb = 0, 10_000, 200
+    sk = hist_sketch(df, "x", lo, hi, nb)
+    res = hist_quantiles(sk, [500_000], lo, hi, nb).collect()[0]
+    exact = vals[500_000 * (len(vals) - 1) // 1_000_000]  # quantile_disc
+    width = (hi - lo) / nb
+    assert abs(res["est"] - exact) <= width
+
+
+def test_hist_merge_is_union(spark):
+    import random
+
+    from osm_spark.operators.sketch import hist_merge, hist_sketch
+
+    rng = random.Random(13)
+    a = [rng.randrange(0, 100) for _ in range(300)]
+    b = [rng.randrange(0, 100) for _ in range(500)]
+    da = spark.createDataFrame([(v,) for v in a], "x long")
+    db = spark.createDataFrame([(v,) for v in b], "x long")
+    dall = spark.createDataFrame([(v,) for v in a + b], "x long")
+    merged = {
+        r["bin"]: r["n"]
+        for r in hist_merge(
+            hist_sketch(da, "x", 0, 100, 10), hist_sketch(db, "x", 0, 100, 10)
+        ).collect()
+    }
+    union = {
+        r["bin"]: r["n"] for r in hist_sketch(dall, "x", 0, 100, 10).collect()
+    }
+    assert merged == union
+
+
+def test_hist_guards_and_nulls(spark):
+    import pytest as _pytest
+
+    from osm_spark.operators.sketch import hist_sketch
+
+    df = spark.createDataFrame([(1,), (None,)], "x long")
+    got = {r["bin"]: r["n"] for r in hist_sketch(df, "x", 0, 10, 5).collect()}
+    assert got == {0: 1}  # null dropped
+    with _pytest.raises(ValueError):
+        hist_sketch(df, "x", 10, 10, 5)
+    with _pytest.raises(ValueError):
+        hist_sketch(df, "x", 0, 10, 0)
