@@ -319,6 +319,75 @@ def stream_hotspot_maintenance(
     return writer.start()
 
 
+def stream_hist_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 128,
+    value_expr: str = "length(text)",
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+):
+    """Maintain a durable histogram quantile sketch (X88) over a page
+    stream — the LIVE dataset-card path: each micro-batch's equi-width
+    bin counts SUM-merge into a snapshot-versioned ManifestTable (one
+    time-travelable version per batch, table ≤ n_bins rows forever).
+    "p50 doc length as of batch k" is then
+    ``hist_quantiles(table.read(version), ...)`` with no page rescan.
+
+    Same transactional-sink pattern as stream_hotspot_maintenance:
+    SUM-merge is not idempotent, so the table carries a marker row
+    (bin = -1, n = last applied batch id; real bins are ≥ 0) and
+    replayed batches are skipped — atomic via the VERSION swap."""
+    from osm_spark.operators.sketch import hist_sketch
+    from osm_spark.sources.manifest_table import ManifestTable
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = ManifestTable(spark, table_path)
+        vals = batch_df.select(
+            F.expr(value_expr).cast("long").alias("v")
+        )
+        counts = hist_sketch(vals, "v", lo, hi, n_bins)
+        if t.exists():
+            cur = t.read()
+            marker = cur.where(F.col("bin") == -1).select("n").first()
+            if marker is not None and marker["n"] >= batch_id:
+                return  # replay of an already-applied batch: no-op
+            counts = (
+                cur.where(F.col("bin") >= 0)
+                .unionByName(counts)
+                .groupBy("bin")
+                .agg(F.sum("n").alias("n"))
+            )
+        marker_row = spark.createDataFrame(
+            [(-1, batch_id)], "bin int, n long"
+        )
+        t.write(
+            counts.select(
+                F.col("bin").cast("int"), F.col("n").cast("long")
+            ).unionByName(marker_row),
+            mode="overwrite",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_page_counts(
     pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -382,3 +382,73 @@ def test_stream_hotspot_maintenance(spark, tmp_path):
         sorted(map(tuple, t.read().where(F.col("cell") >= 0).collect()))
         == got
     )
+
+
+def test_stream_hist_maintenance(spark, tmp_path):
+    """Streamed histogram maintenance (the live dataset-card path):
+    after the stream drains the maintained bins equal the batch
+    hist_sketch of ALL pages; quantiles derived from the table equal
+    batch quantiles; an intermediate version is a valid partial
+    count table; a fresh-checkpoint full replay is a marker-row no-op."""
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.operators.sketch import hist_quantiles, hist_sketch
+    from osm_spark.sources.manifest_table import ManifestTable
+    from osm_spark.streaming.pages_stream import stream_hist_maintenance
+
+    lo, hi, nb = 0, 2048, 64
+    pages = pages_df(spark, PagesSpec(n_pages=1500, n_countries=1))
+    src = str(tmp_path / "pages_src_h")
+    pages.repartition(4).write.parquet(src)
+
+    tbl = str(tmp_path / "hist_tbl")
+    ck = str(tmp_path / "hist_ck")
+    q = stream_hist_maintenance(
+        spark, src, tbl, ck, lo, hi, nb, max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+
+    t = ManifestTable(spark, tbl)
+    assert t.current_version() >= 2
+
+    vals = spark.read.parquet(src).select(
+        F.expr("length(text)").cast("long").alias("v")
+    )
+    want = sorted(
+        map(tuple, hist_sketch(vals, "v", lo, hi, nb).collect())
+    )
+    live = t.read().where(F.col("bin") >= 0)
+    got = sorted(map(tuple, live.collect()))
+    assert got == want
+
+    # quantiles from the maintained table == batch quantiles
+    qs = [250_000, 500_000, 900_000]
+    from_table = sorted(
+        map(tuple, hist_quantiles(live, qs, lo, hi, nb).collect())
+    )
+    from_batch = sorted(
+        map(
+            tuple,
+            hist_quantiles(
+                hist_sketch(vals, "v", lo, hi, nb), qs, lo, hi, nb
+            ).collect(),
+        )
+    )
+    assert from_table == from_batch and from_table
+
+    # intermediate version: counts <= final
+    mid = {r["bin"]: r["n"] for r in t.read(1).where(F.col("bin") >= 0).collect()}
+    final = dict(got)
+    assert mid and all(final[b] >= n for b, n in mid.items())
+
+    # fresh-checkpoint full replay: batch ids restart at 0, the marker
+    # says they are applied — version and counts must not move.
+    before_version = t.current_version()
+    ck2 = str(tmp_path / "hist_ck_replay")
+    q2 = stream_hist_maintenance(
+        spark, src, tbl, ck2, lo, hi, nb, max_files_per_trigger=2
+    )
+    q2.awaitTermination(300)
+    assert t.current_version() == before_version
+    assert sorted(
+        map(tuple, t.read().where(F.col("bin") >= 0).collect())
+    ) == got
