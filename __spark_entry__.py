@@ -6272,6 +6272,47 @@ FROM fan GROUP BY tx, ty
 _def("q126_focal_stats", fn=_q_focal, duck_sql=_q126_oracle_sql())
 
 
+# X83b — the same focal pass with the triangle (KDE-style tent)
+# kernel at radius 2: w = 3 − Chebyshev(dx, dy), exact INT64 weighted
+# sums, mean over the kernel mass. Oracle re-derives the weights from
+# the offsets.
+def _q_focal_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.raster import focal_stats, rasterize_points
+
+    sp = _spatial(spark)
+    grid = rasterize_points(sp["points"], level=6)
+    return focal_stats(grid, level=6, radius=2, kernel="triangle")
+
+
+def _q132_oracle_sql() -> str:
+    n = 1 << 6
+    r = 2
+    mass = (r + 1) + sum(8 * c * (r + 1 - c) for c in range(1, r + 1))
+    return (
+        _pages_oracle_cte()
+        + f""",
+ grid AS (SELECT {_gx6} AS gx, {_gy6} AS gy, CAST(count(*) AS BIGINT) AS n
+          FROM pages GROUP BY 1, 2),
+ offs AS (SELECT dx.x AS dx, dy.y AS dy,
+                 {r + 1} - greatest(abs(dx.x), abs(dy.y)) AS w
+          FROM generate_series({-r}, {r}) dx(x),
+               generate_series({-r}, {r}) dy(y)),
+ fan AS (SELECT ((gx + dx) % {n} + {n}) % {n} AS tx, gy + dy AS ty, n, w
+         FROM grid, offs
+         WHERE gy + dy BETWEEN 0 AND {n - 1})
+SELECT tx AS gx, ty AS gy,
+       CAST(sum(w * n) AS BIGINT) AS focal_sum,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(max(n) AS BIGINT) AS focal_max,
+       CAST(CAST(sum(w * n) AS BIGINT) AS DOUBLE) / {mass} AS focal_mean
+FROM fan GROUP BY tx, ty
+"""
+    )
+
+
+_def("q132_focal_triangle", fn=_q_focal_tri, duck_sql=_q132_oracle_sql())
+
+
 # X88 — mergeable histogram quantile sketch: equi-width int64 bin
 # counts (ONE map-side-combinable groupBy, shuffle ≤ tasks × n_bins)
 # + rank-pick quantile estimates off by ≤ one bin width — the

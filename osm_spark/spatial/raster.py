@@ -92,6 +92,7 @@ def focal_stats(
     radius: int = 1,
     value: str = "n",
     wrap_lon: bool = True,
+    kernel: str = "uniform",
 ) -> DataFrame:
     """Moving-window (focal) statistics over a density grid — the
     standard GIS raster-analytics step after rasterize_points (focal
@@ -111,6 +112,13 @@ def focal_stats(
     map-side combinable — point count never matters. ``wrap_lon``
     wraps the x fan across the antimeridian (hotspots' adjacency
     convention); the y fan clips at the poles.
+
+    ``kernel``: "uniform" (every window slot weighs 1 — the plain
+    moving average) or "triangle" (w = radius+1 − Chebyshev distance —
+    the KDE-style tent smoother; still exact INT64 weights, so the
+    weighted sum stays order-free and engine-reproducible, and
+    focal_mean divides by the kernel MASS over the full window).
+    n_cells / focal_max are unweighted under either kernel.
     """
     n = 1 << level
     if 2 * radius + 1 > n:
@@ -120,7 +128,14 @@ def focal_stats(
         raise ValueError(
             f"window (2*{radius}+1) exceeds the level-{level} grid width"
         )
-    window_slots = (2 * radius + 1) ** 2
+    if kernel not in ("uniform", "triangle"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if kernel == "uniform":
+        mass = (2 * radius + 1) ** 2
+    else:
+        mass = (radius + 1) + sum(
+            8 * c * (radius + 1 - c) for c in range(1, radius + 1)
+        )
     seq = F.sequence(F.lit(-radius), F.lit(radius))
     fan = grid.select(
         F.col("gx"), F.col("gy"), F.col(value).alias("_v")
@@ -133,13 +148,21 @@ def focal_stats(
         else F.col("gx") + F.col("dx")
     )
     ty = F.col("gy") + F.col("dy")
+    w = (
+        F.lit(1).cast("long")
+        if kernel == "uniform"
+        else (
+            F.lit(radius + 1)
+            - F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy")))
+        ).cast("long")
+    )
     fan = fan.select(
-        tx.alias("tx"), ty.alias("ty"), "_v"
+        tx.alias("tx"), ty.alias("ty"), "_v", w.alias("_w")
     ).where(F.col("ty").between(0, n - 1))
     if not wrap_lon:
         fan = fan.where(F.col("tx").between(0, n - 1))
     out = fan.groupBy("tx", "ty").agg(
-        F.sum("_v").alias("focal_sum"),
+        F.sum(F.col("_w") * F.col("_v")).alias("focal_sum"),
         F.count("*").cast("long").alias("n_cells"),
         F.max("_v").alias("focal_max"),
     )
@@ -149,7 +172,7 @@ def focal_stats(
         "focal_sum",
         "n_cells",
         "focal_max",
-        (F.col("focal_sum") / F.lit(window_slots)).alias("focal_mean"),
+        (F.col("focal_sum") / F.lit(mass)).alias("focal_mean"),
     )
 
 

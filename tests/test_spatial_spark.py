@@ -360,6 +360,57 @@ def test_focal_stats_matches_twin(spark):
     assert got2 == exp2 and len(got2) > len(_focal_py(cells, n))
 
 
+def test_focal_stats_triangle_kernel(spark):
+    import random
+
+    from osm_spark.spatial.raster import focal_stats
+
+    rng = random.Random(17)
+    level = 4
+    n = 1 << level
+    cells = {}
+    while len(cells) < 20:
+        cells[(rng.randrange(n), rng.randrange(n))] = rng.randrange(1, 9)
+    grid = spark.createDataFrame(
+        [(gx, gy, v) for (gx, gy), v in cells.items()],
+        "gx long, gy long, n long",
+    )
+    r = 2
+    mass = (r + 1) + sum(8 * c * (r + 1 - c) for c in range(1, r + 1))
+
+    def twin():
+        out = {}
+        for (gx, gy), v in cells.items():
+            for dx in range(-r, r + 1):
+                for dy in range(-r, r + 1):
+                    tx, ty = (gx + dx) % n, gy + dy
+                    if not 0 <= ty < n:
+                        continue
+                    w = r + 1 - max(abs(dx), abs(dy))
+                    s, c, m = out.get((tx, ty), (0, 0, None))
+                    out[(tx, ty)] = (
+                        s + w * v, c + 1, v if m is None else max(m, v)
+                    )
+        return {k: (s, c, m, s / mass) for k, (s, c, m) in out.items()}
+
+    got = {
+        (x.gx, x.gy): (x.focal_sum, x.n_cells, x.focal_max, x.focal_mean)
+        for x in focal_stats(grid, level, radius=r, kernel="triangle").collect()
+    }
+    assert got == twin() and got
+    # center slot weighs r+1, the ring edge weighs 1 — different from
+    # uniform on the same input
+    uni = {
+        (x.gx, x.gy): x.focal_sum
+        for x in focal_stats(grid, level, radius=r).collect()
+    }
+    assert any(got[k][0] != uni[k] for k in uni)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kernel"):
+        focal_stats(grid, level, kernel="gauss")
+
+
 def test_focal_stats_rejects_window_wider_than_grid(spark):
     import pytest as _pytest
 
