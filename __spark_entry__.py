@@ -6418,6 +6418,54 @@ FROM t GROUP BY split, lang
 _def("q130_dataset_card", fn=_q_dataset_card, duck_sql=_q130_oracle_sql())
 
 
+# X89 — incremental PIP enrichment, driven through the REAL commit
+# flow (the q77 pattern): pages land as TWO ManifestTable commits
+# (initial + append), pip_increment runs after each — reading only
+# the appended files the second time — and the final assignment table
+# is hash-checked against the SAME independent membership SQL as
+# q21/q54/q56. Fresh temp dirs per invocation keep the query
+# side-effect-free across driver retries.
+def _q_pip_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from osm_spark.plans.incremental import pip_increment
+    from osm_spark.sources.manifest_table import ManifestTable
+    from osm_spark.spatial.pip_index import build_pip_index
+
+    sp = _spatial(spark)
+    key = ("areal_index", id(spark))
+    if key not in _WORLD_CACHE:
+        _WORLD_CACHE[key] = spark.sparkContext.broadcast(
+            build_pip_index(sp["polygon_cells"], sp["polygon_geometry"])
+        )
+    index_bc = _WORLD_CACHE[key]
+
+    root = tempfile.mkdtemp(prefix="pip_inc_")
+    pages = _pages_df(spark)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    src = ManifestTable(spark, f"{root}/pages")
+    src.write(pages.where(page_no % 2 == 0), mode="overwrite")
+    pip_increment(spark, src, f"{root}/assign", index_bc)
+    src.write(pages.where(page_no % 2 == 1), mode="append")
+    pip_increment(spark, src, f"{root}/assign", index_bc)
+
+    out = ManifestTable(spark, f"{root}/assign")
+    return (
+        out.read()
+        .where(F.col("url") != "")
+        .select("url", "rel_id")
+        .localCheckpoint(eager=True)
+    )
+
+
+_def(
+    "q133_pip_increment",
+    fn=_q_pip_increment,
+    duck_sql=_pages_oracle_cte()
+    + f"SELECT url, rel_id FROM ({_pip_membership_sql()}) GROUP BY url, rel_id",
+)
+
+
 # X86 — spatial ANTI-join: pages contained by NO admin area (the
 # "offshore/unmatched" filter — the complement every PIP consumer
 # needs for coverage accounting). One broadcast left_anti against the
