@@ -1,0 +1,134 @@
+"""Trajectory / footprint similarity join — symmetric discrete
+Hausdorff distance under a radius, from ONE spatial radius join.
+
+The mirror-detection / route-matching primitive: which pairs of point
+sets (travelers' trajectories, hosts' page footprints, per-language
+corpora) cover the same ground? Pairs (A, B) with symmetric discrete
+Hausdorff distance H = max(max_a min_b d(a,b), max_b min_a d(b,a))
+at most ``max_d`` degrees, with the exact integer H² returned.
+
+The naive evaluation is |A|·|B| per pair over all pairs. The key
+identity this operator exploits: for the THRESHOLDED join, the full
+cross product is never needed —
+
+    H(A, B) ≤ d  ⟺  every point of A has a B-point within d
+                     AND every point of B has an A-point within d,
+
+and when that holds, each point's true nearest neighbor is among its
+within-d partners, so per-point mins over the RADIUS-JOIN output are
+exact. The whole operator is therefore:
+
+1. ``distance_join`` of the deduplicated points against themselves at
+   radius ``max_d`` (the knn_points grid machinery: bounded Chebyshev
+   disk fan-out + one cell equi-join + exact int64 filter — shuffle
+   bounded by the close-pair volume, never the pair-of-trajectory
+   cross product).
+2. ONE map-side-combinable groupBy (pair, a-point) → min d2, then
+   (pair) → max + covered-point count.
+3. A broadcast join against per-trajectory point counts: a pair
+   qualifies iff its covered-point count equals |A| (any uncovered
+   point already implies H > d); same test in the mirrored direction;
+   H² = greatest of the two directed maxima.
+
+Exactness contract: points are deduplicated on their int64
+micro-degree coordinates; d2 is exact int64; the threshold is
+d_u² with d_u = round(max_d·1e6) — the distance_join metric contract,
+so the output pair set and H² values are engine/parallelism-exact.
+
+No reference counterpart (pmezard/osm has no similarity join);
+training-data extension surface (SURVEY §2.9 X92).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_spark.spatial.knn_points import distance_join
+
+
+def hausdorff_join(
+    points: DataFrame,
+    max_d: float,
+    traj_col: str = "traj_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    broadcast_data: bool = True,
+    level: int | None = None,
+) -> DataFrame:
+    """(traj_a, traj_b, hausdorff_d2) for every unordered pair with
+    symmetric discrete Hausdorff ≤ max_d degrees (traj_a < traj_b).
+    See the module docstring for the plan shape and exactness rules.
+    """
+    dt = dict(points.dtypes)[traj_col]
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        # pid packs tid into a ':'-joined string the close-pair stage
+        # parses back with cast("long") — integral ids only.
+        raise ValueError(f"traj_col must be integral, got {dt}")
+    d_u = int(round(max_d * 1e6))
+    # Canonical per-µdeg-point representative: reconstructing degrees
+    # from the int grid keeps distance_join's own rounding exact.
+    pts_u = points.select(
+        F.col(traj_col).alias("tid"),
+        F.round(F.col(lon_col) * 1e6).cast("long").alias("x_u"),
+        F.round(F.col(lat_col) * 1e6).cast("long").alias("y_u"),
+    ).distinct()
+    pts_deg = pts_u.select(
+        "tid",
+        "x_u",
+        "y_u",
+        (F.col("x_u") / 1e6).alias("lon"),
+        (F.col("y_u") / 1e6).alias("lat"),
+        F.concat_ws(":", "tid", "x_u", "y_u").alias("pid"),
+    )
+    sizes = pts_u.groupBy(F.col("tid").alias("ta")).agg(
+        F.count("*").alias("n_a")
+    )
+
+    close = distance_join(
+        pts_deg,
+        pts_deg,
+        max_d,
+        level=level,
+        broadcast_data=broadcast_data,
+        query_id="pid",
+        data_id="pid",
+        data_cols=("tid",),
+    ).select(
+        F.split("query_id", ":")[0].cast("long").alias("ta"),
+        F.col("query_id").alias("a_pt"),
+        F.col("tid").alias("tb"),
+        "d2_u",
+    ).where(F.col("ta") != F.col("tb"))
+
+    per_point = close.groupBy("ta", "tb", "a_pt").agg(
+        F.min("d2_u").alias("m")
+    )
+    directed = per_point.groupBy("ta", "tb").agg(
+        F.max("m").alias("dir_d2"), F.count("*").alias("n_covered")
+    )
+    # A pair's directed distance is valid iff EVERY a-point found a
+    # within-d partner; otherwise H > d and the pair drops here.
+    full = directed.join(F.broadcast(sizes), "ta").where(
+        F.col("n_covered") == F.col("n_a")
+    )
+    fwd = full.select(
+        F.col("ta").alias("traj_a"),
+        F.col("tb").alias("traj_b"),
+        F.col("dir_d2").alias("d_ab"),
+    )
+    rev = full.select(
+        F.col("tb").alias("traj_a"),
+        F.col("ta").alias("traj_b"),
+        F.col("dir_d2").alias("d_ba"),
+    )
+    return (
+        fwd.join(rev, ["traj_a", "traj_b"])
+        .where(F.col("traj_a") < F.col("traj_b"))
+        .select(
+            "traj_a",
+            "traj_b",
+            F.greatest("d_ab", "d_ba").alias("hausdorff_d2"),
+        )
+        .where(F.col("hausdorff_d2") <= F.lit(d_u * d_u))
+    )

@@ -1,0 +1,121 @@
+"""Hausdorff similarity join (osm_spark/spatial/hausdorff.py).
+
+Brute-force differential (full cross product, independent python) on
+clustered trajectories, plus the covered-count exclusion path and
+invariance pins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from osm_spark.spatial.hausdorff import hausdorff_join
+
+
+def _trajs():
+    """6 trajectories in two far-apart clusters, ~8 points each,
+    deterministic md5 jitter. Cross-cluster Hausdorff is huge (the
+    candidate pruning must drop those pairs without evaluating them).
+    """
+    out = []
+    for t in range(6):
+        cx = 10_000_000 if t < 3 else 60_000_000
+        cy = -5_000_000 if t < 3 else 20_000_000
+        for i in range(8):
+            h = hashlib.md5(f"hs-{t}-{i}".encode()).hexdigest()
+            out.append(
+                (
+                    t,
+                    cx + int(h[:6], 16) % 2_000_001 - 1_000_000,
+                    cy + int(h[6:12], 16) % 2_000_001 - 1_000_000,
+                )
+            )
+    # exact duplicate points (dedup path)
+    out += out[:3]
+    return out
+
+
+def _brute(rows, d_u):
+    pts = {}
+    for t, x, y in rows:
+        pts.setdefault(t, set()).add((x, y))
+    def directed(a, b):
+        return max(
+            min((ax - bx) ** 2 + (ay - by) ** 2 for bx, by in pts[b])
+            for ax, ay in pts[a]
+        )
+    out = {}
+    ks = sorted(pts)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            h2 = max(directed(a, b), directed(b, a))
+            if h2 <= d_u * d_u:
+                out[(a, b)] = h2
+    return out
+
+
+@pytest.fixture(scope="module")
+def traj_df(spark):
+    rows = _trajs()
+    df = spark.createDataFrame(
+        [(t, x / 1e6, y / 1e6) for t, x, y in rows],
+        "traj_id long, lon double, lat double",
+    )
+    return rows, df
+
+
+@pytest.mark.parametrize("max_d", [0.9, 1.6, 3.0])
+def test_matches_brute_force(traj_df, max_d):
+    rows, df = traj_df
+    want = _brute(rows, int(round(max_d * 1e6)))
+    got = {
+        (r["traj_a"], r["traj_b"]): r["hausdorff_d2"]
+        for r in hausdorff_join(df, max_d).collect()
+    }
+    assert got == want
+
+
+def test_uncovered_point_excludes_pair(spark):
+    # B matches A everywhere except one far outlier in A: the pair
+    # must drop via the covered-count test, not a wrong small H.
+    rows = [(1, 0, 0), (1, 1000, 0), (1, 50_000_000, 0),
+            (2, 0, 0), (2, 1000, 0)]
+    df = spark.createDataFrame(
+        [(t, x / 1e6, y / 1e6) for t, x, y in rows],
+        "traj_id long, lon double, lat double",
+    )
+    assert hausdorff_join(df, 1.0).collect() == []
+    # raising the radius past the outlier admits the pair with the
+    # outlier's exact distance as H²
+    out = hausdorff_join(df, 51.0).collect()
+    assert len(out) == 1
+    assert out[0]["hausdorff_d2"] == (50_000_000 - 1000) ** 2
+
+
+def test_broadcast_equals_shuffle(traj_df):
+    rows, df = traj_df
+    a = sorted(map(tuple, hausdorff_join(df, 1.6, broadcast_data=True).collect()))
+    b = sorted(map(tuple, hausdorff_join(df, 1.6, broadcast_data=False).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_identical_trajectories_zero(spark):
+    rows = [(7, 5, 5), (7, 9, 1), (8, 5, 5), (8, 9, 1)]
+    df = spark.createDataFrame(
+        [(t, x / 1e6, y / 1e6) for t, x, y in rows],
+        "traj_id long, lon double, lat double",
+    )
+    out = hausdorff_join(df, 0.5).collect()
+    assert [(r["traj_a"], r["traj_b"], r["hausdorff_d2"]) for r in out] == [
+        (7, 8, 0)
+    ]
+
+
+def test_string_traj_id_rejected(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0)], "traj_id string, lon double, lat double"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        hausdorff_join(df, 1.0)
