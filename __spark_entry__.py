@@ -6713,6 +6713,233 @@ FROM j GROUP BY url
 )
 
 
+# X90 — full-corpus Lloyd k-means over embeddings (text/kmeans.py):
+# unlike the driver-sample-trained IVF quantizer (q45), every row
+# participates in every round. Exact-integer contract: micro-unit
+# quantization, int64 distances/sums, truncating-division centroid
+# update — so the oracle can re-run the ENTIRE fit (seeding, 3 Lloyd
+# rounds, final census) from scratch in SQL and match bit-for-bit,
+# including the fitted model itself via centroid_digest.
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIM = 64
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.kmeans import kmeans_fit, kmeans_summary
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = kmeans_fit(emb, k=_KM_K, n_iters=_KM_ITERS)
+    return kmeans_summary(emb, cents)
+
+
+def _q134_oracle_sql() -> str:
+    k, iters, dim = _KM_K, _KM_ITERS, _KM_DIM
+
+    def d2(q: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i])), (x, y) -> x + y)"
+        )
+
+    sum_cols = ", ".join(
+        f"CAST(sum(q[{d + 1}]) AS BIGINT) AS s{d}" for d in range(dim)
+    )
+    upd = ", ".join(
+        f"CASE WHEN s.s{d} >= 0 THEN s.s{d} // s.n "
+        f"ELSE -((-s.s{d}) // s.n) END"
+        for d in range(dim)
+    )
+    sql = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+ c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, q AS c FROM (
+   SELECT q, row_number() OVER (
+     ORDER BY md5('km-' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+   FROM qv) WHERE rn <= {k})"""
+    for i in range(iters):
+        sql += f""",
+ d{i} AS (SELECT v.vec_id, v.q, c.cid, {d2('v.q', 'c.c')} AS d2
+          FROM qv v CROSS JOIN c{i} c),
+ a{i} AS (SELECT vec_id, q, cid FROM (
+   SELECT vec_id, q, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+   FROM d{i}) WHERE rn = 1),
+ s{i} AS (SELECT cid, CAST(count(*) AS BIGINT) AS n, {sum_cols}
+          FROM a{i} GROUP BY cid),
+ c{i + 1} AS (SELECT p.cid,
+   CASE WHEN s.cid IS NULL THEN p.c ELSE list_value({upd}) END AS c
+   FROM c{i} p LEFT JOIN s{i} s USING (cid))"""
+    sql += f""",
+ dfin AS (SELECT v.vec_id, c.cid, {d2('v.q', 'c.c')} AS d2
+          FROM qv v CROSS JOIN c{iters} c),
+ fin AS (SELECT vec_id, cid, d2 FROM (
+   SELECT vec_id, cid, d2,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+   FROM dfin) WHERE rn = 1)
+SELECT f.cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(f.d2) AS BIGINT) AS inertia,
+       md5(list_aggregate(list_transform(c.c,
+             x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS centroid_digest
+FROM fin f JOIN c{iters} c ON f.cid = c.cid
+GROUP BY f.cid, c.c
+"""
+    return sql
+
+
+_def("q134_kmeans", fn=_q_kmeans, duck_sql=_q134_oracle_sql())
+
+
+# X91 — per-group convex hull (spatial/hull.py): the extremal corpus
+# footprint per language — strict hull, CCW from the lexicographic min
+# vertex, exact integer cross products throughout. The oracle derives
+# the hull by a COMPLETELY different rule: maximal-edge
+# characterization (an edge survives iff every other point is strictly
+# left or strictly between) + a recursive-CTE walk for the canonical
+# order — then checks vertex count, exact shoelace 2×area, and the
+# ordered vertex digest.
+def _q_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.hull import hull_summary
+
+    sp = _spatial(spark)
+    pages = _pages_df(spark)
+    pts = sp["points"].join(pages.select("url", "lang"), "url").select(
+        "lang",
+        F.round(F.col("lon") * 1e6).cast("long").alias("x_u"),
+        F.round(F.col("lat") * 1e6).cast("long").alias("y_u"),
+    )
+    return hull_summary(pts, ["lang"])
+
+
+def _q135_oracle_sql() -> str:
+    cross = "(e.bx - e.ax) * (p.y - e.ay) - (e.by - e.ay) * (p.x - e.ax)"
+    dot = "(p.x - e.ax) * (e.bx - e.ax) + (p.y - e.ay) * (e.by - e.ay)"
+    ab2 = "(e.bx - e.ax) * (e.bx - e.ax) + (e.by - e.ay) * (e.by - e.ay)"
+    # Akl–Toussaint octagon prefilter — EXACT: a point strictly inside
+    # the convex polygon of the 8 directional extremes (which are
+    # corpus points) is strictly interior to the hull, so discarding
+    # it cannot change any hull edge; ties in the extremes are free
+    # (any extreme point yields a valid discard region). Cuts the
+    # O(n³) maximal-edge scan to the boundary shell.
+    ring = ["w", "sw", "s", "se", "e", "ne", "n", "nw"]
+    # Coincident extremes (a corner point that is at once bottom-most,
+    # right-most and max(x−y)) produce zero-length ring edges; those
+    # impose no constraint and are skipped, leaving the strict-inside
+    # test of the deduplicated (still convex CCW) ring.
+    oct_inside = " AND ".join(
+        f"((o.{a}.x = o.{b}.x AND o.{a}.y = o.{b}.y) OR "
+        f"(o.{b}.x - o.{a}.x) * (p.y - o.{a}.y)"
+        f" - (o.{b}.y - o.{a}.y) * (p.x - o.{a}.x) > 0)"
+        for a, b in zip(ring, ring[1:] + ring[:1])
+    )
+    return _pages_oracle_cte() + f""",
+ pts0 AS (SELECT DISTINCT lang, lon_u AS x, lat_u AS y FROM pages),
+ oct AS (SELECT lang,
+   min_by(struct_pack(x := x, y := y), x)      AS w,
+   min_by(struct_pack(x := x, y := y), x + y)  AS sw,
+   min_by(struct_pack(x := x, y := y), y)      AS s,
+   max_by(struct_pack(x := x, y := y), x - y)  AS se,
+   max_by(struct_pack(x := x, y := y), x)      AS e,
+   max_by(struct_pack(x := x, y := y), x + y)  AS ne,
+   max_by(struct_pack(x := x, y := y), y)      AS n,
+   min_by(struct_pack(x := x, y := y), x - y)  AS nw
+  FROM pts0 GROUP BY lang),
+ pts AS (SELECT p.lang, p.x, p.y FROM pts0 p JOIN oct o USING (lang)
+         WHERE NOT ({oct_inside})),
+ cand AS (SELECT a.lang, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+          FROM pts a JOIN pts b
+            ON a.lang = b.lang AND (a.x <> b.x OR a.y <> b.y)),
+ edges AS (
+   SELECT * FROM cand e
+   WHERE NOT EXISTS (
+     SELECT 1 FROM pts p
+     WHERE p.lang = e.lang
+       AND (p.x <> e.ax OR p.y <> e.ay) AND (p.x <> e.bx OR p.y <> e.by)
+       AND ({cross} < 0
+            OR ({cross} = 0
+                AND NOT ({dot} > 0 AND {dot} < {ab2}))))),
+ start AS (SELECT lang, ax AS sx, ay AS sy FROM (
+   SELECT lang, ax, ay,
+          row_number() OVER (PARTITION BY lang ORDER BY ax, ay) AS rn
+   FROM edges) WHERE rn = 1),
+ walk AS (
+   WITH RECURSIVE w(lang, x, y, nx, ny, pos) AS (
+     SELECT e.lang, e.ax, e.ay, e.bx, e.by, 0
+     FROM edges e JOIN start s
+       ON e.lang = s.lang AND e.ax = s.sx AND e.ay = s.sy
+     UNION ALL
+     SELECT w.lang, w.nx, w.ny, e.bx, e.by, w.pos + 1
+     FROM w JOIN edges e ON e.lang = w.lang AND e.ax = w.nx AND e.ay = w.ny
+     JOIN start s ON s.lang = w.lang
+     WHERE NOT (w.nx = s.sx AND w.ny = s.sy))
+   SELECT * FROM w),
+ agg AS (SELECT lang, CAST(count(*) AS INT) AS n_vertices,
+                CAST(sum(ax * by - bx * ay) AS BIGINT) AS area2_u
+         FROM edges GROUP BY lang),
+ dig AS (SELECT lang, md5(string_agg(
+            CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR),
+            ';' ORDER BY pos)) AS hull_digest
+         FROM walk GROUP BY lang)
+SELECT a.lang, a.n_vertices, a.area2_u, d.hull_digest
+FROM agg a JOIN dig d USING (lang)
+"""
+
+
+_def("q135_convex_hull", fn=_q_hull, duck_sql=_q135_oracle_sql())
+
+
+# X92 — Hausdorff similarity join (spatial/hausdorff.py): traveler
+# footprint pairs within symmetric discrete Hausdorff 1.5°. The engine
+# never builds a per-pair cross product (radius join + covered-count
+# test — see the module docstring identity); the oracle IS the naive
+# full cross product with max-min both directions — a completely
+# different evaluation, hash-exact on the pair set and exact H².
+_Q136_MAX_D = 1.5
+
+
+def _q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.hausdorff import hausdorff_join
+
+    pages = _pages_df(spark)
+    geo = geoparse_pages(pages)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    pts = geo.select(
+        (((page_no * F.lit(2654435761)) % F.lit(1000000)) % F.lit(37))
+        .alias("traveler"),
+        "lon",
+        "lat",
+    )
+    return hausdorff_join(pts, _Q136_MAX_D, traj_col="traveler")
+
+
+def _q136_oracle_sql() -> str:
+    d_u = int(round(_Q136_MAX_D * 1e6))
+    return _pages_oracle_cte() + f""",
+ pts AS (SELECT (CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT)
+                 * 2654435761) % 1000000 % 37 AS key, lon_u AS x, lat_u AS y
+         FROM pages),
+ u AS (SELECT DISTINCT key, x, y FROM pts),
+ mins AS (SELECT a.key AS ka, b.key AS kb, a.x, a.y,
+                 min((a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y)) AS m
+          FROM u a JOIN u b ON a.key <> b.key
+          GROUP BY a.key, b.key, a.x, a.y),
+ dirs AS (SELECT ka, kb, max(m) AS dd FROM mins GROUP BY ka, kb)
+SELECT f.ka AS traj_a, f.kb AS traj_b,
+       CAST(greatest(f.dd, r.dd) AS BIGINT) AS hausdorff_d2
+FROM dirs f JOIN dirs r ON f.ka = r.kb AND f.kb = r.ka
+WHERE f.ka < f.kb AND greatest(f.dd, r.dd) <= {d_u * d_u}
+"""
+
+
+_def("q136_hausdorff_join", fn=_q_hausdorff, duck_sql=_q136_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -574,6 +574,19 @@ def main() -> None:
 
     timed("semdedup_scale", run_semdedup_scale)
 
+    # Full-corpus integer Lloyd k-means over the same clustered corpus
+    # (q134 pins bit-exactness vs the SQL re-derivation; this leg pins
+    # throughput of the production shape: 3 rounds × (zero-shuffle
+    # Catalyst assignment + one k×tasks-row update shuffle) + census).
+    def run_kmeans():
+        from osm_spark.text.kmeans import kmeans_fit, kmeans_summary
+
+        emb = approx_holder["scale_emb"]
+        cents = kmeans_fit(emb, k=16, n_iters=3)
+        return kmeans_summary(emb, cents).count()
+
+    timed("kmeans", run_kmeans)
+
     # Recall vs the already-timed exact baseline (outside the timing).
     from osm_spark.text.ann import cosine_topk
 

@@ -97,6 +97,11 @@ CHECKS = {
     "q126_focal_stats": ([], ["EvalPython"], 1),
     # geohash bucketing: pure-Catalyst bit interleave + base32 concat
     "q127_geohash_buckets": ([], ["EvalPython"], 1),
+    # full-corpus k-means census: Catalyst assignment folds + ONE
+    # map-side-combinable groupBy(cid); no Python, no cross join
+    "q134_kmeans": (["HashAggregate"],
+                    ["EvalPython", "CartesianProduct",
+                     "BroadcastNestedLoopJoin"], 1),
 }
 
 
