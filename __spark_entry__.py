@@ -6940,6 +6940,75 @@ WHERE f.ka < f.kb AND greatest(f.dd, r.dd) <= {d_u * d_u}
 _def("q136_hausdorff_join", fn=_q_hausdorff, duck_sql=_q136_oracle_sql())
 
 
+# X93 — segment-crossing join (spatial/crossings.py): which traveler
+# paths properly cross, and at which steps. Engine: bbox cell covering
+# + equi-join candidates + exact orientation signs; oracle: the naive
+# all-segment-pairs cross join with the same sign predicate — no
+# shared machinery, hash-exact pair set.
+def _q_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.crossings import (
+        crossing_join,
+        segments_from_points,
+    )
+    from osm_spark.spatial.geoparse import geoparse_pages
+
+    pages = _pages_df(spark)
+    geo = geoparse_pages(pages)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    pts = geo.select(
+        (((page_no * F.lit(2654435761)) % F.lit(1000000)) % F.lit(37))
+        .alias("traveler"),
+        "url",
+        "warc_ts",
+        "lon",
+        "lat",
+    )
+    segs = segments_from_points(
+        pts, traj_col="traveler", order_cols=("warc_ts", "url")
+    )
+    return crossing_join(segs).select(
+        "traj_a",
+        F.col("seg_a").cast("long").alias("seg_a"),
+        "traj_b",
+        F.col("seg_b").cast("long").alias("seg_b"),
+    )
+
+
+def _q137_oracle_sql() -> str:
+    def orient(px, py, qx, qy, rx, ry):
+        return (
+            f"(({qx}) - ({px})) * (({ry}) - ({py}))"
+            f" - (({qy}) - ({py})) * (({rx}) - ({px}))"
+        )
+
+    o1 = orient("s.ax", "s.ay", "s.bx", "s.by", "t.ax", "t.ay")
+    o2 = orient("s.ax", "s.ay", "s.bx", "s.by", "t.bx", "t.by")
+    o3 = orient("t.ax", "t.ay", "t.bx", "t.by", "s.ax", "s.ay")
+    o4 = orient("t.ax", "t.ay", "t.bx", "t.by", "s.bx", "s.by")
+    return _pages_oracle_cte() + f""",
+ pts AS (SELECT (CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT)
+                 * 2654435761) % 1000000 % 37 AS key,
+                url, warc_ts, lon_u, lat_u
+         FROM pages),
+ seq AS (SELECT key,
+                row_number() OVER (PARTITION BY key
+                                   ORDER BY warc_ts, url) - 1 AS idx,
+                lon_u AS x, lat_u AS y
+         FROM pts),
+ segs AS (SELECT a.key, a.idx AS seg, a.x AS ax, a.y AS ay,
+                 b.x AS bx, b.y AS by
+          FROM seq a JOIN seq b ON a.key = b.key AND b.idx = a.idx + 1)
+SELECT s.key AS traj_a, CAST(s.seg AS BIGINT) AS seg_a,
+       t.key AS traj_b, CAST(t.seg AS BIGINT) AS seg_b
+FROM segs s JOIN segs t ON s.key < t.key
+WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
+  AND ((({o3}) > 0 AND ({o4}) < 0) OR (({o3}) < 0 AND ({o4}) > 0))
+"""
+
+
+_def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -435,6 +435,66 @@ def main() -> None:
 
     timed("dissolve", run_dissolve)
 
+    def run_hull():
+        from osm_spark.spatial.hull import hull_summary
+
+        # Footprint hull per admin area over the full point corpus:
+        # the mapInPandas pre-reduction ships only partition-local
+        # extremes, so the final per-group chain sees O(hull) points.
+        pts = sp["pip"].join(sp["points"], "point_id").select(
+            "rel_id",
+            F.round(F.col("lon") * 1e6).cast("long").alias("x_u"),
+            F.round(F.col("lat") * 1e6).cast("long").alias("y_u"),
+        )
+        return hull_summary(pts, ["rel_id"]).count()
+
+    timed("hull", run_hull)
+
+    def run_hausdorff():
+        from osm_spark.spatial.hausdorff import hausdorff_join
+
+        # 100 hash-split footprints; the cost profile is the radius
+        # join + combinable min/max groupBys (the covered-count test
+        # prunes pairs whose footprints aren't mutually covered at
+        # this radius — for hash-split slices of one region that is
+        # most of them, which is the honest thresholded-join shape).
+        page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+        pts = sp["points"].where(page_no % 5 == 0).select(
+            F.pmod(page_no, F.lit(100)).alias("traj"), "lon", "lat"
+        )
+        return hausdorff_join(
+            pts, 0.03, traj_col="traj", broadcast_data=False
+        ).count()
+
+    timed("hausdorff", run_hausdorff)
+
+    def run_crossings():
+        from osm_spark.spatial.cells_sql import _xy_expr
+        from osm_spark.spatial.crossings import (
+            crossing_join,
+            segments_from_points,
+        )
+
+        # Morton-tour trajectories: ordering each traveler's points
+        # along the space-filling curve yields LOCAL segments (the
+        # GPS-trace regime the operator is sized for) — hash-order
+        # segments would each span the country and co-bin everything.
+        page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+        x, y = _xy_expr(F.col("lon"), F.col("lat"), 14)
+        pts = sp["points"].where(page_no % 10 == 0).select(
+            F.pmod(page_no, F.lit(100)).alias("traj"),
+            (F.shiftleft(x, 16) + y).alias("m"),
+            "url",
+            "lon",
+            "lat",
+        )
+        segs = segments_from_points(
+            pts, traj_col="traj", order_cols=("m", "url")
+        )
+        return crossing_join(segs).count()
+
+    timed("crossings", run_crossings)
+
     for t in ["lineitem", "orders", "documents", "embeddings"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
