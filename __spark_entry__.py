@@ -6734,7 +6734,12 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(emb, cents)
 
 
-def _q134_oracle_sql() -> str:
+def _kmeans_fit_cte() -> str:
+    """WITH-body re-deriving the ENTIRE q134 fit in SQL — seeding,
+    _KM_ITERS unrolled Lloyd rounds, final assignment `fin`(vec_id,
+    cid, d2) and final centroids c{_KM_ITERS}(cid, c). Shared by the
+    q134 census oracle and the q138 cluster-balanced-sampling oracle
+    so the composition is checked against the same from-scratch fit."""
     k, iters, dim = _KM_K, _KM_ITERS, _KM_DIM
 
     def d2(q: str, c: str) -> str:
@@ -6780,15 +6785,19 @@ WITH qv AS (
  fin AS (SELECT vec_id, cid, d2 FROM (
    SELECT vec_id, cid, d2,
           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-   FROM dfin) WHERE rn = 1)
+   FROM dfin) WHERE rn = 1)"""
+    return sql
+
+
+def _q134_oracle_sql() -> str:
+    return _kmeans_fit_cte() + f"""
 SELECT f.cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_points,
        CAST(sum(f.d2) AS BIGINT) AS inertia,
        md5(list_aggregate(list_transform(c.c,
              x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS centroid_digest
-FROM fin f JOIN c{iters} c ON f.cid = c.cid
+FROM fin f JOIN c{_KM_ITERS} c ON f.cid = c.cid
 GROUP BY f.cid, c.c
 """
-    return sql
 
 
 _def("q134_kmeans", fn=_q_kmeans, duck_sql=_q134_oracle_sql())
@@ -6890,6 +6899,44 @@ FROM agg a JOIN dig d USING (lang)
 
 
 _def("q135_convex_hull", fn=_q_hull, duck_sql=_q135_oracle_sql())
+
+
+# X94 — cluster-balanced sampling (the graft composition: X90 k-means
+# × X68 stratified sampler): fit on the full corpus, assign every
+# vector, keep the cap smallest md5(vec_id) per cluster — the
+# data-mixing move that rebalances a skewed embedding corpus. The
+# oracle recomputes the ENTIRE composition: the k-means fit from
+# scratch (shared _kmeans_fit_cte) + the naive full-window hash rank.
+_Q138_CAP = 20
+
+
+def _q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.kmeans import kmeans_assign, kmeans_fit
+    from osm_spark.text.sampling import stratified_sample
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = kmeans_fit(emb, k=_KM_K, n_iters=_KM_ITERS)
+    assigned = kmeans_assign(emb, cents).select("vec_id", "cluster_id")
+    return stratified_sample(
+        assigned, "vec_id", "cluster_id", cap=_Q138_CAP
+    ).select("cluster_id", "vec_id")
+
+
+def _q138_oracle_sql() -> str:
+    return _kmeans_fit_cte() + f""",
+ h AS (SELECT vec_id, cid,
+              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) AS hv
+       FROM fin),
+ r AS (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY cid ORDER BY hv, vec_id) AS rk
+       FROM h)
+SELECT CAST(cid AS INT) AS cluster_id, vec_id FROM r WHERE rk <= {_Q138_CAP}
+"""
+
+
+_def("q138_cluster_sample", fn=_q_cluster_sample, duck_sql=_q138_oracle_sql())
 
 
 # X92 — Hausdorff similarity join (spatial/hausdorff.py): traveler
