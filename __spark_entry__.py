@@ -6939,6 +6939,72 @@ SELECT CAST(cid AS INT) AS cluster_id, vec_id FROM r WHERE rk <= {_Q138_CAP}
 _def("q138_cluster_sample", fn=_q_cluster_sample, duck_sql=_q138_oracle_sql())
 
 
+# X95 — zonal statistics (spatial/zonal.py): the raster→polygon
+# transfer (q23 density grid aggregated per admin area, center-
+# inclusion semantics). Engine: prefix-arithmetic interior + center
+# PIP only near boundaries; oracle: brute center enumeration against
+# the rect world models (the q128 pattern, opposite direction).
+_ZONAL_L = 8
+
+
+def _q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.pip_index import build_pip_index
+    from osm_spark.spatial.raster import rasterize_points
+    from osm_spark.spatial.zonal import zonal_stats
+
+    sp = _spatial(spark)
+    key = ("areal_index", id(spark))
+    if key not in _WORLD_CACHE:
+        _WORLD_CACHE[key] = spark.sparkContext.broadcast(
+            build_pip_index(sp["polygon_cells"], sp["polygon_geometry"])
+        )
+    grid = rasterize_points(sp["points"], level=_ZONAL_L)
+    return zonal_stats(
+        grid, sp["polygon_cells"], _WORLD_CACHE[key],
+        _ZONAL_L, 11,  # the _spatial pipeline covering's max_level
+    )
+
+
+def _q139_oracle_sql() -> str:
+    n = 1 << _ZONAL_L
+    gxe, gye = _grid_xy_duck("(lon_u / 1000000.0)", "(lat_u / 1000000.0)", _ZONAL_L)
+    parts = []
+    for rel_id, rings in _world_rects():
+        conds = []
+        for kind, (x0, y0, xx1, yy1) in rings:
+            if kind == "rect":
+                conds.append(
+                    f"(c.x > {_deg(x0)} AND c.x < {_deg(xx1)} "
+                    f"AND c.y > {_deg(y0)} AND c.y < {_deg(yy1)})"
+                )
+            else:
+                conds.append(
+                    f"NOT (c.x >= {_deg(x0)} AND c.x <= {_deg(xx1)} "
+                    f"AND c.y >= {_deg(y0)} AND c.y <= {_deg(yy1)})"
+                )
+        parts.append(
+            f"SELECT CAST({rel_id} AS BIGINT) AS rel_id, c.gx, c.gy, c.v "
+            f"FROM c WHERE " + " AND ".join(conds)
+        )
+    member = " UNION ALL ".join(parts)
+    return _pages_oracle_cte() + f""",
+ grid AS (SELECT {gxe} AS gx, {gye} AS gy, CAST(count(*) AS BIGINT) AS v
+          FROM pages GROUP BY gx, gy),
+ c AS (SELECT gx, gy, v,
+              -180.0 + (gx + 0.5) * (360.0 / {n}) AS x,
+              -90.0 + (gy + 0.5) * (180.0 / {n}) AS y
+       FROM grid),
+ mem AS ({member})
+SELECT rel_id, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(v) AS BIGINT) AS total, CAST(max(v) AS BIGINT) AS vmax,
+       CAST(sum(v) AS BIGINT) / CAST(count(*) AS BIGINT) AS zonal_mean
+FROM mem GROUP BY rel_id
+"""
+
+
+_def("q139_zonal_stats", fn=_q_zonal, duck_sql=_q139_oracle_sql())
+
+
 # X92 — Hausdorff similarity join (spatial/hausdorff.py): traveler
 # footprint pairs within symmetric discrete Hausdorff 1.5°. The engine
 # never builds a per-pair cross product (radius join + covered-count
