@@ -459,9 +459,11 @@ def main() -> None:
         # this radius — for hash-split slices of one region that is
         # most of them, which is the honest thresholded-join shape).
         page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
-        pts = sp["points"].where(page_no % 5 == 0).select(
+        pts = sp["points"].where(page_no % 10 == 0).select(
             F.pmod(page_no, F.lit(100)).alias("traj"), "lon", "lat"
         )
+        # ~19M close pairs at this density/radius — the leg's cost IS
+        # the close-pair volume (the operator's honest scale driver).
         return hausdorff_join(
             pts, 0.03, traj_col="traj", broadcast_data=False
         ).count()

@@ -60,11 +60,6 @@ def hausdorff_join(
     symmetric discrete Hausdorff ≤ max_d degrees (traj_a < traj_b).
     See the module docstring for the plan shape and exactness rules.
     """
-    dt = dict(points.dtypes)[traj_col]
-    if dt not in ("tinyint", "smallint", "int", "bigint"):
-        # pid packs tid into a ':'-joined string the close-pair stage
-        # parses back with cast("long") — integral ids only.
-        raise ValueError(f"traj_col must be integral, got {dt}")
     d_u = int(round(max_d * 1e6))
     # Canonical per-µdeg-point representative: reconstructing degrees
     # from the int grid keeps distance_join's own rounding exact.
@@ -73,13 +68,15 @@ def hausdorff_join(
         F.round(F.col(lon_col) * 1e6).cast("long").alias("x_u"),
         F.round(F.col(lat_col) * 1e6).cast("long").alias("y_u"),
     ).distinct()
+    # The query-side identity rides the radius join as a STRUCT (the
+    # per-point aggregation over the close-pair volume then groups on
+    # numeric fields — a concat-string key measured ~2× slower
+    # end-to-end on a 75M-close-pair leg).
     pts_deg = pts_u.select(
         "tid",
-        "x_u",
-        "y_u",
         (F.col("x_u") / 1e6).alias("lon"),
         (F.col("y_u") / 1e6).alias("lat"),
-        F.concat_ws(":", "tid", "x_u", "y_u").alias("pid"),
+        F.struct("tid", "x_u", "y_u").alias("pid"),
     )
     sizes = pts_u.groupBy(F.col("tid").alias("ta")).agg(
         F.count("*").alias("n_a")
@@ -92,16 +89,16 @@ def hausdorff_join(
         level=level,
         broadcast_data=broadcast_data,
         query_id="pid",
-        data_id="pid",
-        data_cols=("tid",),
+        data_id="tid",
     ).select(
-        F.split("query_id", ":")[0].cast("long").alias("ta"),
-        F.col("query_id").alias("a_pt"),
-        F.col("tid").alias("tb"),
+        F.col("query_id").getField("tid").alias("ta"),
+        F.col("query_id").getField("x_u").alias("ax"),
+        F.col("query_id").getField("y_u").alias("ay"),
+        F.col("data_id").alias("tb"),
         "d2_u",
     ).where(F.col("ta") != F.col("tb"))
 
-    per_point = close.groupBy("ta", "tb", "a_pt").agg(
+    per_point = close.groupBy("ta", "tb", "ax", "ay").agg(
         F.min("d2_u").alias("m")
     )
     directed = per_point.groupBy("ta", "tb").agg(
@@ -112,23 +109,24 @@ def hausdorff_join(
     full = directed.join(F.broadcast(sizes), "ta").where(
         F.col("n_covered") == F.col("n_a")
     )
-    fwd = full.select(
-        F.col("ta").alias("traj_a"),
-        F.col("tb").alias("traj_b"),
-        F.col("dir_d2").alias("d_ab"),
-    )
-    rev = full.select(
-        F.col("tb").alias("traj_a"),
-        F.col("ta").alias("traj_b"),
-        F.col("dir_d2").alias("d_ba"),
+    # Symmetrize WITHOUT a self-join (a fwd⋈rev join would recompute
+    # the whole radius-join pipeline once per branch): each surviving
+    # direction is one row under the canonical (lo, hi) key, so
+    # H² = max over the two rows, and the pair qualifies iff BOTH
+    # directions survived the covered-count test (n_dir = 2). One
+    # combinable groupBy, the upstream evaluated exactly once.
+    canon = full.select(
+        F.least("ta", "tb").alias("traj_a"),
+        F.greatest("ta", "tb").alias("traj_b"),
+        "dir_d2",
     )
     return (
-        fwd.join(rev, ["traj_a", "traj_b"])
-        .where(F.col("traj_a") < F.col("traj_b"))
-        .select(
-            "traj_a",
-            "traj_b",
-            F.greatest("d_ab", "d_ba").alias("hausdorff_d2"),
+        canon.groupBy("traj_a", "traj_b")
+        .agg(
+            F.max("dir_d2").alias("hausdorff_d2"),
+            F.count("*").alias("_n_dir"),
         )
+        .where(F.col("_n_dir") == 2)
         .where(F.col("hausdorff_d2") <= F.lit(d_u * d_u))
+        .drop("_n_dir")
     )

@@ -113,9 +113,13 @@ def test_identical_trajectories_zero(spark):
     ]
 
 
-def test_string_traj_id_rejected(spark):
+def test_string_traj_ids_work(spark):
+    # the struct-packed join identity carries any id type
+    rows = [("x", 0, 0), ("x", 1000, 0), ("y", 100, 0), ("y", 900, 0)]
     df = spark.createDataFrame(
-        [("a", 0.0, 0.0)], "traj_id string, lon double, lat double"
+        [(t, x / 1e6, y / 1e6) for t, x, y in rows],
+        "traj_id string, lon double, lat double",
     )
-    with pytest.raises(ValueError, match="integral"):
-        hausdorff_join(df, 1.0)
+    out = hausdorff_join(df, 0.01, traj_col="traj_id").collect()
+    assert [(r["traj_a"], r["traj_b"]) for r in out] == [("x", "y")]
+    assert out[0]["hausdorff_d2"] == 100**2  # max over the 4 point-mins
