@@ -7005,6 +7005,48 @@ FROM mem GROUP BY rel_id
 _def("q139_zonal_stats", fn=_q_zonal, duck_sql=_q139_oracle_sql())
 
 
+# X96 — spatio-temporal co-occurrence join (spatial/st_join.py):
+# page pairs within 0.3° AND 300 s — both predicates bite (110k pairs
+# pass space alone, 31k pass both). Engine: grid radius join with the
+# timestamp packed through the join key (no join-back); oracle: naive
+# cross join with both predicates inline.
+_Q140_D = 0.3
+_Q140_DT = 300
+
+
+def _q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.st_join import st_cooccur_join
+
+    geo = geoparse_pages(_pages_df(spark))
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    events = geo.select(
+        page_no.alias("event_id"), "warc_ts", "lon", "lat"
+    )
+    return st_cooccur_join(
+        events, _Q140_D, _Q140_DT, ts_col="warc_ts"
+    )
+
+
+def _q140_oracle_sql() -> str:
+    d_u = int(round(_Q140_D * 1e6))
+    return _pages_oracle_cte() + f""",
+ p AS (SELECT CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) AS id,
+              CAST(epoch(warc_ts) AS BIGINT) AS ts, lon_u AS x, lat_u AS y
+       FROM pages)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2_u,
+       CAST(b.ts - a.ts AS BIGINT) AS dt_s
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {d_u * d_u}
+  AND abs(a.ts - b.ts) <= {_Q140_DT}
+"""
+
+
+_def("q140_st_cooccur", fn=_q_st_join, duck_sql=_q140_oracle_sql())
+
+
 # X92 — Hausdorff similarity join (spatial/hausdorff.py): traveler
 # footprint pairs within symmetric discrete Hausdorff 1.5°. The engine
 # never builds a per-pair cross product (radius join + covered-count
