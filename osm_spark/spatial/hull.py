@@ -173,12 +173,21 @@ def hull_summary(
     # area2 via order-free shoelace over directed edges (first vertex
     # wraps): lead() window pairs consecutive vertices; the last pairs
     # with the first via coalesce against the group min (pos 0).
-    first = F.first(edge).over(
-        Window.partitionBy(*gc).orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    full_w = Window.partitionBy(*gc).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    first = F.first(edge).over(full_w)
     e2 = F.coalesce(nxt, first)
-    term = F.col("x_u") * e2["y_u"] - e2["x_u"] * F.col("y_u")
+    # Translate to the group's bbox corner before multiplying —
+    # shoelace is exactly translation-invariant in integer arithmetic,
+    # and regional hulls then multiply extents (≤ their span) instead
+    # of absolute coordinates (≤ 1.8·10⁸), keeping the per-term bound
+    # span² ≪ 2⁶³ no matter how many vertices the hull has.
+    x0 = F.min("x_u").over(full_w)
+    y0 = F.min("y_u").over(full_w)
+    term = (F.col("x_u") - x0) * (e2["y_u"] - y0) - (
+        e2["x_u"] - x0
+    ) * (F.col("y_u") - y0)
     return (
         verts.withColumn("_t", term)
         .withColumn("_v", vstr)
