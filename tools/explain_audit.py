@@ -102,6 +102,10 @@ CHECKS = {
     "q134_kmeans": (["HashAggregate"],
                     ["EvalPython", "CartesianProduct",
                      "BroadcastNestedLoopJoin"], 1),
+    # spatio-temporal join: one grid radius join, struct passthrough,
+    # no Python, no join-back against the event table
+    "q140_st_cooccur": ([], ["EvalPython", "CartesianProduct",
+                             "BroadcastNestedLoopJoin"], 1),
 }
 
 
