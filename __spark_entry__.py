@@ -7095,6 +7095,61 @@ WHERE f.ka < f.kb AND greatest(f.dd, r.dd) <= {d_u * d_u}
 _def("q136_hausdorff_join", fn=_q_hausdorff, duck_sql=_q136_oracle_sql())
 
 
+# X92b — geodesic Hausdorff join: the equirectangular (cos-scaled)
+# variant at this world's −84…−76° latitudes, where planar degrees
+# overweight longitude ~5×. Per-source-point metric (each directed
+# max-min uses its own cq) — the oracle replays exactly that rule.
+_Q141_MAX_D = 0.6
+
+
+def _q_hausdorff_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.hausdorff import hausdorff_join
+
+    geo = geoparse_pages(_pages_df(spark))
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    pts = geo.select(
+        (((page_no * F.lit(2654435761)) % F.lit(1000000)) % F.lit(37))
+        .alias("traveler"),
+        "lon",
+        "lat",
+    )
+    return hausdorff_join(
+        pts, _Q141_MAX_D, traj_col="traveler", metric="equirectangular"
+    )
+
+
+def _q141_oracle_sql() -> str:
+    d_u = int(round(_Q141_MAX_D * 1e6))
+    return _pages_oracle_cte() + f""",
+ pts AS (SELECT (CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT)
+                 * 2654435761) % 1000000 % 37 AS key, lon_u AS x, lat_u AS y
+         FROM pages),
+ u AS (SELECT DISTINCT key, x, y FROM pts),
+ uc AS (SELECT key, x, y,
+               CAST(round(cos(radians(y / 1000000.0)) * 1024) AS BIGINT) AS cq
+        FROM u),
+ mins AS (SELECT a.key AS ka, a.x, a.y, b.key AS kb,
+                 min(((abs(a.x - b.x) * a.cq) >> 10)
+                     * ((abs(a.x - b.x) * a.cq) >> 10)
+                     + (a.y - b.y) * (a.y - b.y)) AS m
+          FROM uc a JOIN u b ON a.key <> b.key
+          GROUP BY a.key, a.x, a.y, b.key),
+ dirs AS (SELECT ka, kb, max(m) AS dd FROM mins GROUP BY ka, kb)
+SELECT f.ka AS traj_a, f.kb AS traj_b,
+       CAST(greatest(f.dd, r.dd) AS BIGINT) AS hausdorff_d2
+FROM dirs f JOIN dirs r ON f.ka = r.kb AND f.kb = r.ka
+WHERE f.ka < f.kb AND greatest(f.dd, r.dd) <= {d_u}::BIGINT * {d_u}
+"""
+
+
+_def(
+    "q141_hausdorff_geodesic",
+    fn=_q_hausdorff_geo,
+    duck_sql=_q141_oracle_sql(),
+)
+
+
 # X93 — segment-crossing join (spatial/crossings.py): which traveler
 # paths properly cross, and at which steps. Engine: bbox cell covering
 # + equi-join candidates + exact orientation signs; oracle: the naive

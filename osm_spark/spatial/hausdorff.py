@@ -55,10 +55,19 @@ def hausdorff_join(
     lat_col: str = "lat",
     broadcast_data: bool = True,
     level: int | None = None,
+    metric: str = "planar",
 ) -> DataFrame:
     """(traj_a, traj_b, hausdorff_d2) for every unordered pair with
     symmetric discrete Hausdorff ≤ max_d degrees (traj_a < traj_b).
     See the module docstring for the plan shape and exactness rules.
+
+    ``metric="equirectangular"`` ranks with the distance_join
+    cos(source lat)-scaled int64 metric — correct across latitudes,
+    where planar degrees overweight longitude. The metric is
+    per-SOURCE-point (the standard local approximation), so each
+    directed max-min uses its own side's scaling and H² is the max of
+    the two quasi-metric directed values — deterministic, and the
+    q141 oracle replays exactly that.
     """
     d_u = int(round(max_d * 1e6))
     # Canonical per-µdeg-point representative: reconstructing degrees
@@ -90,6 +99,7 @@ def hausdorff_join(
         broadcast_data=broadcast_data,
         query_id="pid",
         data_id="tid",
+        metric=metric,
     ).select(
         F.col("query_id").getField("tid").alias("ta"),
         F.col("query_id").getField("x_u").alias("ax"),

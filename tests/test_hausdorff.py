@@ -113,6 +113,65 @@ def test_identical_trajectories_zero(spark):
     ]
 
 
+def _brute_geo(rows, d_u):
+    import math
+
+    pts = {}
+    for t, x, y in rows:
+        pts.setdefault(t, set()).add((x, y))
+
+    def d2(a, b):
+        cq = int(round(math.cos(math.radians(a[1] / 1e6)) * 1024))
+        lx = (abs(a[0] - b[0]) * cq) >> 10
+        return lx * lx + (a[1] - b[1]) ** 2
+
+    def directed(a, b):
+        return max(min(d2(p, q) for q in pts[b]) for p in pts[a])
+
+    out = {}
+    ks = sorted(pts)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            h2 = max(directed(a, b), directed(b, a))
+            if h2 <= d_u * d_u:
+                out[(a, b)] = h2
+    return out
+
+
+def test_geodesic_matches_brute_and_differs_from_planar(spark):
+    # high latitude (lat ~ 80°, cos ~ 0.17): lon-offset trajectories
+    # are geodesically close but planar-far
+    rows = []
+    for t in range(4):
+        for i in range(6):
+            h = hashlib.md5(f"hg-{t}-{i}".encode()).hexdigest()
+            rows.append(
+                (
+                    t,
+                    t * 400_000 + int(h[:5], 16) % 200_001 - 100_000,
+                    80_000_000 + int(h[5:10], 16) % 200_001 - 100_000,
+                )
+            )
+    df = spark.createDataFrame(
+        [(t, x / 1e6, y / 1e6) for t, x, y in rows],
+        "traj_id long, lon double, lat double",
+    )
+    max_d = 0.35
+    want = _brute_geo(rows, int(round(max_d * 1e6)))
+    got = {
+        (r["traj_a"], r["traj_b"]): r["hausdorff_d2"]
+        for r in hausdorff_join(
+            df, max_d, metric="equirectangular"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    planar = {
+        (r["traj_a"], r["traj_b"])
+        for r in hausdorff_join(df, max_d).collect()
+    }
+    assert set(got) != planar  # cos scaling changes the qualifying set
+
+
 def test_string_traj_ids_work(spark):
     # the struct-packed join identity carries any id type
     rows = [("x", 0, 0), ("x", 1000, 0), ("y", 100, 0), ("y", 900, 0)]
