@@ -6734,12 +6734,14 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(emb, cents)
 
 
-def _kmeans_fit_cte() -> str:
+def _kmeans_fit_cte(where: str = "") -> str:
     """WITH-body re-deriving the ENTIRE q134 fit in SQL — seeding,
     _KM_ITERS unrolled Lloyd rounds, final assignment `fin`(vec_id,
     cid, d2) and final centroids c{_KM_ITERS}(cid, c). Shared by the
-    q134 census oracle and the q138 cluster-balanced-sampling oracle
-    so the composition is checked against the same from-scratch fit."""
+    q134 census oracle, the q138 cluster-balanced-sampling oracle and
+    the q142 incremental-maintenance oracle so every composition is
+    checked against the same from-scratch fit. ``where`` restricts the
+    fitted source rows (q142 fits on the first commit only)."""
     k, iters, dim = _KM_K, _KM_ITERS, _KM_DIM
 
     def d2(q: str, c: str) -> str:
@@ -6761,7 +6763,7 @@ WITH qv AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-  FROM embeddings),
+  FROM embeddings {where}),
  c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, q AS c FROM (
    SELECT q, row_number() OVER (
      ORDER BY md5('km-' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
@@ -7093,6 +7095,105 @@ WHERE f.ka < f.kb AND greatest(f.dd, r.dd) <= {d_u * d_u}
 
 
 _def("q136_hausdorff_join", fn=_q_hausdorff, duck_sql=_q136_oracle_sql())
+
+
+# X97 — incremental k-means maintenance (the X89 pattern on the ML
+# path): embeddings land as TWO ManifestTable commits (even vec_ids,
+# then odd appended); the model table follows via a manifest
+# file-diff + zero-shuffle assignment + exact int64 state fold. The
+# oracle replays the ENTIRE flow in SQL: the shared from-scratch fit
+# on the first commit, the final-assignment census, the second
+# commit's assignment against the post-init centroids, and the merged
+# trunc-div state — hash-exact including the model digest.
+def _q_kmeans_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from osm_spark.sources.manifest_table import ManifestTable
+    from osm_spark.text.kmeans_incremental import kmeans_increment
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    root = tempfile.mkdtemp(prefix="km_inc_")
+    src = ManifestTable(spark, f"{root}/emb")
+    src.write(emb.where(F.col("vec_id") % 2 == 0), mode="overwrite")
+    kmeans_increment(spark, src, f"{root}/model", k=_KM_K,
+                     n_iters=_KM_ITERS)
+    src.write(emb.where(F.col("vec_id") % 2 == 1), mode="append")
+    kmeans_increment(spark, src, f"{root}/model", k=_KM_K,
+                     n_iters=_KM_ITERS)
+    model = ManifestTable(spark, f"{root}/model")
+    digest = F.md5(
+        F.concat_ws(",", F.transform("centroid", lambda x: x.cast("string")))
+    )
+    return (
+        model.read()
+        .where(F.col("cid") >= 0)
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            F.col("n").alias("n_points"),
+            digest.alias("centroid_digest"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _q142_oracle_sql() -> str:
+    dim, iters = _KM_DIM, _KM_ITERS
+    zeros = "list_value(" + ",".join(["0"] * dim) + ")"
+    sum_list = "list_value(" + ", ".join(
+        f"CAST(sum(q[{d + 1}]) AS BIGINT)" for d in range(dim)
+    ) + ")"
+
+    def tdiv(ss: str, n: str) -> str:
+        return (
+            f"list_transform({ss}, v -> CASE WHEN v >= 0 THEN v // {n} "
+            f"ELSE -((-v) // {n}) END)"
+        )
+
+    def d2(q: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i])), (x, y) -> x + y)"
+        )
+
+    return _kmeans_fit_cte(where="WHERE vec_id % 2 = 0") + f""",
+ st0 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n0, {sum_list} AS ss
+        FROM fin JOIN qv USING (vec_id) GROUP BY cid),
+ cst0 AS (SELECT p.cid,
+   coalesce(s.n0, 0) AS n0,
+   CASE WHEN s.cid IS NULL THEN {zeros} ELSE s.ss END AS ss,
+   CASE WHEN s.cid IS NULL OR s.n0 = 0 THEN p.c
+        ELSE {tdiv('s.ss', 's.n0')} END AS c
+   FROM c{iters} p LEFT JOIN st0 s USING (cid)),
+ qodd AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id % 2 = 1),
+ dodd AS (SELECT v.vec_id, v.q, c.cid, {d2('v.q', 'c.c')} AS d2
+          FROM qodd v CROSS JOIN cst0 c),
+ aodd AS (SELECT vec_id, q, cid FROM (
+   SELECT vec_id, q, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+   FROM dodd) WHERE rn = 1),
+ st1 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n1, {sum_list} AS ss1
+        FROM aodd GROUP BY cid),
+ merged AS (SELECT a.cid,
+   a.n0 + coalesce(b.n1, 0) AS n,
+   CASE WHEN b.cid IS NULL THEN a.ss
+        ELSE list_transform(range(1, {dim + 1}),
+                            i -> a.ss[i] + b.ss1[i]) END AS ss
+   FROM cst0 a LEFT JOIN st1 b USING (cid)),
+ final_state AS (SELECT m.cid, m.n,
+   CASE WHEN m.n = 0 THEN c.c ELSE {tdiv('m.ss', 'm.n')} END AS centroid
+   FROM merged m JOIN cst0 c USING (cid))
+SELECT CAST(cid AS INT) AS cluster_id, CAST(n AS BIGINT) AS n_points,
+       md5(list_aggregate(list_transform(centroid,
+             x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS centroid_digest
+FROM final_state
+"""
+
+
+_def("q142_kmeans_increment", fn=_q_kmeans_inc, duck_sql=_q142_oracle_sql())
 
 
 # X92b — geodesic Hausdorff join: the equirectangular (cos-scaled)
