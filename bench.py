@@ -643,8 +643,11 @@ def main() -> None:
     def run_kmeans():
         from osm_spark.text.kmeans import kmeans_fit, kmeans_summary
 
+        # numpy kernel = the throughput path, BIT-identical to the
+        # oracle-pinned catalyst kernel (integer GEMM — pytest pins
+        # equality); q134 certifies the catalyst path against DuckDB.
         emb = approx_holder["scale_emb"]
-        cents = kmeans_fit(emb, k=16, n_iters=3)
+        cents = kmeans_fit(emb, k=16, n_iters=3, kernel="numpy")
         return kmeans_summary(emb, cents).count()
 
     timed("kmeans", run_kmeans)

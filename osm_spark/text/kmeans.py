@@ -131,6 +131,56 @@ def kmeans_seeds(
     return [[int(v) for v in r["q"]] for r in rows]
 
 
+def _round_sums_numpy(base: DataFrame, cents: list[list[int]]):
+    """One Lloyd round's (cid → n, per-dim sums) via an Arrow int64
+    GEMM: d2 = |q|² − 2·q·Cᵀ + |c|² with EVERY operand int64, so the
+    argmin (np.argmin ties to the lowest cid, same as array_min on
+    (d2, cid) structs) and the emitted sums are bit-identical to the
+    Catalyst kernel — the semdedup dual-kernel pattern, except here
+    integer arithmetic makes the equality exact, not approximate.
+    Per batch the kernel emits ≤ k pre-aggregated rows (a batch-level
+    combiner); int64 bound: |q·c| ≤ dim·(|x|·scale)² — safe to
+    |x| ≈ 470 at scale 10⁶."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)
+    dim = C.shape[1]
+    c2 = (C * C).sum(axis=1)
+
+    def fold(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.asarray(pdf["q"].tolist(), dtype=np.int64)
+            G = Q @ C.T
+            D = (Q * Q).sum(axis=1)[:, None] - 2 * G + c2[None, :]
+            cid = np.argmin(D, axis=1)
+            out = {"cid": [], "n": []}
+            sums_cols = {f"s{d}": [] for d in range(dim)}
+            for j in np.unique(cid):
+                sel = Q[cid == j]
+                out["cid"].append(int(j))
+                out["n"].append(int(sel.shape[0]))
+                s = sel.sum(axis=0, dtype=np.int64)
+                for d in range(dim):
+                    sums_cols[f"s{d}"].append(int(s[d]))
+            yield pd.DataFrame({**out, **sums_cols})
+
+    schema = "cid int, n long, " + ", ".join(
+        f"s{d} long" for d in range(dim)
+    )
+    return (
+        base.mapInPandas(fold, schema)
+        .groupBy("cid")
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(dim)],
+        )
+        .collect()
+    )
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int,
@@ -138,6 +188,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = DEFAULT_SCALE,
+    kernel: str = "catalyst",
 ) -> list[list[int]]:
     """Full-corpus Lloyd fit → k int64 centroids (micro-units).
 
@@ -145,27 +196,38 @@ def kmeans_fit(
     is bounded by k×tasks rows (see module docstring). The returned
     centroids are a pure function of the row SET — partitioning,
     executor count, and task order cannot change a bit.
-    """
+
+    ``kernel="catalyst"`` (default): pure-JVM assignment folds — the
+    oracle-pinned path. ``kernel="numpy"``: Arrow int64 GEMM with a
+    batch-level combiner — the throughput path for wide dim·k, and
+    BIT-IDENTICAL to catalyst (integer arithmetic throughout; pinned
+    by test_kmeans)."""
+    if kernel not in ("catalyst", "numpy"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     cents = kmeans_seeds(embeddings, k, id_col, vec_col, scale)
     dim = len(cents[0])
     base = embeddings.select(
         quantize_vectors(embeddings, vec_col, scale).alias("q")
     )
     for _ in range(n_iters):
-        assigned = base.select(
-            F.col("q"), assign_expr(F.col("q"), cents)["cid"].alias("cid")
-        )
-        sums = (
-            assigned.groupBy("cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.col("q")[d]).alias(f"s{d}")
-                    for d in range(dim)
-                ],
+        if kernel == "numpy":
+            sums = _round_sums_numpy(base, cents)
+        else:
+            assigned = base.select(
+                F.col("q"),
+                assign_expr(F.col("q"), cents)["cid"].alias("cid"),
             )
-            .collect()
-        )
+            sums = (
+                assigned.groupBy("cid")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.col("q")[d]).alias(f"s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .collect()
+            )
         nxt = [list(c) for c in cents]  # emptied cluster keeps previous
         for r in sums:
             n = int(r["n"])

@@ -179,6 +179,15 @@ def test_assignment_plan_is_pure_catalyst(corpus):
     assert "Exchange" not in plan  # zero-shuffle assignment pass
 
 
+def test_numpy_kernel_bit_identical(corpus):
+    rows, df = corpus
+    a = kmeans_fit(df, k=4, n_iters=3)
+    b = kmeans_fit(df.repartition(5), k=4, n_iters=3, kernel="numpy")
+    assert a == b
+    with pytest.raises(ValueError, match="kernel"):
+        kmeans_fit(df, k=2, n_iters=1, kernel="gpu")
+
+
 def test_k_exceeds_corpus_raises(spark):
     df = spark.createDataFrame(
         [(1, [0.0])], "vec_id long, embedding array<double>"
