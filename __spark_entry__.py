@@ -7196,6 +7196,45 @@ FROM final_state
 _def("q142_kmeans_increment", fn=_q_kmeans_inc, duck_sql=_q142_oracle_sql())
 
 
+# X98 — space-time cube (X73 pyramid × time grain): every tile at
+# levels 3..6 per MINUTE bucket and all-time, one point-scale pass.
+# Engine rolls ancestors/all-time up from the leaf aggregate (prefix
+# shifts, cells-scale); the oracle re-floors and re-mortons every
+# (level, grain) slice independently from the raw coordinates.
+def _q_st_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.pyramid import space_time_cube
+
+    geo = geoparse_pages(_pages_df(spark))
+    return space_time_cube(
+        geo, "warc_ts", max_level=6, min_level=3, bucket="minute"
+    )
+
+
+def _q143_oracle_sql() -> str:
+    px, py = "(lon_u / 1000000.0)", "(lat_u / 1000000.0)"
+    slices = []
+    for lv in range(3, 7):
+        slices.append(
+            f"SELECT CAST({lv} AS INT) AS level, "
+            f"{_tile_expr_duck(px, py, lv)} AS cell, "
+            f"date_trunc('minute', warc_ts) AS t_bucket, "
+            f"CAST(count(*) AS BIGINT) AS n_points "
+            f"FROM pages GROUP BY 1, 2, 3"
+        )
+        slices.append(
+            f"SELECT CAST({lv} AS INT) AS level, "
+            f"{_tile_expr_duck(px, py, lv)} AS cell, "
+            f"CAST(NULL AS TIMESTAMP) AS t_bucket, "
+            f"CAST(count(*) AS BIGINT) AS n_points "
+            f"FROM pages GROUP BY 1, 2, 3"
+        )
+    return _pages_oracle_cte() + "\nUNION ALL\n".join(slices)
+
+
+_def("q143_space_time_cube", fn=_q_st_cube, duck_sql=_q143_oracle_sql())
+
+
 # X92b — geodesic Hausdorff join: the equirectangular (cos-scaled)
 # variant at this world's −84…−76° latitudes, where planar degrees
 # overweight longitude ~5×. Per-source-point metric (each directed

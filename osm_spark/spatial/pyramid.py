@@ -81,3 +81,66 @@ def tile_pyramid(
         )
         .agg(*[F.sum(c).alias(c) for c in measure_cols])
     )
+
+
+def space_time_cube(
+    points: DataFrame,
+    ts_col: str,
+    max_level: int,
+    min_level: int = 0,
+    lon: str = "lon",
+    lat: str = "lat",
+    bucket: str = "hour",
+) -> DataFrame:
+    """(level, cell, t_bucket, n_points): the multi-zoom ×
+    multi-time-grain OLAP cube — every tile at every level in
+    [min_level, max_level], per ``bucket``-truncated timestamp AND
+    all-time (t_bucket NULL), in one pass.
+
+    Scale shape (the X73 pyramid argument extended with time): the
+    point corpus is touched by exactly ONE map-side-combinable
+    groupBy at (leaf cell, bucket); the level fan-out (prefix shifts)
+    and the all-time rollup both run on the CELLS×buckets aggregate —
+    cube size ≤ leaves × levels × (buckets + 1) rows, independent of
+    the point count. A dashboard zoom/scrub never rescans points.
+    """
+    if not 0 <= min_level <= max_level:
+        raise ValueError(f"bad level range [{min_level}, {max_level}]")
+    leaf = points.groupBy(
+        cell_expr(F.col(lon), F.col(lat), max_level).alias("cell"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("t_bucket"),
+    ).agg(F.count("*").alias("n_points"))
+    fan = leaf.select(
+        F.explode(
+            F.sequence(F.lit(min_level), F.lit(max_level))
+        ).alias("level"),
+        "cell",
+        "t_bucket",
+        "n_points",
+    )
+    parent = (
+        F.shiftleft(
+            F.call_function(
+                "shiftright",
+                F.shiftright(F.col("cell"), 6),
+                ((F.lit(max_level) - F.col("level")) * 2).cast("int"),
+            ),
+            6,
+        )
+        .bitwiseOR(F.col("level"))
+        .cast("long")
+    )
+    per_bucket = fan.groupBy(
+        F.col("level").cast("int").alias("level"),
+        parent.alias("cell"),
+        "t_bucket",
+    ).agg(F.sum("n_points").alias("n_points"))
+    all_time = per_bucket.groupBy("level", "cell").agg(
+        F.sum("n_points").alias("n_points")
+    ).select(
+        "level",
+        "cell",
+        F.lit(None).cast("timestamp").alias("t_bucket"),
+        "n_points",
+    )
+    return per_bucket.unionByName(all_time)

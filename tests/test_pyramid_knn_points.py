@@ -293,3 +293,42 @@ def test_knn_points_shuffle_join_identical(spark):
         broadcast_data=False,
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_space_time_cube_matches_twin(spark, pts_df):
+    import datetime
+
+    from osm_spark.spatial.pyramid import space_time_cube
+
+    rows = pts_df.select("lon", "lat", "id").collect()
+    base = datetime.datetime(2021, 3, 1, 12, 0, 0)
+    tagged = [
+        (r.id, r.lon, r.lat, base + datetime.timedelta(seconds=int(r.id) * 97))
+        for r in rows
+    ]
+    df = spark.createDataFrame(
+        tagged, "id long, lon double, lat double, ts timestamp"
+    )
+    got = {
+        (r.level, r.cell, r.t_bucket): r.n_points
+        for r in space_time_cube(
+            df, "ts", max_level=5, min_level=2, bucket="minute"
+        ).collect()
+    }
+    exp = {}
+    lon = np.array([t[1] for t in tagged])
+    lat = np.array([t[2] for t in tagged])
+    mins = [t[3].replace(second=0, microsecond=0) for t in tagged]
+    for lv in range(2, 6):
+        cells = point_to_cell(lon, lat, lv)
+        for c, m in zip(cells.tolist(), mins):
+            for key in ((lv, c, m), (lv, c, None)):
+                exp[key] = exp.get(key, 0) + 1
+    assert got == exp
+    # all-time slice equals the sum of its minute slices at every tile
+    for (lv, c, m), n in got.items():
+        if m is None:
+            assert n == sum(
+                v for (l2, c2, m2), v in got.items()
+                if l2 == lv and c2 == c and m2 is not None
+            )
