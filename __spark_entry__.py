@@ -3621,6 +3621,48 @@ LEFT JOIN (SELECT dst, count(*) AS indeg FROM edges GROUP BY dst) i
 _def("q82_degrees", fn=_q_degrees, duck_sql=_q82_oracle_sql())
 
 
+# X99 — bounded-depth crawl BFS (text/bfs.py): min hop distance from
+# the seed list over the page link graph, depth ≤ 8 (the bound is the
+# CONTRACT — it is also what makes the recursive-CTE oracle terminate
+# on cyclic graphs; within the bound BFS depth = true shortest hop).
+_Q144_SEED_MOD = 97
+_Q144_MAX_DEPTH = 8
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.bfs import bfs_depths
+    from osm_spark.text.links import page_edges
+
+    pages = _pages_df(spark)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    seeds = pages.where(page_no % _Q144_SEED_MOD == 0).select("url")
+    return bfs_depths(seeds, page_edges(pages), _Q144_MAX_DEPTH)
+
+
+def _q144_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte(columns="url, html_str")
+        + ","
+        + _LINKS_DUCK
+        + f""",
+ seeds AS (SELECT url FROM pages
+           WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT)
+                 % {_Q144_SEED_MOD} = 0),
+ walk AS (
+   WITH RECURSIVE r(url, d) AS (
+     SELECT url, 0 FROM seeds
+     UNION
+     SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.url
+     WHERE r.d < {_Q144_MAX_DEPTH})
+   SELECT * FROM r)
+SELECT url, CAST(min(d) AS BIGINT) AS depth FROM walk GROUP BY url
+"""
+    )
+
+
+_def("q144_crawl_depth", fn=_q_bfs, duck_sql=_q144_oracle_sql())
+
+
 # X48 — weakly-connected components of the page graph (q83): the
 # large-star/small-star contraction (X34) applied to URL-string nodes
 # over the extracted link edges, with the page table as the explicit
