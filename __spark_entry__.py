@@ -3663,6 +3663,48 @@ SELECT url, CAST(min(d) AS BIGINT) AS depth FROM walk GROUP BY url
 _def("q144_crawl_depth", fn=_q_bfs, duck_sql=_q144_oracle_sql())
 
 
+# X100 — exact systematic PPS sampling (text/pps.py): documents drawn
+# ∝ n_chars, m = 50, Σ mult = m exactly. Engine: two-phase prefix sum
+# (range partition + partition-local window); oracle: ONE naive
+# full-table window + the same positive-operand integer count
+# formula (DuckDB // == Spark div on positives).
+_Q145_M = 50
+
+
+def _q_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.pps import pps_sample
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    return pps_sample(docs, _Q145_M, weight_col="n_chars")
+
+
+def _q145_oracle_sql() -> str:
+    m = _Q145_M
+    cnt = (
+        "CASE WHEN {n} <= 0 THEN 0 "
+        f"ELSE least({m}, ({{n}} + 2 * t.W - 1) // (2 * t.W)) END"
+    )
+    return f"""
+WITH src AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+ t AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM src),
+ pre AS (SELECT doc_id, w,
+           CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS c
+         FROM src),
+ calc AS (SELECT p.doc_id, p.w,
+            ({cnt.format(n='(2 * {m} * (p.c + p.w) - t.W)'.format(m=m))})
+          - ({cnt.format(n='(2 * {m} * p.c - t.W)'.format(m=m))}) AS mult
+          FROM pre p CROSS JOIN t)
+SELECT doc_id, w AS weight, CAST(mult AS BIGINT) AS mult
+FROM calc WHERE mult > 0
+"""
+
+
+_def("q145_pps_sample", fn=_q_pps, duck_sql=_q145_oracle_sql())
+
+
 # X48 — weakly-connected components of the page graph (q83): the
 # large-star/small-star contraction (X34) applied to URL-string nodes
 # over the extracted link edges, with the page table as the explicit
