@@ -7443,6 +7443,231 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X100 — IVF-PQ ANN (text/pq.py): memory-compressed vector search —
+# codes are 4 B/row vs 256 B of floats, ADC ranks candidates without
+# touching vector bytes, exact-integer refine re-ranks the short head.
+# Engine: driver-trained integer codebooks (np twin pinned
+# bit-identical to the q134-oracle-pinned kmeans_fit by test_pq) →
+# zero-shuffle encode → list_id equi-join → ADC zip_with → refine.
+# Oracle: codebooks embedded as int VALUES; assignment, codes, probes,
+# LUT, ADC ranking, refine and recall ALL recomputed relationally in
+# SQL — exact int64 arithmetic end to end, so every row hash-matches.
+_Q146_M_SUB, _Q146_KSUB, _Q146_N_PROBE, _Q146_REFINE = 4, 16, 4, 25
+
+
+def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.pq import exact_int_topk, pq_adc_topk, pq_encode, pq_fit
+
+    _load(spark, sf_dir)
+    emb = spark.table("embeddings")
+    model = pq_fit(emb, m_sub=_Q146_M_SUB, ksub=_Q146_KSUB, n_iters=3)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    encoded = pq_encode(emb, model)
+    adc5 = pq_adc_topk(
+        emb, queries, model, k=5, n_probe=_Q146_N_PROBE, encoded=encoded
+    )
+    ref5 = pq_adc_topk(
+        emb,
+        queries,
+        model,
+        k=5,
+        n_probe=_Q146_N_PROBE,
+        refine=_Q146_REFINE,
+        encoded=encoded,
+    )
+    exact5 = exact_int_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def digest_hits(df: DataFrame, tag: str) -> DataFrame:
+        hits = df.join(exact5, ["query_id", "neighbor_id"], "left_semi")
+        return (
+            df.groupBy("query_id")
+            .agg(
+                F.max("n_candidates").cast("long").alias("n_candidates"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.sort_array(F.collect_list("neighbor_id")),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias(f"{tag}_digest"),
+            )
+            .join(
+                hits.groupBy("query_id").agg(
+                    F.count("*").alias(f"n_hit_{tag}")
+                ),
+                "query_id",
+                "left",
+            )
+            .withColumn(
+                f"n_hit_{tag}",
+                F.coalesce(f"n_hit_{tag}", F.lit(0)).cast("long"),
+            )
+        )
+
+    a = digest_hits(adc5, "adc")
+    r = digest_hits(ref5, "refined").drop("n_candidates")
+    return a.join(r, "query_id").select(
+        "query_id",
+        "n_candidates",
+        "adc_digest",
+        "refined_digest",
+        "n_hit_adc",
+        "n_hit_refined",
+        (F.col("n_hit_adc").cast("double") / F.lit(5.0)).alias("recall_adc"),
+        (F.col("n_hit_refined").cast("double") / F.lit(5.0)).alias(
+            "recall_refined"
+        ),
+    )
+
+
+def _q146_oracle_sql() -> str:
+    """Recomputes the ENTIRE IVF-PQ search relationally: the only
+    imported artifacts are the integer codebooks (VALUES), whose
+    trainer is itself pinned to the q134-SQL-replayed kmeans_fit by
+    test_pq — everything Spark executes at corpus scale (assignment,
+    codes, probes, LUT, ADC ranking, refine, recall) is re-derived
+    here from the parquet by independent SQL."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pqt
+
+    from osm_spark.text.ann import auto_n_lists
+    from osm_spark.text.pq import train_pq_np
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tb = pqt.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tb["vec_id"].to_pylist(), dtype=np.int64)
+    X = np.asarray(tb["embedding"].to_pylist(), dtype=np.float64)
+    n_lists = auto_n_lists(len(ids))
+    coarse = train_pq_np(ids, X, 1, n_lists, 3)[0]
+    books = train_pq_np(ids, X, _Q146_M_SUB, _Q146_KSUB, 3)
+    dim = coarse.shape[1]
+    dsub = dim // _Q146_M_SUB
+
+    coarse_vals = ",\n".join(
+        "(" + ",".join([str(j)] + [str(int(v)) for v in coarse[j]]) + ")"
+        for j in range(n_lists)
+    )
+    cb_vals = ",\n".join(
+        "("
+        + ",".join([str(s), str(c)] + [str(int(v)) for v in books[s, c]])
+        + ")"
+        for s in range(_Q146_M_SUB)
+        for c in range(_Q146_KSUB)
+    )
+    ccols = ", ".join(f"c{d}" for d in range(dim))
+    bcols = ", ".join(f"d{d}" for d in range(dsub))
+    clist = "list_value(" + ", ".join(f"c{d}" for d in range(dim)) + ")"
+    blist = "list_value(" + ", ".join(f"d{d}" for d in range(dsub)) + ")"
+
+    def d2full(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+        )
+
+    sub_d2 = (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), "
+        f"i -> (v.q[b.s * {dsub} + i] - b.bv[i])"
+        f" * (v.q[b.s * {dsub} + i] - b.bv[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+coarse_rows(j, {ccols}) AS (VALUES {coarse_vals}),
+coarse AS (SELECT j, {clist} AS cv FROM coarse_rows),
+cb_rows(s, code, {bcols}) AS (VALUES {cb_vals}),
+cb AS (SELECT s, code, {blist} AS bv FROM cb_rows),
+cd AS (SELECT v.vec_id, c.j, {d2full('v.q', 'c.cv')} AS d2
+       FROM qv v CROSS JOIN coarse c),
+assigned AS (SELECT vec_id, j AS list_id FROM (
+  SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) r
+  FROM cd) WHERE r = 1),
+sd AS (SELECT v.vec_id, b.s, b.code, {sub_d2} AS d2
+       FROM qv v CROSS JOIN cb b),
+codes AS (SELECT vec_id, s, code FROM (
+  SELECT vec_id, s, code,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) r
+  FROM sd) WHERE r = 1),
+probes AS (SELECT query_id, j AS list_id FROM (
+  SELECT vec_id AS query_id, j,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) r
+  FROM cd WHERE vec_id % 50 = 0) WHERE r <= {_Q146_N_PROBE}),
+lut AS (SELECT vec_id AS query_id, s, code, d2 FROM sd
+        WHERE vec_id % 50 = 0),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         FROM probes p JOIN assigned a USING (list_id)
+         WHERE a.vec_id != p.query_id),
+adc AS (SELECT c.query_id, c.neighbor_id, sum(l.d2) AS adc_d2
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.s = k.s AND l.code = k.code
+        GROUP BY c.query_id, c.neighbor_id),
+rankedadc AS (SELECT query_id, neighbor_id, adc_d2,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_d2, neighbor_id) AS r,
+    count(*) OVER (PARTITION BY query_id) AS n_candidates
+  FROM adc),
+a5 AS (SELECT query_id, neighbor_id, n_candidates
+       FROM rankedadc WHERE r <= 5),
+head AS (SELECT query_id, neighbor_id FROM rankedadc
+         WHERE r <= {_Q146_REFINE}),
+refd AS (SELECT h.query_id, h.neighbor_id,
+                {d2full('a.q', 'n.q')} AS d2
+         FROM head h
+         JOIN qv a ON a.vec_id = h.query_id
+         JOIN qv n ON n.vec_id = h.neighbor_id),
+r5 AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, neighbor_id) rr
+  FROM refd) WHERE rr <= 5),
+ed AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              {d2full('a.q', 'b.q')} AS d2
+       FROM qv a JOIN qv b ON b.vec_id != a.vec_id
+       WHERE a.vec_id % 50 = 0),
+e5 AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, neighbor_id) r
+  FROM ed) WHERE r <= 5),
+agg_a AS (SELECT a.query_id,
+    CAST(MAX(a.n_candidates) AS BIGINT) AS n_candidates,
+    md5(string_agg(CAST(a.neighbor_id AS VARCHAR), ','
+                   ORDER BY a.neighbor_id)) AS adc_digest,
+    CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hit_adc
+  FROM a5 a LEFT JOIN e5 e USING (query_id, neighbor_id)
+  GROUP BY a.query_id),
+agg_r AS (SELECT r.query_id,
+    md5(string_agg(CAST(r.neighbor_id AS VARCHAR), ','
+                   ORDER BY r.neighbor_id)) AS refined_digest,
+    CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hit_refined
+  FROM r5 r LEFT JOIN e5 e USING (query_id, neighbor_id)
+  GROUP BY r.query_id)
+SELECT a.query_id, a.n_candidates, a.adc_digest, r.refined_digest,
+       a.n_hit_adc, r.n_hit_refined,
+       CAST(a.n_hit_adc AS DOUBLE) / 5.0 AS recall_adc,
+       CAST(r.n_hit_refined AS DOUBLE) / 5.0 AS recall_refined
+FROM agg_a a JOIN agg_r r USING (query_id)
+"""
+
+
+_def("q146_pq_ann", fn=_q_pq_ann, duck_sql=_q146_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
