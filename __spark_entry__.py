@@ -7443,6 +7443,56 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X101 — marching-squares isolines (spatial/isolines.py): threshold
+# contours of the page-density raster, midpoint vertices in half-unit
+# int64 coordinates (exact end to end), center-low saddle rule, multi
+# threshold in one pass. Engine: occupied-cell 4-block fan-out + ONE
+# groupBy(block) + literal segment table; oracle: the same 16-case
+# table as VALUES over an independently-derived SQL grid.
+def _q_isolines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.isolines import isolines
+    from osm_spark.spatial.raster import rasterize_points
+
+    sp = _spatial(spark)
+    grid = rasterize_points(sp["points"], level=6)
+    return isolines(grid, [1, 10])
+
+
+def _q147_oracle_sql() -> str:
+    from osm_spark.spatial.isolines import MS_TABLE
+
+    seg_vals = ", ".join(
+        f"({c}, {i}, {a}, {b})"
+        for c, pairs in sorted(MS_TABLE.items())
+        for i, (a, b) in enumerate(pairs)
+    )
+    return _pages_oracle_cte() + f""",
+ grid AS (SELECT {_gx6} AS gx, {_gy6} AS gy, count(*) AS n
+          FROM pages GROUP BY 1, 2),
+ thr(thr) AS (VALUES (CAST(1 AS BIGINT)), (CAST(10 AS BIGINT))),
+ corners(dx, dy, w) AS (VALUES (0, 0, 1), (1, 0, 2), (1, 1, 4), (0, 1, 8)),
+ blocks AS (SELECT t.thr, g.gx - c.dx AS bx, g.gy - c.dy AS by,
+                   sum(c.w) AS mcase
+            FROM grid g JOIN thr t ON g.n >= t.thr
+            CROSS JOIN corners c
+            GROUP BY 1, 2, 3
+            HAVING sum(c.w) > 0 AND sum(c.w) < 15),
+ segtab(mcase, seg, e1, e2) AS (VALUES {seg_vals}),
+ edges(e, ex, ey) AS (VALUES (0, 1, 0), (1, 2, 1), (2, 1, 2), (3, 0, 1))
+SELECT b.thr, b.bx, b.by, CAST(b.mcase AS INT) AS mcase,
+       CAST(s.seg AS INT) AS seg,
+       2 * b.bx + a.ex AS x1h, 2 * b.by + a.ey AS y1h,
+       2 * b.bx + c2.ex AS x2h, 2 * b.by + c2.ey AS y2h
+FROM blocks b
+JOIN segtab s ON s.mcase = b.mcase
+JOIN edges a ON a.e = s.e1
+JOIN edges c2 ON c2.e = s.e2
+"""
+
+
+_def("q147_isolines", fn=_q_isolines, duck_sql=_q147_oracle_sql())
+
+
 # X100 — IVF-PQ ANN (text/pq.py): memory-compressed vector search —
 # codes are 4 B/row vs 256 B of floats, ADC ranks candidates without
 # touching vector bytes, exact-integer refine re-ranks the short head.
