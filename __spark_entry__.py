@@ -7443,6 +7443,74 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X102 — triangle counting (text/triangles.py): link-farm detection
+# primitive over the host graph. Engine: degree-oriented wedge join
+# (min-rank apex ⇒ each triangle once; hubs emit zero wedges — the
+# O(√m) out-degree cap). Oracle: the same orientation re-derived
+# relationally with explicit (deg, id) tie booleans.
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.triangles import triangle_counts
+    from osm_spark.text.urls import normalize_url
+
+    _load(spark, sf_dir)
+    src_sql, dst_sql = _host_edge_exprs(s="STRING", idiv="div")
+    pairs = spark.table("documents").select(
+        normalize_url(F.expr(src_sql)).alias("src"),
+        normalize_url(F.expr(dst_sql)).alias("dst"),
+    )
+    host = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+    hedges = pairs.select(
+        F.regexp_extract("src", host, 1).alias("src"),
+        F.regexp_extract("dst", host, 1).alias("dst"),
+    )
+    return triangle_counts(hedges).withColumnRenamed("node", "host")
+
+
+def _q148_oracle_sql() -> str:
+    src_sql, dst_sql = _host_edge_exprs(s="VARCHAR", idiv="//")
+    lt_ab = "(da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b))"
+    lt_xy = "(o1.degv < o2.degv OR (o1.degv = o2.degv AND o1.v < o2.v))"
+    return (
+        f"""
+WITH caps AS (
+  SELECT doc_id, {src_sql} AS src_raw, {dst_sql} AS dst_raw
+  FROM documents),
+ u0 AS (
+  SELECT doc_id * 2 AS doc_id, src_raw AS url FROM caps
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id, dst_raw AS url FROM caps),"""
+        + _URL_NORM_DUCK
+        + f"""
+, e AS (SELECT s.norm_url AS src, d.norm_url AS dst
+        FROM final s JOIN final d ON d.doc_id = s.doc_id + 1
+        WHERE s.doc_id % 2 = 0),
+ hosts AS (
+  SELECT regexp_extract(src, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS sh,
+         regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS dh
+  FROM e),
+ und AS (SELECT DISTINCT least(sh, dh) AS a, greatest(sh, dh) AS b
+         FROM hosts WHERE sh != dh),
+ deg AS (SELECT node, count(*) AS deg FROM (
+   SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+ o AS (SELECT CASE WHEN {lt_ab} THEN u.a ELSE u.b END AS u,
+              CASE WHEN {lt_ab} THEN u.b ELSE u.a END AS v,
+              CASE WHEN {lt_ab} THEN db.deg ELSE da.deg END AS degv
+       FROM und u JOIN deg da ON da.node = u.a
+                  JOIN deg db ON db.node = u.b),
+ w AS (SELECT o1.u, o1.v AS x, o2.v AS y
+       FROM o o1 JOIN o o2 ON o1.u = o2.u AND {lt_xy}),
+ tri AS (SELECT w.u AS z, w.x, w.y
+         FROM w JOIN o ON o.u = w.x AND o.v = w.y)
+SELECT node AS host, CAST(count(*) AS BIGINT) AS n_tri FROM (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri) GROUP BY node
+"""
+    )
+
+
+_def("q148_host_triangles", fn=_q_triangles, duck_sql=_q148_oracle_sql())
+
+
 # X101 — marching-squares isolines (spatial/isolines.py): threshold
 # contours of the page-density raster, midpoint vertices in half-unit
 # int64 coordinates (exact end to end), center-low saddle rule, multi
