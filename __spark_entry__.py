@@ -7443,6 +7443,108 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X103 — KMV (theta) sketch (operators/sketch.py): the distinct
+# structure HLL can't give — set INTERSECTION. k smallest distinct
+# 48-bit hashes per group; (k-1)·2^48/h_k estimates the count;
+# θ-truncation makes pairwise union/intersection estimable from two
+# k-element arrays. q149: per-lang distinct-token estimates; q150:
+# cross-lang shared-vocabulary estimates. Scale: the combiner kernel
+# (bounded k-per-group-per-task state, pinned bit-identical to the
+# window form by test_kmv) and the mergeable-sketch property (pinned:
+# sketch(A∪B) == merge(sketch A, sketch B)).
+_KMV_K = 64
+_KMV_FULL = 1 << 48
+_KMV_HASH_DUCK = "CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT)"
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    _load(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "lang", F.explode(F.expr(_TOKENS_SPARK)).alias("token")
+    )
+    sk = kmv_sketch(toks, "token", ["lang"], k=_KMV_K, kernel="combiner")
+    return kmv_estimate(sk, k=_KMV_K)
+
+
+def _kmv_rank_cte() -> str:
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({_TOKENS_DUCK}) AS token FROM documents),
+ dh AS (SELECT DISTINCT lang, {_KMV_HASH_DUCK} AS h FROM toks),
+ rk AS (SELECT lang, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+        FROM dh),
+ sat AS (SELECT lang, count(*) AS n,
+                max(CASE WHEN r = {_KMV_K} THEN h END) AS hk
+         FROM rk WHERE r <= {_KMV_K} GROUP BY lang)"""
+
+
+def _q149_oracle_sql() -> str:
+    km1 = (_KMV_K - 1) * _KMV_FULL
+    return (
+        _kmv_rank_cte()
+        + f"""
+SELECT lang, CAST(n AS BIGINT) AS n_sketch, n >= {_KMV_K} AS saturated,
+       CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+            ELSE CAST({km1} AS DOUBLE) / CAST(hk AS DOUBLE) END AS est
+FROM sat
+"""
+    )
+
+
+_def("q149_kmv_distinct", fn=_q_kmv_distinct, duck_sql=_q149_oracle_sql())
+
+
+def _q_kmv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.operators.sketch import kmv_pair_ops, kmv_sketch
+
+    _load(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "lang", F.explode(F.expr(_TOKENS_SPARK)).alias("token")
+    )
+    sk = kmv_sketch(toks, "token", ["lang"], k=_KMV_K)
+    return kmv_pair_ops(sk, sk, k=_KMV_K).where(
+        F.col("a_lang") < F.col("b_lang")
+    )
+
+
+def _q150_oracle_sql() -> str:
+    return (
+        _kmv_rank_cte()
+        + f""",
+ th AS (SELECT a.lang AS a_lang, b.lang AS b_lang,
+               least(CASE WHEN a.n >= {_KMV_K} THEN a.hk
+                          ELSE {_KMV_FULL} END,
+                     CASE WHEN b.n >= {_KMV_K} THEN b.hk
+                          ELSE {_KMV_FULL} END) AS theta
+        FROM sat a JOIN sat b ON a.lang < b.lang),
+ tr AS (SELECT t.a_lang, t.b_lang, t.theta, r.h
+        FROM th t JOIN rk r
+          ON (r.lang = t.a_lang OR r.lang = t.b_lang)
+         AND r.r <= {_KMV_K} AND r.h < t.theta),
+ agg AS (SELECT a_lang, b_lang, theta,
+                count(*) - count(DISTINCT h) AS n_inter,
+                count(DISTINCT h) AS n_union
+         FROM tr GROUP BY a_lang, b_lang, theta)
+SELECT a_lang, b_lang, theta,
+       CAST(n_inter AS BIGINT) AS n_inter_sample,
+       CAST(n_union AS BIGINT) AS n_union_sample,
+       CAST(n_inter AS DOUBLE)
+         * (CAST({_KMV_FULL} AS DOUBLE) / CAST(theta AS DOUBLE))
+         AS est_intersection,
+       CAST(n_union AS DOUBLE)
+         * (CAST({_KMV_FULL} AS DOUBLE) / CAST(theta AS DOUBLE))
+         AS est_union
+FROM agg
+"""
+    )
+
+
+_def("q150_kmv_intersect", fn=_q_kmv_pairs, duck_sql=_q150_oracle_sql())
+
+
 # X102 — triangle counting (text/triangles.py): link-farm detection
 # primitive over the host graph. Engine: degree-oriented wedge join
 # (min-rank apex ⇒ each triangle once; hubs emit zero wedges — the

@@ -340,3 +340,161 @@ def hist_quantiles(
         F.lit(n_bins).cast("long").alias("est_den"),
         (num / F.lit(n_bins)).alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketch — distinct estimates that also
+# support set INTERSECTION, the operation HLL cannot give directly.
+# Same 48-bit md5-prefix hash convention, so a DuckDB oracle replays
+# every step; the only float op is one final division of exact int64s
+# (engine-identical IEEE). Estimator: with k distinct uniform hashes
+# the (k)-th smallest h_k estimates density, est = (k-1)·2^48 / h_k
+# (Bar-Yossef et al. 2002); a sketch with < k values IS its set —
+# exact count, flagged. θ-intersection (theta-sketch rule): below
+# θ = min(θ_A, θ_B) both sketches are complete uniform samples, so
+# |A∩B ∩ {h<θ}| · 2^48 / θ estimates |A∩B|.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_combine(hs_list: Column, k: int) -> Column:
+    """Merge rule shared by every KMV path: sort, distinct, keep k."""
+    return F.slice(F.array_distinct(F.array_sort(hs_list)), 1, k)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: str,
+    group: list[str] | None = None,
+    k: int = 64,
+    kernel: str = "window",
+) -> DataFrame:
+    """(group..., hs array<long> ascending, ≤ k) — the k smallest
+    distinct hashes of ``key`` per group.
+
+    kernel="window": distinct (group, h) → per-group rank filter —
+    the relational form the oracle replays; per-group sort is the
+    cost, fine when groups are few or small.
+
+    kernel="combiner": per-PARTITION top-k per group (Arrow pass with
+    bounded state k per live group) then one groupBy merge of ≤
+    k·n_tasks values — the 10^12-row path: a mega-group's distinct
+    hash multiset never assembles anywhere; state is k hashes per
+    group per task. Bit-identical to window (pinned by test_sketch).
+    """
+    group = list(group or [])
+    h = _hash48(F.col(key).cast("string"))
+    base = df.where(F.col(key).isNotNull()).select(
+        *group, h.alias("h")
+    )
+    if kernel == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(g) for g in group]).orderBy("h")
+        return (
+            base.distinct()
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .groupBy(*group)
+            .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        )
+    if kernel != "combiner":
+        raise ValueError(f"unknown kernel {kernel!r}")
+    import pandas as pd  # noqa: PLC0415
+
+    gcols = group
+
+    def partial(batches):
+        state: dict[tuple, list] = {}
+        import heapq
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                gk = tuple(getattr(row, g) for g in gcols)
+                hv = int(row.h)
+                heap = state.setdefault(gk, [])
+                # max-heap of the k smallest (negated); dedup via
+                # membership set piggybacked on the heap list
+                if len(heap) < k:
+                    if -hv not in heap:
+                        heapq.heappush(heap, -hv)
+                elif hv < -heap[0] and -hv not in heap:
+                    heapq.heapreplace(heap, -hv)
+        rows = [
+            {**dict(zip(gcols, gk)), "hs": sorted(-x for x in heap)}
+            for gk, heap in state.items()
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[*gcols, "hs"],
+        )
+
+    fields = df.select(*gcols).schema if gcols else None
+    gschema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+        + ", "
+        if gcols
+        else ""
+    )
+    partials = base.mapInPandas(partial, gschema + "hs array<long>")
+    return partials.groupBy(*gcols).agg(
+        _kmv_combine(F.flatten(F.collect_list("hs")), k).alias("hs")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """(group..., n_sketch, saturated, est) — exact size(hs) when the
+    sketch is the whole set, else (k-1)·2^48 / h_k."""
+    n = F.size("hs")
+    hk = F.element_at("hs", k)
+    est = F.when(
+        n < k, n.cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) << _BITS)) / hk.cast("double")
+    )
+    return sketch.select(
+        *[c for c in sketch.columns if c != "hs"],
+        n.cast("long").alias("n_sketch"),
+        (n >= k).alias("saturated"),
+        est.alias("est"),
+    )
+
+
+def kmv_pair_ops(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Cross of two sketch tables → per pair (union est, intersection
+    est, θ) — pure Catalyst array ops over ≤ k-element arrays.
+
+    θ = min over both sketches of (h_k if saturated else 2^48); below
+    θ both hash samples are complete, so union/intersection counts of
+    the θ-truncated arrays scale by 2^48/θ. When neither sketch is
+    saturated the counts are exact (θ = 2^48, scale 1)."""
+    full = 1 << _BITS
+    a = sk_a.select(
+        *[F.col(c).alias(f"a_{c}") for c in sk_a.columns if c != "hs"],
+        F.col("hs").alias("hs_a"),
+    )
+    b = sk_b.select(
+        *[F.col(c).alias(f"b_{c}") for c in sk_b.columns if c != "hs"],
+        F.col("hs").alias("hs_b"),
+    )
+    theta_of = lambda hs: F.when(  # noqa: E731
+        F.size(hs) >= k, F.element_at(hs, k)
+    ).otherwise(F.lit(full).cast("long"))
+    pair = a.crossJoin(b).select(
+        "*",
+        F.least(theta_of(F.col("hs_a")), theta_of(F.col("hs_b"))).alias(
+            "theta"
+        ),
+    )
+    trunc = lambda hs: F.filter(hs, lambda x: x < F.col("theta"))  # noqa: E731
+    n_inter = F.size(F.array_intersect(trunc(F.col("hs_a")), trunc(F.col("hs_b"))))
+    n_union = F.size(F.array_union(trunc(F.col("hs_a")), trunc(F.col("hs_b"))))
+    scale = F.lit(float(full)) / F.col("theta").cast("double")
+    return pair.select(
+        *[c for c in pair.columns if c not in ("hs_a", "hs_b")],
+        n_inter.cast("long").alias("n_inter_sample"),
+        n_union.cast("long").alias("n_union_sample"),
+        (n_inter.cast("double") * scale).alias("est_intersection"),
+        (n_union.cast("double") * scale).alias("est_union"),
+    )
