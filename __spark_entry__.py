@@ -7443,6 +7443,95 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X104 — discrete Fréchet join (spatial/frechet.py): ORDER-AWARE
+# trajectory similarity (the dog-leash distance) — Hausdorff-pruned
+# (lossless: DF ≥ H), then an anti-diagonal-vectorized exact-int64 DP
+# per candidate pair. 7 Morton-tour travelers; at max_d = 2° the cut
+# keeps 9 of 21 pairs. Oracle: the SAME recurrence as a DuckDB
+# recursive CTE over two-diagonal list states — an independent
+# implementation of identical integer arithmetic, checked row-exact.
+_Q151_MAX_D = 2.0
+
+
+def _q_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.cells_sql import cell_expr
+    from osm_spark.spatial.frechet import frechet_join
+    from osm_spark.spatial.geoparse import geoparse_pages
+
+    pages = _pages_df(spark)
+    geo = geoparse_pages(pages)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    # rounded-back micro-degree doubles so the level-10 tour cell is
+    # derived from the same grid the oracle sees (q22 convention)
+    lon_r = (F.round(F.col("lon") * 1e6).cast("long") / 1e6).alias("lon")
+    lat_r = (F.round(F.col("lat") * 1e6).cast("long") / 1e6).alias("lat")
+    pts = geo.select(
+        (((page_no * F.lit(2654435761)) % F.lit(1000000)) % F.lit(7))
+        .alias("trav"),
+        "url",
+        lon_r,
+        lat_r,
+    ).withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), 10))
+    return frechet_join(
+        pts, _Q151_MAX_D, traj_col="trav", order_cols=("cell", "url")
+    ).select("traj_a", "traj_b", "frechet_d2")
+
+
+def _q151_oracle_sql() -> str:
+    d_u = int(round(_Q151_MAX_D * 1e6))
+    thr = d_u * d_u
+    cell10 = _tile_expr_duck("(lon_u / 1000000.0)", "(lat_u / 1000000.0)", 10)
+    head = _pages_oracle_cte().replace("WITH pages", "WITH RECURSIVE pages", 1)
+    return head + f""",
+ pts AS (SELECT (CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT)
+                 * 2654435761) % 1000000 % 7 AS key,
+                url, lon_u, lat_u, {cell10} AS cell
+         FROM pages),
+ seq AS (SELECT key,
+                row_number() OVER (PARTITION BY key
+                                   ORDER BY cell, url) AS i,
+                lon_u AS x, lat_u AS y
+         FROM pts),
+ sizes AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM seq GROUP BY key),
+ dcells AS (SELECT a.key AS pa, b.key AS pb, a.i AS i, b.i AS j,
+                   (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) AS d2
+            FROM seq a JOIN seq b ON a.key < b.key),
+ drows AS (SELECT pa, pb, i, list(d2 ORDER BY j) AS drow
+           FROM dcells GROUP BY pa, pb, i),
+ dmat AS (SELECT d.pa, d.pb, list(d.drow ORDER BY d.i) AS dm,
+                 sa.n AS n, sb.n AS m
+          FROM drows d
+          JOIN sizes sa ON sa.key = d.pa
+          JOIN sizes sb ON sb.key = d.pb
+          GROUP BY d.pa, d.pb, sa.n, sb.n),
+ dp AS (
+   SELECT pa, pb, n, m, dm, CAST(2 AS BIGINT) AS gen,
+          list_transform(range(1, n + 1),
+            i -> CASE WHEN i = 1 THEN dm[1][1]
+                 ELSE CAST(NULL AS BIGINT) END) AS cur,
+          list_transform(range(1, n + 1),
+            i -> CAST(NULL AS BIGINT)) AS prev
+   FROM dmat
+   UNION ALL
+   SELECT pa, pb, n, m, dm, gen + 1,
+          list_transform(range(1, n + 1), i ->
+            CASE WHEN gen + 1 - i BETWEEN 1 AND m THEN
+              greatest(dm[i][gen + 1 - i],
+                least(CASE WHEN i > 1 THEN cur[i - 1] END,
+                      cur[i],
+                      CASE WHEN i > 1 THEN prev[i - 1] END))
+            ELSE CAST(NULL AS BIGINT) END) AS cur,
+          cur AS prev
+   FROM dp WHERE gen < n + m)
+SELECT pa AS traj_a, pb AS traj_b, cur[n] AS frechet_d2
+FROM dp WHERE gen = n + m AND cur[n] <= {thr}
+"""
+
+
+_def("q151_frechet_join", fn=_q_frechet, duck_sql=_q151_oracle_sql())
+
+
 # X103 — KMV (theta) sketch (operators/sketch.py): the distinct
 # structure HLL can't give — set INTERSECTION. k smallest distinct
 # 48-bit hashes per group; (k-1)·2^48/h_k estimates the count;
