@@ -55,26 +55,40 @@ _INF = 1 << 62
 
 def frechet_dp_np(A: np.ndarray, B: np.ndarray) -> int:
     """Exact discrete Fréchet d² between int64 point arrays (n,2),
-    (m,2) — anti-diagonal vectorized, O(min(n,m)) state."""
+    (m,2) — anti-diagonal vectorized.
+
+    Memory is O(n + m): distances are computed PER DIAGONAL (a gather
+    of the two point slices, never the n×m matrix), so a pair of
+    10^5-point tours costs ~MBs, not the 80 GB a materialized matrix
+    would — the bound that keeps the per-pair kernel safe inside an
+    Arrow task at any tour length. Time stays the intrinsic O(n·m),
+    spent in n+m vector ops."""
     n, m = len(A), len(B)
-    d = A[:, None, :] - B[None, :, :]
-    D = d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]  # (n, m) int64
-    # cur[i] (1-based i .. index i-1 here) = c(i, g-i) on diagonal g
+    ax, ay = A[:, 0], A[:, 1]
+    bx, by = B[:, 0], B[:, 1]
+
+    def diag_d2(iv: np.ndarray, jv: np.ndarray) -> np.ndarray:
+        dx = ax[iv - 1] - bx[jv - 1]
+        dy = ay[iv - 1] - by[jv - 1]
+        return dx * dx + dy * dy
+
+    # cur[i] = c(i, g-i) on diagonal g (1-based i)
     prev = np.full(n + 2, _INF, dtype=np.int64)
     cur = np.full(n + 2, _INF, dtype=np.int64)
-    cur[1] = D[0, 0]  # g = 2: cell (1, 1)
+    one = np.array([1])
+    cur[1] = int(diag_d2(one, one)[0])  # g = 2: cell (1, 1)
+    i_all = np.arange(1, n + 1)
     for g in range(2, n + m):
         nxt = np.full(n + 2, _INF, dtype=np.int64)
-        i = np.arange(1, n + 1)
-        j = (g + 1) - i
+        j = (g + 1) - i_all
         valid = (j >= 1) & (j <= m)
-        iv = i[valid]
+        iv = i_all[valid]
         jv = j[valid]
         up = cur[iv - 1]      # c(i-1, j)   on diag g
         left = cur[iv]        # c(i,   j-1) on diag g
         diag = prev[iv - 1]   # c(i-1, j-1) on diag g-1
         best = np.minimum(np.minimum(up, left), diag)
-        nxt[iv] = np.maximum(D[iv - 1, jv - 1], best)
+        nxt[iv] = np.maximum(diag_d2(iv, jv), best)
         prev, cur = cur, nxt
     return int(cur[n])
 
