@@ -7443,7 +7443,7 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
-# X104 — discrete Fréchet join (spatial/frechet.py): ORDER-AWARE
+# X105 — discrete Fréchet join (spatial/frechet.py): ORDER-AWARE
 # trajectory similarity (the dog-leash distance) — Hausdorff-pruned
 # (lossless: DF ≥ H), then an anti-diagonal-vectorized exact-int64 DP
 # per candidate pair. 7 Morton-tour travelers; at max_d = 2° the cut
@@ -7532,7 +7532,7 @@ FROM dp WHERE gen = n + m AND cur[n] <= {thr}
 _def("q151_frechet_join", fn=_q_frechet, duck_sql=_q151_oracle_sql())
 
 
-# X103 — KMV (theta) sketch (operators/sketch.py): the distinct
+# X104 — KMV (theta) sketch (operators/sketch.py): the distinct
 # structure HLL can't give — set INTERSECTION. k smallest distinct
 # 48-bit hashes per group; (k-1)·2^48/h_k estimates the count;
 # θ-truncation makes pairwise union/intersection estimable from two
@@ -7634,7 +7634,7 @@ FROM agg
 _def("q150_kmv_intersect", fn=_q_kmv_pairs, duck_sql=_q150_oracle_sql())
 
 
-# X102 — triangle counting (text/triangles.py): link-farm detection
+# X103 — triangle counting (text/triangles.py): link-farm detection
 # primitive over the host graph. Engine: degree-oriented wedge join
 # (min-rank apex ⇒ each triangle once; hubs emit zero wedges — the
 # O(√m) out-degree cap). Oracle: the same orientation re-derived
@@ -7702,7 +7702,7 @@ SELECT node AS host, CAST(count(*) AS BIGINT) AS n_tri FROM (
 _def("q148_host_triangles", fn=_q_triangles, duck_sql=_q148_oracle_sql())
 
 
-# X101 — marching-squares isolines (spatial/isolines.py): threshold
+# X102 — marching-squares isolines (spatial/isolines.py): threshold
 # contours of the page-density raster, midpoint vertices in half-unit
 # int64 coordinates (exact end to end), center-low saddle rule, multi
 # threshold in one pass. Engine: occupied-cell 4-block fan-out + ONE
@@ -7752,7 +7752,7 @@ JOIN edges c2 ON c2.e = s.e2
 _def("q147_isolines", fn=_q_isolines, duck_sql=_q147_oracle_sql())
 
 
-# X100 — IVF-PQ ANN (text/pq.py): memory-compressed vector search —
+# X101 — IVF-PQ ANN (text/pq.py): memory-compressed vector search —
 # codes are 4 B/row vs 256 B of floats, ADC ranks candidates without
 # touching vector bytes, exact-integer refine re-ranks the short head.
 # Engine: driver-trained integer codebooks (np twin pinned

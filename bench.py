@@ -652,6 +652,95 @@ def main() -> None:
 
     timed("kmeans", run_kmeans)
 
+    # IVF-PQ over the same clustered corpus: train (sample-bounded) +
+    # GEMM encode (the memory-compression pass: 64-dim floats → m_sub
+    # codes) + probe/ADC/refine search, end to end. q146 pins the
+    # whole pipeline bit-exact vs SQL at the narrow config; this leg
+    # pins throughput at the wide config (ksub=64, m_sub=8 → 8 codes
+    # ≈ 8 B/row vs 256 B of floats) with both Arrow kernels.
+    def run_pq_scale():
+        from osm_spark.text.pq import pq_adc_topk, pq_encode, pq_fit
+
+        emb = approx_holder["scale_emb"]
+        q = emb.where(F.col("vec_id") % 500 == 0)
+        model = pq_fit(
+            emb, m_sub=8, ksub=64, n_lists=None, n_iters=3, sample_mod=5
+        )
+        encoded = pq_encode(emb, model, kernel="numpy")
+        if "pq_scale" in approx_holder:
+            approx_holder["pq_scale"].unpersist()
+        approx = pq_adc_topk(
+            emb, q, model, k=5, n_probe=8, refine=50,
+            encoded=encoded, query_kernel="numpy",
+        ).persist()
+        approx_holder["pq_scale"] = approx
+        return approx.count()
+
+    timed("pq_scale", run_pq_scale)
+
+    # Marching-squares isolines of the density raster at three
+    # thresholds in one pass (occupied-cell fan-out + one combinable
+    # groupBy + literal segment table; q147 pins the geometry).
+    def run_isolines():
+        from osm_spark.spatial.isolines import isolines
+        from osm_spark.spatial.raster import rasterize_points
+
+        grid = rasterize_points(sp["points"], level=8)
+        return isolines(grid, [1, 5, 25]).count()
+
+    timed("isolines", run_isolines)
+
+    # Triangle counting over the full page graph (degree-oriented
+    # wedge join — hubs emit no wedges; q148 pins the counts on the
+    # host graph).
+    def run_triangles():
+        from osm_spark.text.triangles import triangle_counts
+
+        return triangle_counts(graph["edges"]).count()
+
+    timed("triangles", run_triangles)
+
+    # Discrete Fréchet join over Morton-tour travelers (Hausdorff
+    # prune + per-pair anti-diagonal DP, O(n+m) memory per pair). The
+    # leg's cost is pairs × n·m DP cells — the operator's intrinsic
+    # driver; 40 travelers × ~500 points here. q151 pins values.
+    def run_frechet():
+        from osm_spark.spatial.cells_sql import _xy_expr
+        from osm_spark.spatial.frechet import frechet_join
+
+        page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+        x, y = _xy_expr(F.col("lon"), F.col("lat"), 14)
+        pts = sp["points"].where(page_no % 50 == 0).select(
+            F.pmod(page_no, F.lit(40)).alias("traj"),
+            (F.shiftleft(x, 16) + y).alias("m"),
+            "url",
+            "lon",
+            "lat",
+        )
+        return frechet_join(
+            pts, 3.0, traj_col="traj", order_cols=("m", "url"),
+            broadcast_data=False,
+        ).count()
+
+    timed("frechet", run_frechet)
+
+    # KMV distinct-token sketches per language over the full pages
+    # table (combiner kernel: k-per-group-per-task state; the explode
+    # volume is the cost, same family as inverted_index).
+    def run_kmv():
+        from osm_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+        toks = pages.select(
+            "lang",
+            F.explode(
+                F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+            ).alias("token"),
+        )
+        sk = kmv_sketch(toks, "token", ["lang"], k=64, kernel="combiner")
+        return kmv_estimate(sk, k=64).count()
+
+    timed("kmv_sketch", run_kmv)
+
     # Recall vs the already-timed exact baseline (outside the timing).
     from osm_spark.text.ann import cosine_topk
 
@@ -704,6 +793,31 @@ def main() -> None:
     )
     scale_exact.unpersist()
 
+    # PQ instruments (outside the timings): recall@5 vs the exact
+    # int64 top-k (the metric q146's oracle certifies), candidate
+    # selectivity, and the logical compression the codes achieve.
+    from osm_spark.text.pq import exact_int_topk
+
+    pq_exact = exact_int_topk(
+        scale_emb, scale_emb.where(F.col("vec_id") % 500 == 0), k=5
+    ).select("query_id", "neighbor_id").persist()
+    n_pq_exact = pq_exact.count()
+    pq_hit = pq_exact.join(
+        approx_holder["pq_scale"].select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"], "left_semi",
+    ).count()
+    ann_recall["pq_scale_recall_at_5"] = round(
+        pq_hit / max(n_pq_exact, 1), 4
+    )
+    pq_cand = (
+        approx_holder["pq_scale"].select("query_id", "n_candidates")
+        .distinct().agg(F.avg("n_candidates")).first()[0]
+    )
+    ann_recall["pq_candidate_ratio"] = round(
+        float(pq_cand or 0) / max(ivf_scale_n, 1), 4
+    )
+    pq_exact.unpersist()
+
     # --- min-of-k for EVERY leg (VERDICT r2 #8, widened per r3 #1) ----
     # Single-shot numbers on a shared host record phantom regressions
     # (r2's knn 62.7s and r3's minhash_lsh 18.5s were host contention
@@ -754,6 +868,10 @@ def main() -> None:
                 "ivf_scale_n": ivf_scale_n,
                 "ivf_scale_recall_at_5": ann_recall.get("ivf_scale_recall_at_5"),
                 "ivf_scale_candidate_ratio": ann_recall.get("ivf_scale_candidate_ratio"),
+                "pq_scale_recall_at_5": ann_recall.get("pq_scale_recall_at_5"),
+                "pq_candidate_ratio": ann_recall.get("pq_candidate_ratio"),
+                # 8 subspace codes (≤ 1 B each packed) vs 64 float32s
+                "pq_compression_x": 32,
                 # The testdata embeddings are uniform on the sphere
                 # (within-label sim ≈ across ≈ 0): no partitioning ANN
                 # can be both selective and high-recall there, so

@@ -294,6 +294,57 @@ def pq_encode(
     )
 
 
+def _query_side_gemm(
+    queries: DataFrame, model: dict, n_probe: int
+) -> DataFrame:
+    """(query_id, qq, lut, list_id) via one Arrow int64 GEMM pass —
+    bit-identical to the catalyst probe/LUT columns (pinned by
+    test_pq). The catalyst expressions are linear in n_lists·dim and
+    m_sub·ksub·dsub PLAN NODES; past a few thousand terms the plan
+    itself becomes the bottleneck, so wide configurations build the
+    query side here (the encode-side _encode_gemm argument, applied to
+    the probe side)."""
+    coarse = np.asarray(model["coarse"], dtype=np.int64)
+    books = np.asarray(model["codebooks"], dtype=np.int64)
+    m_sub, ksub, dsub = books.shape
+    c2 = (coarse * coarse).sum(axis=1)
+    ids = np.arange(coarse.shape[0])
+
+    def qside(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.asarray(pdf["qq"].tolist(), dtype=np.int64)
+            D = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ coarse.T) + c2
+            luts = []
+            for row_q in Q:
+                lut = []
+                for s in range(m_sub):
+                    qs = row_q[s * dsub : (s + 1) * dsub]
+                    diff = books[s] - qs[None, :]
+                    lut.append((diff * diff).sum(axis=1))
+                luts.append([list(map(int, l)) for l in lut])
+            out = []
+            for r in range(len(Q)):
+                order = np.lexsort((ids, D[r]))
+                for p in order[:n_probe]:
+                    out.append(
+                        (int(pdf["query_id"].iloc[r]),
+                         [int(v) for v in Q[r]],
+                         luts[r],
+                         int(p))
+                    )
+            yield pd.DataFrame(
+                out, columns=["query_id", "qq", "lut", "list_id"]
+            )
+
+    return queries.mapInPandas(
+        qside,
+        "query_id long, qq array<long>, lut array<array<long>>, "
+        "list_id int",
+    )
+
+
 def _probes_col(qcol: Column, coarse: list, n_probe: int) -> Column:
     """array<int> of the n_probe nearest coarse list ids — exact int64
     d2, ties to the lower id (struct sort on (d2, cid))."""
@@ -326,6 +377,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encode_kernel: str = "catalyst",
+    query_kernel: str = "catalyst",
 ) -> DataFrame:
     """IVF-PQ search: probe → ADC rank over codes → optional exact
     refine. Output (query_id, neighbor_id, adc_d2, rank, n_candidates
@@ -337,17 +389,23 @@ def pq_adc_topk(
     e = encoded if encoded is not None else pq_encode(
         embeddings, model, id_col, vec_col, encode_kernel
     )
-    q = queries.select(
+    qbase = queries.select(
         F.col(id_col).alias("query_id"),
         quantize_vectors(queries, vec_col, model["scale"]).alias("qq"),
-    ).select(
-        "query_id",
-        "qq",
-        pq_lut_col(F.col("qq"), model["codebooks"], dim).alias("lut"),
-        F.explode(
-            _probes_col(F.col("qq"), model["coarse"], n_probe)
-        ).alias("list_id"),
     )
+    if query_kernel == "numpy":
+        q = _query_side_gemm(qbase, model, n_probe)
+    elif query_kernel == "catalyst":
+        q = qbase.select(
+            "query_id",
+            "qq",
+            pq_lut_col(F.col("qq"), model["codebooks"], dim).alias("lut"),
+            F.explode(
+                _probes_col(F.col("qq"), model["coarse"], n_probe)
+            ).alias("list_id"),
+        )
+    else:
+        raise ValueError(f"unknown kernel {query_kernel!r}")
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),

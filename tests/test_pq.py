@@ -99,6 +99,22 @@ def test_full_probe_refine_equals_exact(emb, model):
     )
 
 
+def test_query_kernels_bit_identical(emb, model):
+    """Arrow query side (probes + LUT) must reproduce the catalyst
+    expressions exactly — int64 GEMM, same lowest-id probe ties."""
+    queries = emb.where(F.col("vec_id") % 53 == 0)
+    cols = ["query_id", "neighbor_id", "adc_d2", "rank"]
+    cat = pq_adc_topk(
+        emb, queries, model, k=5, n_probe=3, query_kernel="catalyst"
+    )
+    gem = pq_adc_topk(
+        emb, queries, model, k=5, n_probe=3, query_kernel="numpy"
+    )
+    assert sorted(map(tuple, cat.select(cols).collect())) == sorted(
+        map(tuple, gem.select(cols).collect())
+    )
+
+
 def test_adc_recall_on_clustered_corpus(emb, model):
     """Selective point: ADC+refine recall@5 should be high on a
     clustered corpus (the regime PQ exists for)."""
