@@ -7443,6 +7443,51 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X106 — skyline / Pareto front (operators/skyline.py): the multi-
+# criteria curation cut a scalar score can't express — documents no
+# other document beats on ALL of (token count MAX, char count MIN,
+# distinct tokens MAX) at once. Engine: lossless per-partition Arrow
+# prune (dominance transitivity) + one-task global pass; oracle: the
+# literal NOT EXISTS dominance definition.
+def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.operators.skyline import skyline
+
+    _load(spark, sf_dir)
+    toks = F.expr(_TOKENS_SPARK)
+    base = spark.table("documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    return skyline(
+        base,
+        {"n_tokens": "max", "n_chars": "min", "n_distinct": "max"},
+    )
+
+
+def _q152_oracle_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(list_distinct({_TOKENS_DUCK})) AS BIGINT) AS n_distinct
+  FROM documents)
+SELECT a.doc_id, a.n_tokens, a.n_chars, a.n_distinct
+FROM base a
+WHERE NOT EXISTS (
+  SELECT 1 FROM base b
+  WHERE b.n_tokens >= a.n_tokens AND b.n_chars <= a.n_chars
+    AND b.n_distinct >= a.n_distinct
+    AND (b.n_tokens > a.n_tokens OR b.n_chars < a.n_chars
+         OR b.n_distinct > a.n_distinct))
+"""
+
+
+_def("q152_skyline", fn=_q_skyline, duck_sql=_q152_oracle_sql())
+
+
 # X105 — discrete Fréchet join (spatial/frechet.py): ORDER-AWARE
 # trajectory similarity (the dog-leash distance) — Hausdorff-pruned
 # (lossless: DF ≥ H), then an anti-diagonal-vectorized exact-int64 DP
