@@ -489,3 +489,81 @@ def stream_dedup_pages(
         .dropDuplicatesWithinWatermark(["content_md5"])
         .drop("content_md5")
     )
+
+def stream_kmv_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    key_expr: str = "url",
+    group_expr: str = "lang",
+    k: int = 64,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+):
+    """Maintain LIVE per-group distinct-count sketches (X104 KMV) over
+    a page stream — "how many distinct urls per language so far, and
+    how much vocabulary do two languages share" answered at any batch
+    from a table of ≤ groups×k hashes, no page rescan.
+
+    Per micro-batch: sketch the batch (bounded combiner state), then
+    merge into the snapshot-versioned ManifestTable with the SAME
+    `_kmv_combine` rule the batch path uses — the mergeable-sketch
+    property test_kmv pins (sketch(A∪B) == merge(sketches)) is
+    exactly what makes this maintenance EXACT: the maintained table
+    is bit-identical to re-sketching the whole corpus from scratch
+    (pinned by test_stream_kmv_maintenance), unlike the histogram's
+    bounded-error bins. Idempotent replay via the same marker
+    convention (group = None row carries the last applied batch id —
+    real group keys are never null by contract)."""
+    from osm_spark.operators.sketch import _kmv_combine, kmv_sketch
+    from osm_spark.sources.manifest_table import ManifestTable
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = ManifestTable(spark, table_path)
+        base = batch_df.select(
+            F.expr(group_expr).alias("g"), F.expr(key_expr).alias("key")
+        )
+        sk = kmv_sketch(base, "key", ["g"], k=k, kernel="combiner")
+        if t.exists():
+            cur = t.read()
+            marker = (
+                cur.where(F.col("g").isNull()).select("applied").first()
+            )
+            if marker is not None and marker["applied"] >= batch_id:
+                return  # replayed batch: no-op
+            sk = (
+                cur.where(F.col("g").isNotNull())
+                .select("g", "hs")
+                .unionByName(sk)
+                .groupBy("g")
+                .agg(
+                    _kmv_combine(
+                        F.flatten(F.collect_list("hs")), k
+                    ).alias("hs")
+                )
+            )
+        out = sk.select(
+            "g", "hs", F.lit(None).cast("long").alias("applied")
+        ).unionByName(
+            spark.createDataFrame(
+                [(None, None, batch_id)],
+                "g string, hs array<long>, applied long",
+            )
+        )
+        t.write(out, mode="overwrite")
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

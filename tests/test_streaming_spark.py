@@ -452,3 +452,61 @@ def test_stream_hist_maintenance(spark, tmp_path):
     assert sorted(
         map(tuple, t.read().where(F.col("bin") >= 0).collect())
     ) == got
+
+
+def test_stream_kmv_maintenance(spark, tmp_path):
+    """Streamed KMV maintenance: the maintained sketch table is
+    BIT-IDENTICAL to re-sketching the full corpus batch-side (the
+    mergeable-sketch exactness claim), estimates agree, and a
+    fresh-checkpoint replay is a marker no-op."""
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.operators.sketch import kmv_estimate, kmv_sketch
+    from osm_spark.sources.manifest_table import ManifestTable
+    from osm_spark.streaming.pages_stream import stream_kmv_maintenance
+
+    pages = pages_df(spark, PagesSpec(n_pages=1500, n_countries=1))
+    src = str(tmp_path / "pages_src_kmv")
+    pages.repartition(4).write.parquet(src)
+
+    tbl = str(tmp_path / "kmv_tbl")
+    ck = str(tmp_path / "kmv_ck")
+    q = stream_kmv_maintenance(
+        spark, src, tbl, ck, key_expr="url", group_expr="lang",
+        k=32, max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+
+    t = ManifestTable(spark, tbl)
+    assert t.current_version() >= 2
+
+    batch = kmv_sketch(
+        spark.read.parquet(src).select("lang", "url"),
+        "url",
+        ["lang"],
+        k=32,
+    )
+    want = {r["lang"]: r["hs"] for r in batch.collect()}
+    live = t.read().where(F.col("g").isNotNull()).select(
+        F.col("g").alias("lang"), "hs"
+    )
+    got = {r["lang"]: r["hs"] for r in live.collect()}
+    assert got == want  # exact, not approximate: merge rule identity
+
+    est = {
+        r["lang"]: r["est"]
+        for r in kmv_estimate(live, k=32).collect()
+    }
+    est_batch = {
+        r["lang"]: r["est"] for r in kmv_estimate(batch, k=32).collect()
+    }
+    assert est == est_batch
+
+    # fresh-checkpoint replay: marker says applied — no version bump
+    before = t.current_version()
+    ck2 = str(tmp_path / "kmv_ck_replay")
+    q2 = stream_kmv_maintenance(
+        spark, src, tbl, ck2, key_expr="url", group_expr="lang",
+        k=32, max_files_per_trigger=2,
+    )
+    q2.awaitTermination(300)
+    assert ManifestTable(spark, tbl).current_version() == before
