@@ -7443,6 +7443,53 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X107 — sparse random projection (text/rproj.py): Achlioptas ±1/0
+# JL projection, exact int64 (no float anywhere), matrix = md5
+# convention baked into the plan as literal ± sums. Oracle re-derives
+# the matrix from the same hashes and replays the projection
+# relationally — every coordinate hash-checked.
+_Q153_OUT = 16
+
+
+def _q_rproj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.rproj import random_project
+
+    _load(spark, sf_dir)
+    return random_project(spark.table("embeddings"), out_dim=_Q153_OUT)
+
+
+def _q153_oracle_sql() -> str:
+    pivot = ",\n       ".join(
+        f"CAST(coalesce(max(CASE WHEN j = {j} THEN p END), 0) AS BIGINT)"
+        f" AS p{j}"
+        for j in range(_Q153_OUT)
+    )
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+ dims AS (SELECT unnest(range(0, {_Q153_OUT})) AS j),
+ ind AS (SELECT unnest(range(0, 64)) AS d),
+ co AS (SELECT j, d,
+          CASE (CAST(('0x' || substr(md5('rp-' || CAST(j AS VARCHAR)
+                 || '-' || CAST(d AS VARCHAR)), 1, 12)) AS BIGINT) % 6)
+            WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS c
+        FROM dims CROSS JOIN ind),
+ pr AS (SELECT v.vec_id, co.j, sum(co.c * v.q[co.d + 1]) AS p
+        FROM qv v CROSS JOIN co
+        WHERE co.c != 0
+        GROUP BY v.vec_id, co.j)
+SELECT vec_id,
+       {pivot}
+FROM pr GROUP BY vec_id
+"""
+
+
+_def("q153_random_projection", fn=_q_rproj, duck_sql=_q153_oracle_sql())
+
+
 # X106 — skyline / Pareto front (operators/skyline.py): the multi-
 # criteria curation cut a scalar score can't express — documents no
 # other document beats on ALL of (token count MAX, char count MIN,
