@@ -7443,6 +7443,39 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X108 — exact Jaccard set-similarity join (text/setjoin.py): the
+# EXACT layer under the minhash/LSH stack — every pair ≥ t, nothing
+# else. Engine: rarest-first global order, prefix filter (lossless),
+# rational-threshold int64 cross-multiplies (no float). Oracle: the
+# literal brute-force definition with list_intersect.
+def _q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.setjoin import jaccard_join
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_TOKENS_SPARK).alias("tokens")
+    )
+    return jaccard_join(docs, 19, 20)
+
+
+def _q154_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_TOKENS_DUCK}) AS t
+  FROM documents WHERE len({_TOKENS_DUCK}) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(a.t) AS BIGINT) AS n_a,
+       CAST(len(b.t) AS BIGINT) AS n_b,
+       CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS n_inter
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.t, b.t)) * 20
+      >= 19 * (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+"""
+
+
+_def("q154_jaccard_join", fn=_q_jaccard_join, duck_sql=_q154_oracle_sql())
+
+
 # X107 — sparse random projection (text/rproj.py): Achlioptas ±1/0
 # JL projection, exact int64 (no float anywhere), matrix = md5
 # convention baked into the plan as literal ± sums. Oracle re-derives
