@@ -690,13 +690,26 @@ def main() -> None:
 
     timed("isolines", run_isolines)
 
-    # Triangle counting over the full page graph (degree-oriented
-    # wedge join — hubs emit no wedges; q148 pins the counts on the
-    # host graph).
+    # Triangle counting over the CO-CITATION graph (pages sharing a
+    # link target — per-target cliques, so triangles exist by
+    # construction; the raw link graph is triangle-free by worldgen
+    # design). Times co-citation build + degree-oriented wedge join;
+    # q148 pins counts on the host graph.
     def run_triangles():
         from osm_spark.text.triangles import triangle_counts
 
-        return triangle_counts(graph["edges"]).count()
+        e = graph["edges"]
+        a = e.select(F.col("dst").alias("t"), F.col("src").alias("u"))
+        cocite = (
+            a.alias("x")
+            .join(a.alias("y"), "t")
+            .where(F.col("x.u") < F.col("y.u"))
+            .select(
+                F.col("x.u").alias("src"), F.col("y.u").alias("dst")
+            )
+            .distinct()
+        )
+        return triangle_counts(cocite).count()
 
     timed("triangles", run_triangles)
 
