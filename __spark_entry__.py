@@ -7443,6 +7443,54 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X109 — co-citation / bibliographic coupling (text/links.py): the
+# classic IR similarity edges over the link graph — pages cited by a
+# common page (co-citation) with shared-witness weights, mega-witness
+# cap applied BEFORE the join (the max_df-style signal/volume cut).
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.links import cocitation_edges
+    from osm_spark.text.urls import normalize_url
+
+    _load(spark, sf_dir)
+    src_sql, dst_sql = _host_edge_exprs(s="STRING", idiv="div")
+    pairs = spark.table("documents").select(
+        normalize_url(F.expr(src_sql)).alias("src"),
+        normalize_url(F.expr(dst_sql)).alias("dst"),
+    )
+    edges = pairs.where(F.col("src") != F.col("dst")).distinct()
+    return cocitation_edges(edges, "cocitation", max_degree=50)
+
+
+def _q155_oracle_sql() -> str:
+    src_sql, dst_sql = _host_edge_exprs(s="VARCHAR", idiv="//")
+    return (
+        f"""
+WITH caps AS (
+  SELECT doc_id, {src_sql} AS src_raw, {dst_sql} AS dst_raw
+  FROM documents),
+ u0 AS (
+  SELECT doc_id * 2 AS doc_id, src_raw AS url FROM caps
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id, dst_raw AS url FROM caps),"""
+        + _URL_NORM_DUCK
+        + """
+, e AS (SELECT s.norm_url AS src, d.norm_url AS dst
+        FROM final s JOIN final d ON d.doc_id = s.doc_id + 1
+        WHERE s.doc_id % 2 = 0),
+ edges AS (SELECT DISTINCT src, dst FROM e WHERE src != dst),
+ w AS (SELECT DISTINCT src AS w, dst AS u FROM edges),
+ keepw AS (SELECT w FROM w GROUP BY w HAVING count(*) <= 50),
+ wk AS (SELECT w.w, w.u FROM w JOIN keepw USING (w))
+SELECT x.u AS src, y.u AS dst, CAST(count(*) AS BIGINT) AS n_common
+FROM wk x JOIN wk y ON x.w = y.w AND x.u < y.u
+GROUP BY x.u, y.u
+"""
+    )
+
+
+_def("q155_cocitation", fn=_q_cocitation, duck_sql=_q155_oracle_sql())
+
+
 # X108 — exact Jaccard set-similarity join (text/setjoin.py): the
 # EXACT layer under the minhash/LSH stack — every pair ≥ t, nothing
 # else. Engine: rarest-first global order, prefix filter (lossless),

@@ -185,3 +185,54 @@ def degree_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             F.coalesce("indeg", F.lit(0)).alias("indeg"),
         )
     )
+
+
+def cocitation_edges(
+    edges: DataFrame,
+    mode: str = "cocitation",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Similarity edges from the directed link graph (classic IR):
+
+    - ``cocitation``: connect pages CITED BY a common page — pair per
+      shared in-link (Small 1973).
+    - ``coupling``: connect pages that CITE a common target —
+      bibliographic coupling (Kessler 1963). (Co-citation groups by
+      the linking page, coupling by the linked target.)
+
+    Output: (src, dst, n_common) undirected canonical pairs
+    (src < dst) weighted by the number of shared witnesses.
+
+    Scale shape: one groupBy-free self-equi-join on the witness key;
+    pair volume is Σ C(deg, 2) over witnesses — quadratic in witness
+    degree, which is why ``max_degree`` exists: a mega-witness (a hub
+    page linking everywhere / a target everyone links) contributes
+    C(10^6, 2) pairs of near-zero signal. The standard cut drops
+    witnesses above the cap BEFORE the join (one combinable degree
+    groupBy + semi-join) — the same signal/volume trade-off as the
+    inverted index's max_df stopword cut.
+    """
+    if mode == "cocitation":
+        w = edges.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    elif mode == "coupling":
+        w = edges.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    w = w.distinct()
+    if max_degree is not None:
+        deg = (
+            w.groupBy("w")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") <= max_degree)
+            .select("w")
+        )
+        w = w.join(deg, "w", "left_semi")
+    return (
+        w.alias("x")
+        .join(w.alias("y"), "w")
+        .where(F.col("x.u") < F.col("y.u"))
+        .groupBy(
+            F.col("x.u").alias("src"), F.col("y.u").alias("dst")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )

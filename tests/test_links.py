@@ -274,3 +274,49 @@ def test_extract_links_single_quoted_href_and_root_page_base(spark):
         ("https://a.com", "https://a.com/about"),
         ("https://a.com/dir/p", "https://b.org/q"),
     ]
+
+
+def test_cocitation_and_coupling(spark):
+    """Golden: hub h cites a,b,c → co-citation triangle abc; a,b both
+    cite t → coupling pair (a,b); max_degree cap drops the hub's
+    contribution entirely."""
+    from osm_spark.text.links import cocitation_edges
+
+    edges = spark.createDataFrame(
+        [
+            ("h", "a"), ("h", "b"), ("h", "c"),
+            ("a", "t"), ("b", "t"),
+            ("a", "t2"), ("b", "t2"),
+        ],
+        "src string, dst string",
+    )
+    co = sorted(
+        map(tuple, cocitation_edges(edges, "cocitation").collect())
+    )
+    # h's out-set {a,b,c} → triangle; a and b each cite {t,t2} →
+    # co-citation pair (t,t2) with two witnesses
+    assert co == [
+        ("a", "b", 1), ("a", "c", 1), ("b", "c", 1), ("t", "t2", 2),
+    ]
+    cp = sorted(
+        map(tuple, cocitation_edges(edges, "coupling").collect())
+    )
+    # a and b share two targets (t, t2); h shares none
+    assert cp == [("a", "b", 2)]
+    capped = sorted(
+        map(
+            tuple,
+            cocitation_edges(
+                edges, "cocitation", max_degree=2
+            ).collect(),
+        )
+    )
+    # hub h (deg 3) is cut; witnesses a, b (deg 2) still co-cite t/t2
+    assert capped == [("t", "t2", 2)]
+    cap_cp = sorted(
+        map(
+            tuple,
+            cocitation_edges(edges, "coupling", max_degree=2).collect(),
+        )
+    )
+    assert cap_cp == [("a", "b", 2)]
