@@ -7443,6 +7443,81 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X110 — greedy max-coverage selection (text/cover.py): the
+# submodular data-selection primitive — k documents maximizing joint
+# vocabulary coverage, (1−1/e)-optimal greedy, ties to lowest id.
+# Engine: driver-coordinated rounds (X99 pattern), per round one
+# anti-join vs the covered TOKEN set + one combinable groupBy +
+# TakeOrdered(1); only winner ids reach the driver. Oracle: the same
+# greedy replayed as a recursive CTE carrying (picked, covered) list
+# state with a deterministic struct-max argmax.
+_Q156_K = 8
+
+
+def _q_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.cover import greedy_max_coverage
+    from osm_spark.text.dedup import ngram_shingles_sql
+
+    _load(spark, sf_dir)
+    # 3-gram shingles (the q39 convention) over a doc_id % 4 slice:
+    # unigram vocabulary saturates in ONE pick (44 tokens); the 16k-
+    # shingle space makes the greedy run real multi-round trade-offs.
+    docs = (
+        spark.table("documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select(
+            "doc_id", F.expr(ngram_shingles_sql("text", 3)).alias("tokens")
+        )
+    )
+    picks = greedy_max_coverage(docs, _Q156_K)
+    return spark.createDataFrame(
+        [
+            (i + 1, int(d), int(g), int(tot))
+            for i, (d, g, tot) in enumerate(picks)
+        ],
+        "round int, doc_id long, gain long, covered_total long",
+    )
+
+
+def _q156_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS t FROM documents
+  WHERE doc_id % 4 = 0),
+ sel(r, picked, covered, id, gain, total) AS (
+  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS VARCHAR[]),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT w.r + 1,
+         list_append(w.picked, w.bid),
+         list_sort(list_distinct(w.covered || tb.t)),
+         w.bid, w.bg, w.total + w.bg
+  FROM (
+    SELECT g2.r, g2.picked, g2.covered, g2.total,
+           g2.m.g AS bg, -g2.m.ni AS bid
+    FROM (
+      SELECT s.r, s.picked, s.covered, s.total,
+             max(struct_pack(
+               g := CAST(len(list_filter(t2.t,
+                      x -> NOT list_contains(s.covered, x))) AS BIGINT),
+               ni := -t2.doc_id)) AS m
+      FROM sel s JOIN toks t2
+        ON NOT list_contains(s.picked, t2.doc_id)
+      WHERE s.r < {_Q156_K}
+      GROUP BY s.r, s.picked, s.covered, s.total
+    ) g2
+  ) w
+  JOIN toks tb ON tb.doc_id = w.bid
+  WHERE w.bg > 0)
+SELECT CAST(r AS INT) AS round, id AS doc_id, gain,
+       total AS covered_total
+FROM sel WHERE r >= 1
+"""
+
+
+_def("q156_max_coverage", fn=_q_max_coverage, duck_sql=_q156_oracle_sql())
+
+
 # X109 — co-citation / bibliographic coupling (text/links.py): the
 # classic IR similarity edges over the link graph — pages cited by a
 # common page (co-citation) with shared-witness weights, mega-witness
