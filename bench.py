@@ -669,8 +669,13 @@ def main() -> None:
         encoded = pq_encode(emb, model, kernel="numpy")
         if "pq_scale" in approx_holder:
             approx_holder["pq_scale"].unpersist()
+        # refine=200: ADC at 8×64 codes mis-ranks within clusters
+        # (quantization error ≈ within-cluster spread on this corpus),
+        # so the exact-refine head is the designed compensation
+        # (IndexRefineFlat) — measured recall@5 0.51/0.93/1.0 at
+        # refine 50/200/500; 200 rows/query is 0.2% of the corpus.
         approx = pq_adc_topk(
-            emb, q, model, k=5, n_probe=8, refine=50,
+            emb, q, model, k=5, n_probe=8, refine=200,
             encoded=encoded, query_kernel="numpy",
         ).persist()
         approx_holder["pq_scale"] = approx
