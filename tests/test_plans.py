@@ -25,6 +25,11 @@ def test_plan_properties(spark):
         "q86_conjunctive_search",
         "q87_bm25_search",
         "q88_latest_snapshot",
+        "q147_isolines",
+        "q148_host_triangles",
+        "q153_random_projection",
+        "q154_jaccard_join",
+        "q150_kmv_intersect",
     ):
         must, must_not, min_cg = CHECKS[name]
         df = qs[name](spark, SF_DIR)

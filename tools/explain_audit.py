@@ -106,6 +106,24 @@ CHECKS = {
     # no Python, no join-back against the event table
     "q140_st_cooccur": ([], ["EvalPython", "CartesianProduct",
                              "BroadcastNestedLoopJoin"], 1),
+    # r4s2 marching squares: occupied-cell fan-out + one combinable
+    # groupBy + literal segment table — pure Catalyst, zero joins
+    "q147_isolines": (["HashAggregate"],
+                      ["EvalPython", "CartesianProduct", "Join"], 1),
+    # r4s2 triangle counting: degree groupBy + two equi-joins, no
+    # Python, no nested-loop join
+    "q148_host_triangles": ([], ["EvalPython", "CartesianProduct",
+                                 "BroadcastNestedLoopJoin"], 1),
+    # r4s2 random projection: plan-literal ± sums, zero shuffle on
+    # the vector side, no Python
+    "q153_random_projection": ([], ["EvalPython", "Exchange"], 1),
+    # r4s2 exact Jaccard join: prefix-token equi-joins only — no
+    # Python, no cross product (the brute form it replaces)
+    "q154_jaccard_join": ([], ["EvalPython", "CartesianProduct",
+                               "BroadcastNestedLoopJoin"], 1),
+    # r4s2 KMV distinct (window kernel in q149 is relational; the
+    # pin: no cross join, single-pass aggregation after distinct)
+    "q150_kmv_intersect": ([], ["EvalPython"], 1),
 }
 
 
