@@ -567,3 +567,56 @@ def stream_kmv_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+def citation_latency_join(
+    pages_stream: DataFrame,
+    links_stream: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native watermarked STREAM-STREAM join: each link event (src →
+    dst at link_ts) joins the dst page's own crawl event (url at
+    warc_ts) within ``[warc_ts, warc_ts + max_lag]`` — "how quickly
+    does a freshly crawled page get cited", the crawl-frontier
+    freshness signal. Output: (dst, src, warc_ts, link_ts, lag_sec).
+
+    This is the one Structured Streaming feature the rest of the
+    module's matrix didn't exercise: a TWO-SIDED stateful join where
+    the engine buffers both inputs; the watermarks PLUS the time-range
+    predicate are what bound the state — they let the engine prove a
+    buffered row older than ``watermark + max_lag`` can never join
+    again and evict it, so state is O(events inside the lag window),
+    not O(stream). (An inner stream-stream join without them still
+    RUNS — Spark only hard-rejects the outer forms — but buffers both
+    streams forever; the eviction bound is the design here.)
+
+    Semantics contract (and what the drain-equality test pins): inner
+    join on dst == url with warc_ts ≤ link_ts ≤ warc_ts + max_lag —
+    byte-identical to the same expression as a batch join once both
+    streams drain under availableNow.
+    """
+    pages = pages_stream.select(
+        F.col("url"), F.col("warc_ts")
+    ).withWatermark("warc_ts", watermark)
+    links = links_stream.select(
+        F.col("src"), F.col("dst"), F.col("link_ts")
+    ).withWatermark("link_ts", watermark)
+    joined = links.join(
+        pages,
+        (F.col("dst") == F.col("url"))
+        & (F.col("link_ts") >= F.col("warc_ts"))
+        & (
+            F.col("link_ts")
+            <= F.col("warc_ts") + F.expr(f"INTERVAL {max_lag}")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "dst",
+        "src",
+        "warc_ts",
+        "link_ts",
+        (
+            F.unix_timestamp("link_ts") - F.unix_timestamp("warc_ts")
+        ).alias("lag_sec"),
+    )

@@ -510,3 +510,89 @@ def test_stream_kmv_maintenance(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert ManifestTable(spark, tbl).current_version() == before
+
+
+def test_citation_latency_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream join: drained availableNow output ==
+    the identical batch join expression, including the inclusive lag
+    boundaries; out-of-range links never appear."""
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.streaming.pages_stream import citation_latency_join
+
+    pages = pages_df(spark, PagesSpec(n_pages=800, n_countries=1))
+    psrc = str(tmp_path / "pages_src_ss")
+    pages.repartition(3).write.parquet(psrc)
+
+    # deterministic link events: page k cites page k-1, at lag
+    # (37k mod 7200) seconds — some inside the 1h window, some outside
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    links = (
+        pages.select(F.col("url").alias("dst_url"), "warc_ts", page_no.alias("k"))
+        .where(F.col("k") > 0)
+        .select(
+            F.concat(
+                F.lit("https://w.example/page/"),
+                (F.col("k") - 1).cast("string"),
+            ).alias("src"),
+            F.col("dst_url").alias("dst"),
+            (
+                F.col("warc_ts")
+                + ((F.col("k") * 37) % 7200).cast("string").cast("interval second")
+            ).alias("link_ts"),
+        )
+    )
+    lsrc = str(tmp_path / "links_src_ss")
+    links.repartition(3).write.parquet(lsrc)
+
+    pschema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    lschema = "src string, dst string, link_ts timestamp"
+    p_stream = (
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(psrc)
+    )
+    l_stream = (
+        spark.readStream.schema(lschema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(lsrc)
+    )
+    out = citation_latency_join(p_stream, l_stream, max_lag="1 hour")
+    sink = str(tmp_path / "ss_out")
+    ck = str(tmp_path / "ss_ck")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(sink)
+            .select("dst", "src", "lag_sec")
+            .collect(),
+        )
+    )
+    batch_pages = spark.read.parquet(psrc).select("url", "warc_ts")
+    batch_links = spark.read.parquet(lsrc)
+    want_df = batch_links.join(
+        batch_pages,
+        (F.col("dst") == F.col("url"))
+        & (F.col("link_ts") >= F.col("warc_ts"))
+        & (F.col("link_ts") <= F.col("warc_ts") + F.expr("INTERVAL 1 hour")),
+    ).select(
+        "dst",
+        "src",
+        (F.unix_timestamp("link_ts") - F.unix_timestamp("warc_ts")).alias(
+            "lag_sec"
+        ),
+    )
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want and got
+    assert all(0 <= r[2] <= 3600 for r in got)
+    # links beyond the lag window exist in the input but never join
+    n_links = batch_links.count()
+    assert len(got) < n_links
