@@ -7443,6 +7443,102 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X112 — DSIR-style contrastive importance weights (composition of
+# the X63 micro-nat LM, q96): weight = logP_target(doc) −
+# logP_general(doc) over the SAME gram multiset — both sums exact
+# int64 micro-nats, so the difference and the (w desc, id) selection
+# rank are engine-bit-exact. Target = the 'en' slice, general = the
+# whole corpus (the DSIR recipe with hashed-ngram LMs; Xie et al.
+# 2023). Oracle: the q96 model CTE twice + integer difference +
+# window rank.
+_Q157_TOP = 100
+
+
+def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.lm import score_docs, train_char_lm
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    m_t = train_char_lm(
+        docs.where(F.col("lang") == "en"), order=3, top_v=_Q96_TOP_V
+    )
+    m_s = train_char_lm(docs, order=3, top_v=_Q96_TOP_V)
+    st = score_docs(docs, m_t, order=3, include_sum=True).select(
+        "doc_id", "n_grams", F.col("sum_micro").alias("s_t")
+    )
+    ss = score_docs(docs, m_s, order=3, include_sum=True).select(
+        "doc_id", F.col("sum_micro").alias("s_s")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("w_unat").desc(), F.col("doc_id").asc())
+    return (
+        st.join(ss, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("s_t") - F.col("s_s")).alias("w_unat"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "n_grams",
+            "w_unat",
+            (F.col("rk") <= _Q157_TOP).alias("selected"),
+        )
+    )
+
+
+def _q157_model_cte(tag: str, where: str) -> str:
+    v = _Q96_TOP_V
+    return f"""
+ ref_{tag} AS (SELECT text FROM documents {where}),
+ g_{tag} AS (SELECT substr(text, CAST(i AS INT), 3) AS gram
+       FROM ref_{tag},
+            unnest(range(1, greatest(length(text) - 2, 0) + 1)) t(i)),
+ counts_{tag} AS (SELECT gram, count(*) AS c FROM g_{tag} GROUP BY gram),
+ top_{tag} AS (SELECT gram, c FROM counts_{tag}
+               ORDER BY c DESC, gram LIMIT {v}),
+ tot_{tag} AS (SELECT sum(c) AS N, count(*) AS V FROM top_{tag}),
+ model_{tag} AS (SELECT gram,
+     CAST(round(ln(CAST(c + 1 AS DOUBLE) / (N + V + 1)) * 1000000)
+          AS BIGINT) AS lp
+     FROM top_{tag}, tot_{tag}),
+ oov_{tag} AS (SELECT CAST(round(ln(1.0 / (N + V + 1)) * 1000000)
+                     AS BIGINT) AS lp FROM tot_{tag}),
+ sc_{tag} AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     sum(coalesce(m.lp, (SELECT lp FROM oov_{tag}))) AS s
+        FROM (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) t(i))
+             d
+        LEFT JOIN model_{tag} m USING (gram) GROUP BY d.doc_id)"""
+
+
+def _q157_oracle_sql() -> str:
+    return (
+        "WITH"
+        + _q157_model_cte("t", "WHERE lang = 'en'")
+        + ","
+        + _q157_model_cte("s", "")
+        + f""",
+ j AS (SELECT d.doc_id,
+              coalesce(t.n_grams, 0) AS n_grams,
+              coalesce(t.s, 0) - coalesce(s.s, 0) AS w_unat
+       FROM documents d
+       LEFT JOIN sc_t t USING (doc_id)
+       LEFT JOIN sc_s s USING (doc_id))
+SELECT doc_id, n_grams, CAST(w_unat AS BIGINT) AS w_unat,
+       row_number() OVER (ORDER BY w_unat DESC, doc_id)
+         <= {_Q157_TOP} AS selected
+FROM j
+"""
+    )
+
+
+_def("q157_dsir_weights", fn=_q_dsir, duck_sql=_q157_oracle_sql())
+
+
 # X110 — greedy max-coverage selection (text/cover.py): the
 # submodular data-selection primitive — k documents maximizing joint
 # vocabulary coverage, (1−1/e)-optimal greedy, ties to lowest id.

@@ -103,13 +103,16 @@ def score_docs(
     order: int = 3,
     text: str = "text",
     key: str = "doc_id",
+    include_sum: bool = False,
 ) -> DataFrame:
     """(key, n_grams, n_oov, avg_logp) per document under ``model``.
 
     avg_logp = mean micro-nat log-prob / 10⁶ (natural-log units per
     gram; exp(-avg_logp) is the per-gram perplexity). Documents
     shorter than ``order`` chars score null with n_grams 0.
-    """
+    ``include_sum`` adds the raw int64 micro-nat sum (``sum_micro``,
+    0 for gram-less docs) — the exact-integer handle contrastive
+    scoring (DSIR, q157) differences against a second model."""
     oov = model.select(
         F.round(F.log(1.0 / (F.col("N") + F.col("V") + 1)) * _MICRO)
         .cast("long")
@@ -130,7 +133,7 @@ def score_docs(
             F.sum(F.coalesce("logp_micro", "oov_micro")).alias("sum_micro"),
         )
     )
-    out = docs.select(F.col(key)).join(scored, key, "left").select(
+    cols = [
         F.col(key),
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
         F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
@@ -138,5 +141,9 @@ def score_docs(
             F.col("sum_micro").cast("double")
             / (F.lit(float(_MICRO)) * F.col("n_grams"))
         ).alias("avg_logp"),
-    )
-    return out
+    ]
+    if include_sum:
+        cols.append(
+            F.coalesce("sum_micro", F.lit(0)).cast("long").alias("sum_micro")
+        )
+    return docs.select(F.col(key)).join(scored, key, "left").select(*cols)
