@@ -7443,6 +7443,81 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X113 — k-core extraction (text/kcore.py): the graph-cohesion peel
+# (unique order-independent fixpoint) — driver-round loop (X99
+# contract): one combinable degree groupBy + two broadcast anti-joins
+# per round over the shrinking edge set. q158 peels the co-citation
+# graph (X109) to its 3-core; oracle replays the peel as a recursive
+# CTE over an edge-list state with per-iteration list_filter degrees.
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.kcore import k_core_nodes
+    from osm_spark.text.links import cocitation_edges
+    from osm_spark.text.urls import normalize_url
+
+    _load(spark, sf_dir)
+    src_sql, dst_sql = _host_edge_exprs(s="STRING", idiv="div")
+    pairs = spark.table("documents").select(
+        normalize_url(F.expr(src_sql)).alias("src"),
+        normalize_url(F.expr(dst_sql)).alias("dst"),
+    )
+    edges = pairs.where(F.col("src") != F.col("dst")).distinct()
+    cocite = cocitation_edges(edges, "cocitation", max_degree=50).select(
+        "src", "dst"
+    )
+    return k_core_nodes(cocite, 3)
+
+
+def _q158_oracle_sql() -> str:
+    src_sql, dst_sql = _host_edge_exprs(s="VARCHAR", idiv="//")
+    deg = (
+        "len(list_filter(p.es, f -> f.a = {x} OR f.b = {x}))"
+    )
+    return (
+        f"""
+WITH RECURSIVE caps AS (
+  SELECT doc_id, {src_sql} AS src_raw, {dst_sql} AS dst_raw
+  FROM documents),
+ u0 AS (
+  SELECT doc_id * 2 AS doc_id, src_raw AS url FROM caps
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id, dst_raw AS url FROM caps),"""
+        + _URL_NORM_DUCK
+        + f"""
+, e AS (SELECT s.norm_url AS src, d.norm_url AS dst
+        FROM final s JOIN final d ON d.doc_id = s.doc_id + 1
+        WHERE s.doc_id % 2 = 0),
+ edges AS (SELECT DISTINCT src, dst FROM e WHERE src != dst),
+ w AS (SELECT DISTINCT src AS w, dst AS u FROM edges),
+ keepw AS (SELECT w FROM w GROUP BY w HAVING count(*) <= 50),
+ wk AS (SELECT w.w, w.u FROM w JOIN keepw USING (w)),
+ co AS (SELECT DISTINCT least(x.u, y.u) AS a, greatest(x.u, y.u) AS b
+        FROM wk x JOIN wk y ON x.w = y.w AND x.u < y.u),
+ e0 AS (SELECT list(struct_pack(a := a, b := b)) AS es FROM co),
+ peel(it, es) AS (
+   SELECT 0, es FROM e0
+   UNION ALL
+   SELECT p.it + 1,
+          list_filter(p.es, e ->
+            {deg.format(x='e.a')} >= 3 AND {deg.format(x='e.b')} >= 3)
+   FROM peel p
+   WHERE len(list_filter(p.es, e ->
+            {deg.format(x='e.a')} >= 3 AND {deg.format(x='e.b')} >= 3))
+         < len(p.es)),
+ fix AS (SELECT es FROM peel ORDER BY it DESC LIMIT 1),
+ core_nodes AS (
+   SELECT node FROM (
+     SELECT unnest(list_transform(es, e -> e.a)) AS node FROM fix
+     UNION ALL
+     SELECT unnest(list_transform(es, e -> e.b)) AS node FROM fix))
+SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+FROM core_nodes GROUP BY node
+"""
+    )
+
+
+_def("q158_kcore", fn=_q_kcore, duck_sql=_q158_oracle_sql())
+
+
 # X112 — DSIR-style contrastive importance weights (composition of
 # the X63 micro-nat LM, q96): weight = logP_target(doc) −
 # logP_general(doc) over the SAME gram multiset — both sums exact
