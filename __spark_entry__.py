@@ -7443,6 +7443,89 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X114 — bounded-round weighted SSSP (text/sssp.py): the weighted
+# companion of X99's BFS — Bellman-Ford rounds over the co-citation
+# graph with w = max(1, 6 − n_common) (strong co-citation = cheap
+# hop), seeds = the 2 lexicographically-smallest nodes, R = 6. d_R =
+# exact cheapest cost over ≤ R-edge paths (the depth-bound contract).
+# Oracle: bounded walk enumeration (UNION-dedup'd) + min — a
+# different evaluation strategy entirely, equal by the path-cost
+# identity d_R(v) = min over ≤R-edge paths.
+_Q159_ROUNDS = 6
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.text.links import cocitation_edges
+    from osm_spark.text.sssp import sssp
+    from osm_spark.text.urls import normalize_url
+
+    _load(spark, sf_dir)
+    src_sql, dst_sql = _host_edge_exprs(s="STRING", idiv="div")
+    pairs = spark.table("documents").select(
+        normalize_url(F.expr(src_sql)).alias("src"),
+        normalize_url(F.expr(dst_sql)).alias("dst"),
+    )
+    base = pairs.where(F.col("src") != F.col("dst")).distinct()
+    co = cocitation_edges(base, "cocitation", max_degree=50)
+    w = F.greatest(F.lit(1), F.lit(6) - F.col("n_common")).cast("long")
+    cw = co.select("src", "dst", w.alias("w")).unionByName(
+        co.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
+        )
+    )
+    seeds = (
+        cw.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(2)
+    )
+    return sssp(cw, seeds, rounds=_Q159_ROUNDS)
+
+
+def _q159_oracle_sql() -> str:
+    src_sql, dst_sql = _host_edge_exprs(s="VARCHAR", idiv="//")
+    return (
+        f"""
+WITH RECURSIVE caps AS (
+  SELECT doc_id, {src_sql} AS src_raw, {dst_sql} AS dst_raw
+  FROM documents),
+ u0 AS (
+  SELECT doc_id * 2 AS doc_id, src_raw AS url FROM caps
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id, dst_raw AS url FROM caps),"""
+        + _URL_NORM_DUCK
+        + f"""
+, e AS (SELECT s.norm_url AS src, d.norm_url AS dst
+        FROM final s JOIN final d ON d.doc_id = s.doc_id + 1
+        WHERE s.doc_id % 2 = 0),
+ edges AS (SELECT DISTINCT src, dst FROM e WHERE src != dst),
+ wtab AS (SELECT DISTINCT src AS w, dst AS u FROM edges),
+ keepw AS (SELECT w FROM wtab GROUP BY w HAVING count(*) <= 50),
+ wk AS (SELECT t.w, t.u FROM wtab t JOIN keepw USING (w)),
+ co AS (SELECT least(x.u, y.u) AS a, greatest(x.u, y.u) AS b,
+               count(*) AS n_common
+        FROM wk x JOIN wk y ON x.w = y.w AND x.u < y.u
+        GROUP BY 1, 2),
+ cw AS (SELECT a AS src, b AS dst,
+               greatest(1, 6 - n_common) AS wgt FROM co
+        UNION ALL
+        SELECT b, a, greatest(1, 6 - n_common) FROM co),
+ seeds AS (SELECT node FROM (SELECT DISTINCT src AS node FROM cw)
+           ORDER BY node LIMIT 2),
+ r(node, c, d) AS (
+   SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+   UNION
+   SELECT e2.dst, r.c + e2.wgt, r.d + 1
+   FROM r JOIN cw e2 ON e2.src = r.node
+   WHERE r.d < {_Q159_ROUNDS})
+SELECT node, CAST(min(c) AS BIGINT) AS dist FROM r GROUP BY node
+"""
+    )
+
+
+_def("q159_weighted_sssp", fn=_q_sssp, duck_sql=_q159_oracle_sql())
+
+
 # X113 — k-core extraction (text/kcore.py): the graph-cohesion peel
 # (unique order-independent fixpoint) — driver-round loop (X99
 # contract): one combinable degree groupBy + two broadcast anti-joins
