@@ -7443,6 +7443,51 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# §2.7 relational: TPC-H Q3-style shipping-priority top-k — the
+# 3-table join exercising the customer/orders dims (broadcast) with
+# the house exact-integer money convention (centi-cent int64 revenue:
+# a float-sum ORDER BY could flip near-ties between engines; integer
+# revenue makes the top-10 cut engine-exact).
+_Q160_REV_SPARK = (
+    "sum(cast(round(l_extendedprice * 100) as bigint)"
+    " * (100 - cast(round(l_discount * 100) as bigint)))"
+)
+_Q160_REV_DUCK = (
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+)
+
+_def(
+    "q160_ship_priority",
+    spark_sql=f"""
+SELECT l_orderkey, {_Q160_REV_SPARK} AS revenue_cc,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cc DESC, l_orderkey
+LIMIT 10
+""",
+    duck_sql=f"""
+SELECT l_orderkey, {_Q160_REV_DUCK} AS revenue_cc,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cc DESC, l_orderkey
+LIMIT 10
+""",
+)
+
+
 # X114 — bounded-round weighted SSSP (text/sssp.py): the weighted
 # companion of X99's BFS — Bellman-Ford rounds over the co-citation
 # graph with w = max(1, 6 − n_common) (strong co-citation = cheap
