@@ -7443,6 +7443,59 @@ WHERE ((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0))
 _def("q137_crossing_join", fn=_q_crossings, duck_sql=_q137_oracle_sql())
 
 
+# X115 — circular movement statistics (spatial/trajectories.py):
+# per-traveler mean heading via the CIRCULAR mean (atan2 of summed
+# step vectors — 350° and 10° average to 0°, not 180°). Aggregates
+# are exact int64 (Σdx, Σdy, Σd²); trig runs once per output row.
+def _q_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.trajectories import movement_stats
+
+    pages = _pages_df(spark)
+    geo = geoparse_pages(pages)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    pts = geo.select(
+        (((page_no * F.lit(2654435761)) % F.lit(1000000)) % F.lit(37))
+        .alias("traveler"),
+        "url",
+        "warc_ts",
+        "lon",
+        "lat",
+    )
+    return movement_stats(
+        pts, traj_col="traveler", order_cols=("warc_ts", "url")
+    )
+
+
+def _q161_oracle_sql() -> str:
+    return _pages_oracle_cte() + """,
+ pts AS (SELECT (CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT)
+                 * 2654435761) % 1000000 % 37 AS traj,
+                url, warc_ts, lon_u AS x, lat_u AS y
+         FROM pages),
+ seq AS (SELECT traj, x, y,
+                lag(x) OVER (PARTITION BY traj ORDER BY warc_ts, url) AS px,
+                lag(y) OVER (PARTITION BY traj ORDER BY warc_ts, url) AS py
+         FROM pts),
+ segs AS (SELECT traj, x - px AS dx, y - py AS dy
+          FROM seq WHERE px IS NOT NULL),
+ agg AS (SELECT traj, CAST(count(*) AS BIGINT) AS n_steps,
+                sum(dx) AS sx, sum(dy) AS sy,
+                sum(dx * dx + dy * dy) AS sd2
+         FROM segs GROUP BY traj)
+SELECT traj, n_steps,
+       CAST(sd2 AS DOUBLE) / n_steps AS mean_step_d2,
+       CASE WHEN sx = 0 AND sy = 0 THEN NULL
+            ELSE atan2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE)) END
+         AS mean_heading_rad,
+       sqrt(CAST(sx * sx + sy * sy AS DOUBLE)) AS resultant_len
+FROM agg
+"""
+
+
+_def("q161_movement_stats", fn=_q_movement, duck_sql=_q161_oracle_sql())
+
+
 # §2.7 relational: TPC-H Q3-style shipping-priority top-k — the
 # 3-table join exercising the customer/orders dims (broadcast) with
 # the house exact-integer money convention (centi-cent int64 revenue:

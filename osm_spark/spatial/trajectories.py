@@ -124,3 +124,71 @@ def geo_sessions(
         F.min("lat_u").alias("min_lat_u"),
         F.max("lat_u").alias("max_lat_u"),
     )
+
+
+def movement_stats(
+    points: DataFrame,
+    traj_col: str = "traj_id",
+    order_cols: tuple = ("ts",),
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-trajectory movement statistics with CIRCULAR heading math:
+    (traj, n_steps, mean_step_d2, mean_heading_rad, resultant_len).
+
+    Headings are directions, not numbers — averaging 359° and 1°
+    arithmetically gives 180° (backwards); the circular mean is the
+    atan2 of the summed unit step vectors. Exactness follows the
+    house split: everything AGGREGATED is exact int64 (summed
+    micro-degree step deltas Σdx, Σdy and squared lengths — order-free
+    under any partitioning), and the only trig runs ONCE per output
+    row on those exact sums. Degenerate all-zero steps (Σ = 0) yield
+    NULL heading.
+
+    resultant_len = |(Σdx, Σdy)| — the net-displacement magnitude in
+    micro-degrees, the circular-statistics resultant of the
+    displacement-WEIGHTED heading distribution (a straight tour's
+    resultant equals its path length; a closed loop's is 0). Steps
+    are weighted by their length — the vector-sum form; the
+    unit-weighted variant would need a per-step sqrt inside the
+    aggregate, kept out of the exact int64 fold by design.
+
+    Scale: ONE window pass (the segments shape) + ONE map-side-
+    combinable groupBy; no Python."""
+    from osm_spark.spatial.crossings import segments_from_points
+
+    segs = segments_from_points(
+        points, traj_col=traj_col, order_cols=order_cols,
+        lon_col=lon_col, lat_col=lat_col,
+    )
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    agg = (
+        segs.select(
+            "traj",
+            dx.alias("dx"),
+            dy.alias("dy"),
+            (dx * dx + dy * dy).alias("d2"),
+        )
+        .groupBy("traj")
+        .agg(
+            F.count("*").alias("n_steps"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum("d2").alias("sd2"),
+        )
+    )
+    res2 = F.col("sx") * F.col("sx") + F.col("sy") * F.col("sy")
+    return agg.select(
+        "traj",
+        F.col("n_steps").cast("long").alias("n_steps"),
+        (F.col("sd2").cast("double") / F.col("n_steps")).alias(
+            "mean_step_d2"
+        ),
+        F.when(
+            (F.col("sx") == 0) & (F.col("sy") == 0), F.lit(None)
+        ).otherwise(
+            F.atan2(F.col("sy").cast("double"), F.col("sx").cast("double"))
+        ).alias("mean_heading_rad"),
+        F.sqrt(res2.cast("double")).alias("resultant_len"),
+    )
