@@ -514,8 +514,10 @@ def stream_kmv_maintenance(
     is bit-identical to re-sketching the whole corpus from scratch
     (pinned by test_stream_kmv_maintenance), unlike the histogram's
     bounded-error bins. Idempotent replay via the same marker
-    convention (group = None row carries the last applied batch id —
-    real group keys are never null by contract)."""
+    convention (group = None row carries the last applied batch id);
+    null groups are DROPPED at ingest so a null-``group_expr`` page
+    can never collide with the marker row, and the marker read also
+    requires ``applied IS NOT NULL``."""
     from osm_spark.operators.sketch import _kmv_combine, kmv_sketch
     from osm_spark.sources.manifest_table import ManifestTable
 
@@ -530,12 +532,16 @@ def stream_kmv_maintenance(
         t = ManifestTable(spark, table_path)
         base = batch_df.select(
             F.expr(group_expr).alias("g"), F.expr(key_expr).alias("key")
-        )
+        ).where(F.expr(group_expr).isNotNull())
         sk = kmv_sketch(base, "key", ["g"], k=k, kernel="combiner")
         if t.exists():
             cur = t.read()
             marker = (
-                cur.where(F.col("g").isNull()).select("applied").first()
+                cur.where(
+                    F.col("g").isNull() & F.col("applied").isNotNull()
+                )
+                .select("applied")
+                .first()
             )
             if marker is not None and marker["applied"] >= batch_id:
                 return  # replayed batch: no-op

@@ -32,9 +32,13 @@ Scale shape per round (the 100-TB view, mirroring pagerank.py):
   each round only the score side shuffles to meet it.
 - both updates are ONE equi-join + one map-side-combinable integer
   groupBy; in-degree skew (mega-authorities) collapses map-side.
-- normalization is one scalar max() job per side per round — a
-  driver-side int folded back into the plan as a literal.
-- each round's scores are persisted, the superseded round released
+- normalization costs ONE scalar driver job per round, not two: the
+  authority divisor is a driver-side literal (its max() collect is the
+  round's single materializing action), while the hub divisor is
+  FOLDED INTO THE PLAN as a broadcast 1-row max aggregate over the
+  persisted raw hub sums — same floor-div arithmetic, zero extra job
+  launches (pinned by test_hits_one_scalar_job_per_round).
+- each round's frames are persisted, the superseded round released
   after its successor materializes; the final frame is eagerly
   localCheckpoint-ed so no loop persist outlives the call.
 
@@ -87,15 +91,38 @@ def hits(
     auth = None
     superseded: list[DataFrame] = []
 
-    def _normalize(raw: DataFrame, col: str) -> DataFrame:
-        """raw(url, s) → node_set-complete floor-normalized scores."""
-        m = raw.agg(F.coalesce(F.max("s"), F.lit(0)).alias("m")).collect()[
-            0
-        ]["m"]
-        d = max(1, (int(m) + SCALE - 1) // SCALE)
+    def _complete(raw: DataFrame) -> DataFrame:
+        """raw(url, s) → node_set-complete int64 sums (missing → 0)."""
         return node_set.join(raw, "url", "left").select(
-            "url",
-            F.expr(f"coalesce(s, 0L) div {d}").cast("long").alias(col),
+            "url", F.expr("coalesce(s, 0L)").alias("s")
+        )
+
+    def _normalize_literal(raw: DataFrame, col: str, d: int) -> DataFrame:
+        return _complete(raw).select(
+            "url", F.expr(f"s div {d}").cast("long").alias(col)
+        )
+
+    def _normalize_in_plan(raw: DataFrame, col: str) -> DataFrame:
+        """Same floor-div normalization, but the divisor is a broadcast
+        1-row max over ``raw`` folded into the plan — no driver job.
+        ``raw`` must be a lineage-truncated leaf (lazy localCheckpoint):
+        it is referenced by BOTH the aggregate branch and the join
+        branch, and a non-leaf plan would double in size every round
+        (exponential logical-plan growth → analyzer OOM)."""
+        mx = raw.agg(
+            F.coalesce(F.max("s"), F.lit(0)).cast("long").alias("_m")
+        )
+        d = F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(_m + {SCALE - 1}) div {SCALE}").cast("long"),
+        )
+        return (
+            _complete(raw)
+            .crossJoin(F.broadcast(mx))
+            .select("url", F.expr("s").alias("s"), d.alias("_d"))
+            .select(
+                "url", F.expr("s div _d").cast("long").alias(col)
+            )
         )
 
     for i in range(iterations):
@@ -108,22 +135,39 @@ def hits(
             .groupBy("a_dst")
             .agg(F.sum("hub").alias("s"))
             .withColumnRenamed("a_dst", "url")
-        )
-        new_auth = _normalize(a_raw, "authority").persist()
+        ).persist()
+        # THE round's one scalar job: max of the raw authority sums.
+        # Evaluating it materializes a_raw — and, through its lineage,
+        # the previous round's lazily-normalized hub and everything
+        # behind it (all persisted → each filled exactly once).
+        m = a_raw.agg(F.coalesce(F.max("s"), F.lit(0)).alias("m")).collect()[
+            0
+        ]["m"]
+        d_a = max(1, (int(m) + SCALE - 1) // SCALE)
+        new_auth = _normalize_literal(a_raw, "authority", d_a).persist()
+        # Lazy localCheckpoint: truncates h_raw's logical plan to a
+        # leaf WITHOUT launching a job (the RDD computes — and is
+        # stored by the caching layer — on its first action, which is
+        # the next round's scalar job or the final join). This keeps
+        # per-round plan growth linear despite the double reference
+        # inside _normalize_in_plan, and replaces a persist(): the
+        # checkpointed blocks are released by the ContextCleaner when
+        # the superseded frame's reference drops.
         h_raw = (
             new_auth.withColumnRenamed("url", "h_dst")
             .join(by_dst, "h_dst")
             .groupBy("h_src")
             .agg(F.sum("authority").alias("s"))
             .withColumnRenamed("h_src", "url")
-        )
-        new_hub = _normalize(h_raw, "hub").persist()
-        # _normalize's scalar job materialized both persists; the
-        # superseded round is now safe to release (pagerank pattern).
+        ).localCheckpoint(eager=False)
+        new_hub = _normalize_in_plan(h_raw, "hub").persist()
+        # a_raw's scalar job materialized the whole previous round; the
+        # superseded frames are now safe to release (pagerank pattern).
         for old in superseded:
             old.unpersist()
         superseded = [hub] + ([auth] if auth is not None else [])
         hub, auth = new_hub, new_auth
+        superseded += [a_raw]
         # lineage truncation for large K (the pagerank checkpoint_every
         # hook): the eager localCheckpoint materializes from the
         # just-persisted frames, so it costs one cheap scan and caps

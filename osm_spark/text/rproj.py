@@ -73,11 +73,23 @@ def random_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10**6,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, p0..p{out_dim-1}) int64 projected coordinates — one
-    zero-shuffle Catalyst pass, matrix baked into the plan."""
-    first = df.select(F.size(vec_col).alias("n")).first()
-    dim = int(first["n"])
+    zero-shuffle Catalyst pass, matrix baked into the plan.
+
+    ``dim`` (the input vector length) should be passed explicitly
+    when known — it avoids an extra inference job. When omitted it is
+    inferred from the first row (all vectors must share that length,
+    the same contract every ANN op in this package assumes)."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("n")).first()
+        if first is None or first["n"] is None:
+            raise ValueError(
+                "random_project: cannot infer vector dim from an "
+                "empty input — pass dim= explicitly"
+            )
+        dim = int(first["n"])
     M = rproj_matrix(out_dim, dim)
     q = quantize_vectors(df, vec_col, scale)
     return df.select(

@@ -45,10 +45,10 @@ from pyspark.sql import functions as F
 
 def _ceil_mul(n, num: int, den: int):
     """⌈num·n/den⌉ as an int64 Catalyst expression (num·n ≥ 0):
-    exact integer (x − x mod den)/den on x = num·n + den − 1 — no
-    float division at any magnitude."""
-    x = n * F.lit(num) + F.lit(den - 1)
-    return ((x - F.pmod(x, F.lit(den))) / F.lit(den)).cast("long")
+    SQL integral division ``x div den`` on x = num·n + den − 1 —
+    stays in int64 arithmetic, no float division at any magnitude."""
+    x = (n * F.lit(num) + F.lit(den - 1)).cast("long")
+    return F.call_function("div", x, F.lit(den).cast("long")).cast("long")
 
 
 def jaccard_join(

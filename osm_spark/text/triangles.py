@@ -75,7 +75,8 @@ def oriented_edges(und: DataFrame) -> DataFrame:
 
 
 def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """(x, y, z) triangle rows, each exactly once, x = min-rank apex."""
+    """(x, y, z) triangle rows, each exactly once; z is the min-rank
+    apex (the wedge center u), x/y the oriented wedge endpoints."""
     o = oriented_edges(undirected_simple(edges, src, dst))
     w1 = o.select(
         F.col("u"), F.col("v").alias("x"), F.col("rkv").alias("rkx")

@@ -512,6 +512,62 @@ def test_stream_kmv_maintenance(spark, tmp_path):
     assert ManifestTable(spark, tbl).current_version() == before
 
 
+def test_stream_kmv_null_group_no_marker_collision(spark, tmp_path):
+    """A null-``group_expr`` page must NOT collide with the g-IS-NULL
+    marker row: null groups are dropped at ingest, the marker read
+    requires applied IS NOT NULL, replay stays a no-op, and the
+    maintained table equals the batch sketch over non-null groups."""
+    from osm_spark.data.pages import PagesSpec, pages_df
+    from osm_spark.operators.sketch import kmv_sketch
+    from osm_spark.sources.manifest_table import ManifestTable
+    from osm_spark.streaming.pages_stream import stream_kmv_maintenance
+
+    pages = pages_df(spark, PagesSpec(n_pages=600, n_countries=1))
+    # every 5th page has NULL lang — the collision trigger
+    pages = pages.withColumn(
+        "lang",
+        F.when(F.expr("pmod(abs(hash(url)), 5) = 0"), F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    src = str(tmp_path / "pages_src_kmv_null")
+    pages.repartition(4).write.parquet(src)
+
+    tbl = str(tmp_path / "kmv_tbl_null")
+    ck = str(tmp_path / "kmv_ck_null")
+    q = stream_kmv_maintenance(
+        spark, src, tbl, ck, key_expr="url", group_expr="lang",
+        k=32, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    t = ManifestTable(spark, tbl)
+    live = t.read().where(F.col("g").isNotNull())
+    batch = kmv_sketch(
+        spark.read.parquet(src)
+        .where(F.col("lang").isNotNull())
+        .select("lang", "url"),
+        "url",
+        ["lang"],
+        k=32,
+    )
+    want = {r["lang"]: r["hs"] for r in batch.collect()}
+    got = {r["g"]: r["hs"] for r in live.collect()}
+    assert got == want
+    # exactly one marker row, and it carries a real batch id
+    markers = t.read().where(F.col("g").isNull()).collect()
+    assert len(markers) == 1 and markers[0]["applied"] is not None
+
+    before = t.current_version()
+    ck2 = str(tmp_path / "kmv_ck_null_replay")
+    q2 = stream_kmv_maintenance(
+        spark, src, tbl, ck2, key_expr="url", group_expr="lang",
+        k=32, max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+    assert ManifestTable(spark, tbl).current_version() == before
+
+
 def test_citation_latency_stream_stream_join(spark, tmp_path):
     """Watermarked stream-stream join: drained availableNow output ==
     the identical batch join expression, including the inclusive lag
