@@ -8364,12 +8364,20 @@ _def("q147_isolines", fn=_q_isolines, duck_sql=_q147_oracle_sql())
 _Q146_M_SUB, _Q146_KSUB, _Q146_N_PROBE, _Q146_REFINE = 4, 16, 4, 25
 
 
-def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_pq_ann(
+    spark: SparkSession, sf_dir: str, by_residual: bool = False
+) -> DataFrame:
     from osm_spark.text.pq import exact_int_topk, pq_adc_topk, pq_encode, pq_fit
 
     _load(spark, sf_dir)
     emb = spark.table("embeddings")
-    model = pq_fit(emb, m_sub=_Q146_M_SUB, ksub=_Q146_KSUB, n_iters=3)
+    model = pq_fit(
+        emb,
+        m_sub=_Q146_M_SUB,
+        ksub=_Q146_KSUB,
+        n_iters=3,
+        by_residual=by_residual,
+    )
     queries = emb.where(F.col("vec_id") % 50 == 0)
     encoded = pq_encode(emb, model)
     adc5 = pq_adc_topk(
@@ -8433,20 +8441,23 @@ def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q146_oracle_sql() -> str:
+def _q146_oracle_sql(by_residual: bool = False) -> str:
     """Recomputes the ENTIRE IVF-PQ search relationally: the only
     imported artifacts are the integer codebooks (VALUES), whose
     trainer is itself pinned to the q134-SQL-replayed kmeans_fit by
     test_pq — everything Spark executes at corpus scale (assignment,
     codes, probes, LUT, ADC ranking, refine, recall) is re-derived
-    here from the parquet by independent SQL."""
+    here from the parquet by independent SQL. ``by_residual`` (q162)
+    re-derives the FAISS-default residual pipeline: codes come from
+    each vector's residual against its assigned coarse centroid, and
+    the LUT is per (query, probe-list) from q − c_list."""
     import os
 
     import numpy as np
     import pyarrow.parquet as pqt
 
     from osm_spark.text.ann import auto_n_lists
-    from osm_spark.text.pq import train_pq_np
+    from osm_spark.text.pq import assign_np, quantize_np, train_pq_q
 
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
@@ -8457,8 +8468,13 @@ def _q146_oracle_sql() -> str:
     ids = np.asarray(tb["vec_id"].to_pylist(), dtype=np.int64)
     X = np.asarray(tb["embedding"].to_pylist(), dtype=np.float64)
     n_lists = auto_n_lists(len(ids))
-    coarse = train_pq_np(ids, X, 1, n_lists, 3)[0]
-    books = train_pq_np(ids, X, _Q146_M_SUB, _Q146_KSUB, 3)
+    Q = quantize_np(X)
+    coarse = train_pq_q(ids, Q, 1, n_lists, 3)[0]
+    if by_residual:
+        R = Q - coarse[assign_np(Q, coarse)]
+        books = train_pq_q(ids, R, _Q146_M_SUB, _Q146_KSUB, 3)
+    else:
+        books = train_pq_q(ids, Q, _Q146_M_SUB, _Q146_KSUB, 3)
     dim = coarse.shape[1]
     dsub = dim // _Q146_M_SUB
 
@@ -8489,21 +8505,44 @@ def _q146_oracle_sql() -> str:
         f"i -> (v.q[b.s * {dsub} + i] - b.bv[i])"
         f" * (v.q[b.s * {dsub} + i] - b.bv[i])), (x, y) -> x + y)"
     )
-    return f"""
-WITH qv AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-  FROM embeddings),
-coarse_rows(j, {ccols}) AS (VALUES {coarse_vals}),
-coarse AS (SELECT j, {clist} AS cv FROM coarse_rows),
-cb_rows(s, code, {bcols}) AS (VALUES {cb_vals}),
-cb AS (SELECT s, code, {blist} AS bv FROM cb_rows),
-cd AS (SELECT v.vec_id, c.j, {d2full('v.q', 'c.cv')} AS d2
-       FROM qv v CROSS JOIN coarse c),
-assigned AS (SELECT vec_id, j AS list_id FROM (
-  SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) r
-  FROM cd) WHERE r = 1),
+    sub_d2_r = sub_d2.replace("v.q[", "v.r[")
+    resid_list = (
+        f"list_transform(range(1, {dim + 1}), i -> v.q[i] - c.cv[i])"
+    )
+    if by_residual:
+        # codes from each vector's residual vs its OWN list; LUT per
+        # (query, probe list) from the query's residual vs THAT list —
+        # ||q − (c_l + code)||² = ||(q − c_l) − code||², all int64.
+        mid = f"""
+resid AS (SELECT a.vec_id, a.list_id, {resid_list} AS r
+          FROM assigned a JOIN qv v USING (vec_id)
+          JOIN coarse c ON c.j = a.list_id),
+sd AS (SELECT v.vec_id, b.s, b.code, {sub_d2_r} AS d2
+       FROM resid v CROSS JOIN cb b),
+codes AS (SELECT vec_id, s, code FROM (
+  SELECT vec_id, s, code,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) r
+  FROM sd) WHERE r = 1),
+probes AS (SELECT query_id, j AS list_id FROM (
+  SELECT vec_id AS query_id, j,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) r
+  FROM cd WHERE vec_id % 50 = 0) WHERE r <= {_Q146_N_PROBE}),
+qres AS (SELECT p.query_id, p.list_id, {resid_list} AS r
+         FROM probes p JOIN qv v ON v.vec_id = p.query_id
+         JOIN coarse c ON c.j = p.list_id),
+lut AS (SELECT v.query_id, v.list_id, b.s, b.code, {sub_d2_r} AS d2
+        FROM qres v CROSS JOIN cb b),
+cand AS (SELECT p.query_id, p.list_id, a.vec_id AS neighbor_id
+         FROM probes p JOIN assigned a USING (list_id)
+         WHERE a.vec_id != p.query_id),
+adc AS (SELECT c.query_id, c.neighbor_id, sum(l.d2) AS adc_d2
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id AND l.list_id = c.list_id
+                  AND l.s = k.s AND l.code = k.code
+        GROUP BY c.query_id, c.neighbor_id),"""
+    else:
+        mid = f"""
 sd AS (SELECT v.vec_id, b.s, b.code, {sub_d2} AS d2
        FROM qv v CROSS JOIN cb b),
 codes AS (SELECT vec_id, s, code FROM (
@@ -8524,7 +8563,22 @@ adc AS (SELECT c.query_id, c.neighbor_id, sum(l.d2) AS adc_d2
         JOIN codes k ON k.vec_id = c.neighbor_id
         JOIN lut l ON l.query_id = c.query_id
                   AND l.s = k.s AND l.code = k.code
-        GROUP BY c.query_id, c.neighbor_id),
+        GROUP BY c.query_id, c.neighbor_id),"""
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+coarse_rows(j, {ccols}) AS (VALUES {coarse_vals}),
+coarse AS (SELECT j, {clist} AS cv FROM coarse_rows),
+cb_rows(s, code, {bcols}) AS (VALUES {cb_vals}),
+cb AS (SELECT s, code, {blist} AS bv FROM cb_rows),
+cd AS (SELECT v.vec_id, c.j, {d2full('v.q', 'c.cv')} AS d2
+       FROM qv v CROSS JOIN coarse c),
+assigned AS (SELECT vec_id, j AS list_id FROM (
+  SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) r
+  FROM cd) WHERE r = 1),{mid}
 rankedadc AS (SELECT query_id, neighbor_id, adc_d2,
     row_number() OVER (PARTITION BY query_id
                        ORDER BY adc_d2, neighbor_id) AS r,
@@ -8575,6 +8629,23 @@ FROM agg_a a JOIN agg_r r USING (query_id)
 
 
 _def("q146_pq_ann", fn=_q_pq_ann, duck_sql=_q146_oracle_sql())
+
+
+# X101b — residual-encoded IVF-PQ (FAISS by_residual=true, VERDICT r4
+# #3): identical search pipeline, but codes quantize each vector's
+# residual against its coarse centroid and the ADC LUT is rebuilt per
+# (query, probe-list) pair from q − c_list. Same exact-int contract;
+# the oracle re-derives residual training, encoding, per-list LUTs,
+# ADC and refine relationally.
+def _q_pq_ann_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_pq_ann(spark, sf_dir, by_residual=True)
+
+
+_def(
+    "q162_pq_residual",
+    fn=_q_pq_ann_residual,
+    duck_sql=_q146_oracle_sql(by_residual=True),
+)
 
 
 # ---------------------------------------------------------------------------

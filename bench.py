@@ -654,28 +654,32 @@ def main() -> None:
 
     # IVF-PQ over the same clustered corpus: train (sample-bounded) +
     # GEMM encode (the memory-compression pass: 64-dim floats → m_sub
-    # codes) + probe/ADC/refine search, end to end. q146 pins the
+    # codes) + probe/ADC/refine search, end to end. q146/q162 pin the
     # whole pipeline bit-exact vs SQL at the narrow config; this leg
-    # pins throughput at the wide config (ksub=64, m_sub=8 → 8 codes
-    # ≈ 8 B/row vs 256 B of floats) with both Arrow kernels.
+    # pins throughput at the wide RESIDUAL config (FAISS
+    # by_residual=true: codes quantize vector − coarse centroid, LUT
+    # per probe list — m_sub=16, ksub=16 → 16 4-bit codes ≈ 8 B/row
+    # vs 256 B of floats) with both Arrow kernels.
     def run_pq_scale():
         from osm_spark.text.pq import pq_adc_topk, pq_encode, pq_fit
 
         emb = approx_holder["scale_emb"]
         q = emb.where(F.col("vec_id") % 500 == 0)
         model = pq_fit(
-            emb, m_sub=8, ksub=64, n_lists=None, n_iters=3, sample_mod=5
+            emb, m_sub=16, ksub=16, n_lists=None, n_iters=3,
+            sample_mod=5, by_residual=True,
         )
         encoded = pq_encode(emb, model, kernel="numpy")
         if "pq_scale" in approx_holder:
             approx_holder["pq_scale"].unpersist()
-        # refine=200: ADC at 8×64 codes mis-ranks within clusters
-        # (quantization error ≈ within-cluster spread on this corpus),
-        # so the exact-refine head is the designed compensation
-        # (IndexRefineFlat) — measured recall@5 0.51/0.93/1.0 at
-        # refine 50/200/500; 200 rows/query is 0.2% of the corpus.
+        # refine=100 (0.1% of the corpus): residual codes span only
+        # the within-cluster spread, so ADC ranks tightly enough that
+        # the exact-refine head can HALVE vs the raw-vector encoding
+        # at the same 8 B/row — measured recall@5 at refine 50/100:
+        # raw 0.51/0.71, residual 0.85/0.965 (r5 sweep; the old raw
+        # config needed refine=200 for 0.928).
         approx = pq_adc_topk(
-            emb, q, model, k=5, n_probe=8, refine=200,
+            emb, q, model, k=5, n_probe=8, refine=100,
             encoded=encoded, query_kernel="numpy",
         ).persist()
         approx_holder["pq_scale"] = approx

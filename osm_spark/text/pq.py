@@ -40,13 +40,19 @@ Scale shape of ``pq_adc_topk``:
   m_sub ints per candidate — no vector bytes move.
 - refine: exact int64 d2 on the top-``refine`` ADC rows only.
 
-Variant note: FAISS IVF-PQ usually encodes RESIDUALS (vector − coarse
-centroid); this implementation encodes raw vectors (by_residual=false
-in FAISS terms) — one code table serves every probe list, which is
-the simpler distributed artifact and keeps the oracle's relational
-form small. Residual encoding drops in by subtracting the assigned
-centroid before ``pq_codes_col`` and adding per-(list, code) LUT
-offsets; noted, not needed for the semantics contract.
+Variant note: both FAISS encodings are implemented. The default
+(``by_residual=False``) encodes raw vectors — one code table serves
+every probe list, the simplest distributed artifact. With
+``by_residual=True`` (FAISS's IVF-PQ default) each vector is encoded
+as its RESIDUAL against its assigned coarse centroid and the search
+LUT is built per (query, probe-list) pair from the query's residual
+against THAT list's centroid: ||q − (c_l + code)||² =
+||(q − c_l) − code||². On clustered corpora the residuals span the
+within-cluster spread only, so the same code budget resolves far
+finer distances — ADC stops mis-ranking within clusters and the
+exact-refine head shrinks (VERDICT r4 #3; measured in BENCH.md's
+pq_scale leg). Everything stays exact int64, so the q162 oracle
+re-derives the full residual pipeline relationally.
 
 No reference counterpart (pmezard/osm has no vector search); this is
 the training-data extension surface (SURVEY §2.9) — near-dup mining /
@@ -116,23 +122,19 @@ def _lloyd_int_np(
     return C
 
 
-def train_pq_np(
-    ids: np.ndarray,
-    X: np.ndarray,
-    m_sub: int,
-    ksub: int,
-    n_iters: int = 3,
-    scale: int = DEFAULT_SCALE,
+def train_pq_q(
+    ids: np.ndarray, Q: np.ndarray, m_sub: int, ksub: int, n_iters: int = 3
 ) -> np.ndarray:
-    """(m_sub, ksub, dsub) int64 codebooks — per-subspace integer
-    Lloyd over the quantized sample. Pure function of the row SET
+    """(m_sub, ksub, dsub) int64 codebooks from ALREADY-QUANTIZED int64
+    rows — per-subspace integer Lloyd. Pure function of the row SET
     (rows id-sorted first); every subspace uses the same seed ROWS
     (the md5 rule ranks ids, not coordinates), exactly what
-    ``kmeans_fit`` on the sliced frame computes."""
+    ``kmeans_fit`` on the sliced frame computes. Residual training
+    enters here: pass residual rows, same trainer."""
     ids = np.asarray(ids, dtype=np.int64)
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    Q = quantize_np(np.asarray(X, dtype=np.float64)[order], scale)
+    Q = np.asarray(Q, dtype=np.int64)[order]
     dim = Q.shape[1]
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -145,6 +147,32 @@ def train_pq_np(
     )
 
 
+def train_pq_np(
+    ids: np.ndarray,
+    X: np.ndarray,
+    m_sub: int,
+    ksub: int,
+    n_iters: int = 3,
+    scale: int = DEFAULT_SCALE,
+) -> np.ndarray:
+    """(m_sub, ksub, dsub) int64 codebooks over quantized float rows —
+    ``train_pq_q`` after micro-unit quantization."""
+    return train_pq_q(
+        ids, quantize_np(np.asarray(X, dtype=np.float64), scale),
+        m_sub, ksub, n_iters,
+    )
+
+
+def assign_np(Q: np.ndarray, coarse: np.ndarray) -> np.ndarray:
+    """Exact-int64 nearest-coarse-centroid ids (ties → lowest id) —
+    numpy twin of ``kmeans.assign_expr``, shared by residual training,
+    the GEMM encode kernel and the q162 oracle."""
+    coarse = np.asarray(coarse, dtype=np.int64)
+    c2 = (coarse * coarse).sum(axis=1)
+    D = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ coarse.T) + c2
+    return np.argmin(D, axis=1)
+
+
 def pq_fit(
     embeddings: DataFrame,
     m_sub: int = 4,
@@ -155,12 +183,16 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = DEFAULT_SCALE,
+    by_residual: bool = False,
 ) -> dict:
     """Train the IVF-PQ model on the deterministic driver sample.
 
     Returns {"coarse": list[k][dim] int, "codebooks": list[m][ksub][dsub]
-    int, "m_sub", "ksub", "scale"} — plain ints so the model embeds
-    directly as plan literals / oracle VALUES."""
+    int, "m_sub", "ksub", "scale", "by_residual"} — plain ints so the
+    model embeds directly as plan literals / oracle VALUES. With
+    ``by_residual=True`` the codebooks are trained on the sample's
+    residuals against its coarse assignment (FAISS by_residual=true) —
+    same integer Lloyd, residual rows in."""
     from osm_spark.text.ann import auto_n_lists
 
     pdf = (
@@ -172,8 +204,13 @@ def pq_fit(
     X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
     if n_lists is None:
         n_lists = auto_n_lists(len(pdf) * sample_mod)
-    coarse = train_pq_np(ids, X, 1, n_lists, n_iters, scale)[0]
-    books = train_pq_np(ids, X, m_sub, ksub, n_iters, scale)
+    Q = quantize_np(X, scale)
+    coarse = train_pq_q(ids, Q, 1, n_lists, n_iters)[0]
+    if by_residual:
+        R = Q - coarse[assign_np(Q, coarse)]
+        books = train_pq_q(ids, R, m_sub, ksub, n_iters)
+    else:
+        books = train_pq_q(ids, Q, m_sub, ksub, n_iters)
     return {
         "coarse": [[int(v) for v in c] for c in coarse],
         "codebooks": [
@@ -182,7 +219,29 @@ def pq_fit(
         "m_sub": m_sub,
         "ksub": ksub,
         "scale": scale,
+        "by_residual": by_residual,
     }
+
+
+def _coarse_lit(coarse: list) -> Column:
+    """array<array<long>> literal of the coarse centroids — lets the
+    residual ``eq − coarse[list_id]`` stay a Catalyst expression
+    (element_at on the computed list id, zip_with subtraction)."""
+    return F.array(
+        *[
+            F.array(*[F.lit(int(v)).cast("long") for v in c])
+            for c in coarse
+        ]
+    )
+
+
+def _residual_col(vec: Column, coarse: list, list_id: Column) -> Column:
+    """array<long> residual ``vec − coarse[list_id]`` (exact int64)."""
+    return F.zip_with(
+        vec,
+        F.element_at(_coarse_lit(coarse), list_id + F.lit(1)),
+        lambda a, b: a - b,
+    )
 
 
 def pq_codes_col(qcol: Column, codebooks: list, dim: int) -> Column:
@@ -232,8 +291,8 @@ def _encode_gemm(df: DataFrame, model: dict, dim: int) -> DataFrame:
     limits. Zero shuffle; codebooks ride the task closure."""
     coarse = np.asarray(model["coarse"], dtype=np.int64)
     books = np.asarray(model["codebooks"], dtype=np.int64)
+    by_residual = bool(model.get("by_residual"))
     m_sub, ksub, dsub = books.shape
-    c2 = (coarse * coarse).sum(axis=1)
     b2 = (books * books).sum(axis=2)  # (m_sub, ksub)
 
     def enc(batches):
@@ -241,11 +300,11 @@ def _encode_gemm(df: DataFrame, model: dict, dim: int) -> DataFrame:
             if pdf.empty:
                 continue
             Q = np.asarray(pdf["eq"].tolist(), dtype=np.int64)
-            D = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ coarse.T) + c2
-            lid = np.argmin(D, axis=1).astype(np.int32)
+            lid = assign_np(Q, coarse).astype(np.int32)
+            E = Q - coarse[lid] if by_residual else Q
             codes = np.empty((len(Q), m_sub), dtype=np.int32)
             for s in range(m_sub):
-                Qs = Q[:, s * dsub : (s + 1) * dsub]
+                Qs = E[:, s * dsub : (s + 1) * dsub]
                 Ds = (
                     (Qs * Qs).sum(axis=1)[:, None]
                     - 2 * (Qs @ books[s].T)
@@ -286,11 +345,21 @@ def pq_encode(
         return _encode_gemm(base, model, dim)
     if kernel != "catalyst":
         raise ValueError(f"unknown kernel {kernel!r}")
-    return base.select(
+    assigned = base.select(
         "neighbor_id",
         "eq",
         assign_expr(F.col("eq"), model["coarse"])["cid"].alias("list_id"),
-        pq_codes_col(F.col("eq"), model["codebooks"], dim).alias("codes"),
+    )
+    enc_vec = (
+        _residual_col(F.col("eq"), model["coarse"], F.col("list_id"))
+        if model.get("by_residual")
+        else F.col("eq")
+    )
+    return assigned.select(
+        "neighbor_id",
+        "eq",
+        "list_id",
+        pq_codes_col(enc_vec, model["codebooks"], dim).alias("codes"),
     )
 
 
@@ -306,9 +375,18 @@ def _query_side_gemm(
     the probe side)."""
     coarse = np.asarray(model["coarse"], dtype=np.int64)
     books = np.asarray(model["codebooks"], dtype=np.int64)
+    by_residual = bool(model.get("by_residual"))
     m_sub, ksub, dsub = books.shape
     c2 = (coarse * coarse).sum(axis=1)
     ids = np.arange(coarse.shape[0])
+
+    def lut_of(vec: np.ndarray) -> list:
+        lut = []
+        for s in range(m_sub):
+            qs = vec[s * dsub : (s + 1) * dsub]
+            diff = books[s] - qs[None, :]
+            lut.append([int(v) for v in (diff * diff).sum(axis=1)])
+        return lut
 
     def qside(batches):
         for pdf in batches:
@@ -316,22 +394,20 @@ def _query_side_gemm(
                 continue
             Q = np.asarray(pdf["qq"].tolist(), dtype=np.int64)
             D = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ coarse.T) + c2
-            luts = []
-            for row_q in Q:
-                lut = []
-                for s in range(m_sub):
-                    qs = row_q[s * dsub : (s + 1) * dsub]
-                    diff = books[s] - qs[None, :]
-                    lut.append((diff * diff).sum(axis=1))
-                luts.append([list(map(int, l)) for l in lut])
             out = []
             for r in range(len(Q)):
                 order = np.lexsort((ids, D[r]))
+                raw_lut = None if by_residual else lut_of(Q[r])
                 for p in order[:n_probe]:
+                    # residual mode: the LUT is per (query, probe
+                    # list) — built from q − c_p, NOT from q.
+                    lut = (
+                        lut_of(Q[r] - coarse[p]) if by_residual else raw_lut
+                    )
                     out.append(
                         (int(pdf["query_id"].iloc[r]),
                          [int(v) for v in Q[r]],
-                         luts[r],
+                         lut,
                          int(p))
                     )
             yield pd.DataFrame(
@@ -396,14 +472,36 @@ def pq_adc_topk(
     if query_kernel == "numpy":
         q = _query_side_gemm(qbase, model, n_probe)
     elif query_kernel == "catalyst":
-        q = qbase.select(
-            "query_id",
-            "qq",
-            pq_lut_col(F.col("qq"), model["codebooks"], dim).alias("lut"),
-            F.explode(
-                _probes_col(F.col("qq"), model["coarse"], n_probe)
-            ).alias("list_id"),
-        )
+        if model.get("by_residual"):
+            # Residual LUTs are per (query, probe list): explode the
+            # probes FIRST, then build each row's LUT from q − c_list.
+            probed = qbase.select(
+                "query_id",
+                "qq",
+                F.explode(
+                    _probes_col(F.col("qq"), model["coarse"], n_probe)
+                ).alias("list_id"),
+            )
+            rq = _residual_col(
+                F.col("qq"), model["coarse"], F.col("list_id")
+            )
+            q = probed.select(
+                "query_id",
+                "qq",
+                pq_lut_col(rq, model["codebooks"], dim).alias("lut"),
+                "list_id",
+            )
+        else:
+            q = qbase.select(
+                "query_id",
+                "qq",
+                pq_lut_col(
+                    F.col("qq"), model["codebooks"], dim
+                ).alias("lut"),
+                F.explode(
+                    _probes_col(F.col("qq"), model["coarse"], n_probe)
+                ).alias("list_id"),
+            )
     else:
         raise ValueError(f"unknown kernel {query_kernel!r}")
     adc = F.aggregate(

@@ -115,6 +115,81 @@ def test_query_kernels_bit_identical(emb, model):
     )
 
 
+@pytest.fixture(scope="module")
+def rmodel(emb):
+    return pq_fit(
+        emb, m_sub=M_SUB, ksub=KSUB, n_lists=N_LISTS, n_iters=2,
+        by_residual=True,
+    )
+
+
+def test_residual_encode_kernels_bit_identical(emb, rmodel):
+    """Residual mode (FAISS by_residual=true): catalyst and Arrow-GEMM
+    encodes agree bit-for-bit, and codes quantize the residual — NOT
+    the raw vector — so the two models' codes differ."""
+    cat = pq_encode(emb, rmodel, kernel="catalyst")
+    gem = pq_encode(emb, rmodel, kernel="numpy")
+    cols = ["neighbor_id", "list_id", "codes"]
+    a = {r["neighbor_id"]: r for r in cat.select(cols).collect()}
+    b = {r["neighbor_id"]: r for r in gem.select(cols).collect()}
+    assert len(a) == N and a == b
+    raw = pq_fit(emb, m_sub=M_SUB, ksub=KSUB, n_lists=N_LISTS, n_iters=2)
+    c = {
+        r["neighbor_id"]: r
+        for r in pq_encode(emb, raw).select(cols).collect()
+    }
+    # same coarse assignment (coarse training is residual-independent)
+    assert all(a[k]["list_id"] == c[k]["list_id"] for k in a)
+    assert any(list(a[k]["codes"]) != list(c[k]["codes"]) for k in a)
+
+
+def test_residual_query_kernels_bit_identical(emb, rmodel):
+    queries = emb.where(F.col("vec_id") % 53 == 0)
+    cols = ["query_id", "neighbor_id", "adc_d2", "rank"]
+    cat = pq_adc_topk(
+        emb, queries, rmodel, k=5, n_probe=3, query_kernel="catalyst"
+    )
+    gem = pq_adc_topk(
+        emb, queries, rmodel, k=5, n_probe=3, query_kernel="numpy"
+    )
+    assert sorted(map(tuple, cat.select(cols).collect())) == sorted(
+        map(tuple, gem.select(cols).collect())
+    )
+
+
+def test_residual_full_probe_refine_equals_exact(emb, rmodel):
+    """The residual pipeline with probe pruning and head cut disabled
+    must also collapse to the exact integer top-k."""
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    got = pq_adc_topk(
+        emb, queries, rmodel, k=5, n_probe=N_LISTS, refine=N
+    ).select("query_id", "neighbor_id", "rank")
+    want = exact_int_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_residual_adc_beats_raw_adc(emb, model, rmodel):
+    """The point of residual encoding: at the SAME code budget the raw
+    ADC ranking (refine=0) recovers more of the exact top-k, because
+    codes span the within-cluster spread instead of the whole space."""
+    queries = emb.where(F.col("vec_id") % 29 == 0)
+    exact = exact_int_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def recall(m):
+        approx = pq_adc_topk(emb, queries, m, k=5, n_probe=3)
+        return approx.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+
+    assert recall(rmodel) > recall(model)
+
+
 def test_adc_recall_on_clustered_corpus(emb, model):
     """Selective point: ADC+refine recall@5 should be high on a
     clustered corpus (the regime PQ exists for)."""
