@@ -8649,6 +8649,81 @@ _def(
 
 
 # ---------------------------------------------------------------------------
+# q163 — REAL JPEG decode (pure-python baseline codec) vs the lossy
+# round-trip's closed-form pixel oracle
+# ---------------------------------------------------------------------------
+#
+# VERDICT r4 missing #2 / next #4: the last md5-stub modality.
+# pages_jpeg_df emits one genuine baseline JFIF per page
+# (text/jpeg.py — Annex-K tables, canonical Huffman, numpy DCT; no
+# codec deps) whose pixels are CONSTANT per 8×8 block, so the lossy
+# encode→decode round-trip is exactly the DC closed form
+# (quantize_dc_closed_form): dc = 8c−1024, k = round_half_away(dc/16),
+# v = clamp(2k+128). extract_features DECODES the bytes (marker walk →
+# Huffman → dequant → IDCT) and emits block means from the DECODED
+# pixels; DuckDB reproduces every column from the closed form alone —
+# hash equality proves the full entropy+transform path round-trips
+# real lossy-compressed bytes. n_bytes is OMITTED (Huffman length is
+# content-dependent; PNG's q61 pins the closed-form-length case).
+def _q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.data.pages import pages_jpeg_df
+    from osm_spark.text.multimodal import attach_media, extract_features
+
+    media = attach_media(
+        pages_jpeg_df(spark, _pages_spec()), "payload", "image", keep=["url"]
+    )
+    feats = extract_features(
+        media.select("url", "media_id", "kind", "payload"), dim=8,
+        keep=["url"],
+    )
+    return feats.select(
+        "url",
+        "kind",
+        "width",
+        "height",
+        "decoded",
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 8).cast("double").alias("f7"),
+    )
+
+
+def _q163_oracle_sql() -> str:
+    from osm_spark.data.pages import JPEG_H, JPEG_W, pages_jpeg_sql_exprs
+
+    n_px = JPEG_W * JPEG_H
+    blk = n_px // 8
+    # block index of pixel p: (row//8)·(W/8) + col//8
+    b = f"((p // {JPEG_W * 8}) * {JPEG_W // 8} + (p % {JPEG_W}) // 8)"
+    e = pages_jpeg_sql_exprs("i", b)
+
+    def f(j: int) -> str:
+        return (
+            f"CAST(CAST(CAST(SUM(CASE WHEN p >= {j * blk} AND p < {(j + 1) * blk} "
+            f"THEN v END) AS DOUBLE) / CAST({blk} AS DOUBLE) / CAST(255 AS DOUBLE) "
+            f"AS FLOAT) AS DOUBLE)"
+        )
+
+    return f"""
+WITH px AS (
+  SELECT i, p, {e['v']} AS v
+  FROM generate_series(0, {_N_PAGES - 1}) AS t(i),
+       generate_series(0, {n_px - 1}) AS s(p)
+)
+SELECT 'https://example.org/page/' || CAST(i AS VARCHAR) AS url,
+       'image' AS kind,
+       {e['width']} AS width,
+       {e['height']} AS height,
+       TRUE AS decoded,
+       {f(0)} AS f0,
+       {f(7)} AS f7
+FROM px GROUP BY i
+"""
+
+
+_def("q163_jpeg_decode", fn=_q_jpeg_decode, duck_sql=_q163_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 

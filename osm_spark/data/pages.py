@@ -223,6 +223,80 @@ def pages_png_df(spark: SparkSession, spec: PagesSpec) -> DataFrame:
     )
 
 
+JPEG_W, JPEG_H = 16, 24  # multiples of 8: 2×3 = 6 JPEG blocks; each
+# block is CONSTANT-valued so the lossy encode→decode round-trip has a
+# CLOSED FORM the q163 oracle can replay (quantize_dc_closed_form:
+# only the DC coefficient survives, and the luma DC quant step at
+# quality 50 is 16 — a multiple of 8, so reconstruction is integral).
+
+
+def pages_jpeg_sql_exprs(i: str, b: str) -> dict[str, str]:
+    """Closed-form SQL for the synthetic JPEG's DECODED pixels —
+    shared by the q163 DuckDB oracle. Block ``b`` (row-major block
+    index in [0, 6)) of page ``i`` has source value ``c = (seed +
+    37·b) % 256`` with ``seed = (i*2654435761) % 256``; the decoded
+    value is the DC closed form at q00=16:
+        dc = 8c − 1024;  k = round_half_away(dc / 16)
+        v  = clamp(2k + 128, 0, 255)
+    Valid in both Spark SQL and DuckDB (integer ops only)."""
+    seed = f"(({i} * 2654435761) % 256)"
+    c = f"(({seed} + 37 * {b}) % 256)"
+    dc = f"(8 * {c} - 1024)"
+    k = (
+        f"(CASE WHEN {dc} >= 0 THEN ({dc} + 8) // 16 "
+        f"ELSE -((-({dc}) + 8) // 16) END)"
+    )
+    return {
+        "seed": seed,
+        "c": c,
+        "v": f"LEAST(255, GREATEST(0, 2 * {k} + 128))",
+        "width": str(JPEG_W),
+        "height": str(JPEG_H),
+        "n_blocks_x": str(JPEG_W // 8),
+    }
+
+
+def pages_jpeg_df(spark: SparkSession, spec: PagesSpec) -> DataFrame:
+    """(url, payload) — one REAL tiny baseline JPEG per page
+    (pure-python encoder, osm_spark/text/jpeg.py), 8×8-block-constant
+    pixels per ``pages_jpeg_sql_exprs`` so a SQL oracle can reproduce
+    every DECODED pixel through the lossy round-trip's DC closed form.
+    Generated DISTRIBUTED (one Arrow pass over spark.range); the
+    pages_png_df shape."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from osm_spark.text.jpeg import encode_jpeg
+
+    w, h = JPEG_W, JPEG_H
+    bw, bh = w // 8, h // 8
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bidx = np.arange(bw * bh, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            payloads = []
+            for i in ids:
+                seed = (int(i) * 2654435761) % 256
+                blocks = ((seed + 37 * bidx) % 256).reshape(bh, bw)
+                px = np.repeat(
+                    np.repeat(blocks, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                payloads.append(encode_jpeg(px, quality=50))
+            yield pd.DataFrame(
+                {
+                    "url": "https://example.org/page/" + pd.Series(ids).astype(str),
+                    "payload": payloads,
+                }
+            )
+
+    return spark.range(spec.n_pages).mapInPandas(
+        gen, "url string, payload binary"
+    )
+
+
 WAV_N, WAV_RATE = 250, 8000  # 250 samples: NOT a multiple of 65536's
 # cycle or of the 37 stride, so per-page streams genuinely differ.
 

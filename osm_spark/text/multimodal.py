@@ -1,16 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with mapInPandas plumbing for decode/feature-extract stages.
 
-Image decode is REAL for PNG payloads: ``osm_spark.text.png`` is a
-pure-python (zlib+struct) PNG codec, so ``decode_image`` turns actual
-PNG bytes into pixel arrays and ``extract_features`` computes features
-from decoded pixels (block means over the grey ramp — q52 pins them
-against a closed-form SQL oracle). Payloads that are NOT decodable
-PNGs (no other codec exists in this container) fall back to
-``decode_image_stub``: a deterministic md5-seeded feature vector, so
-the distributed plumbing stays testable on arbitrary bytes and raises
-with a clear message when ``strict=True`` (production wiring point for
-PIL/ffmpeg on JPEG/WebP/video codecs).
+Image decode is REAL for PNG payloads (``osm_spark.text.png``, a
+pure-python zlib+struct codec) AND for baseline JPEG payloads
+(``osm_spark.text.jpeg``, a pure-python Huffman+IDCT codec): the
+sniff order is PNG signature, then SOI. ``decode_image`` turns actual
+bytes into pixel arrays and ``extract_features`` computes features
+from decoded pixels (block means — q61 pins PNG, q163 pins JPEG
+against closed-form SQL oracles). Payloads neither codec can decode
+(GIF/WebP/progressive JPEG/...) fall back to ``decode_image_stub``: a
+deterministic md5-seeded feature vector, so the distributed plumbing
+stays testable on arbitrary bytes and raises with a clear message
+when ``strict=True`` (production wiring point for PIL/ffmpeg).
 """
 
 from __future__ import annotations
@@ -76,20 +77,30 @@ def decode_image_stub(payload: bytes, dim: int = 16, strict: bool = False) -> np
 
 
 def decode_image(payload: bytes, dim: int = 16) -> tuple[np.ndarray, dict | None]:
-    """Real decode when the payload is a PNG (pure-python codec), md5
-    stub otherwise. Returns (float32[dim] features, meta-or-None).
+    """Real decode when the payload is a PNG or a baseline JPEG (both
+    pure-python codecs), md5 stub otherwise. Returns (float32[dim]
+    features, meta-or-None).
 
-    PNG features are ``dim`` equal-width block means over the row-major
+    Features are ``dim`` equal-width block means over the row-major
     pixel stream, each scaled to [0, 1]: sum(block)/len(block)/255 —
     the exact arithmetic a SQL oracle reproduces from the synthetic
-    pixel formula (q52). RGB pixels are averaged to grey first
-    (integer-exact: sum//3 is NOT used — float mean keeps parity with
-    the oracle's SUM/3.0)."""
+    pixel formula (PNG: q61; JPEG: q163 via the DC closed form). RGB
+    pixels are averaged to grey first (integer-exact: sum//3 is NOT
+    used — float mean keeps parity with the oracle's SUM/3.0). The
+    stub fallback now covers only formats with no pure-python decoder
+    here (GIF/WebP/progressive JPEG/...)."""
+    from osm_spark.text.jpeg import SOI, decode_jpeg
     from osm_spark.text.png import PNG_SIGNATURE, decode_png
 
     if payload and bytes(payload[:8]) == PNG_SIGNATURE:
         try:
             img, meta = decode_png(bytes(payload))
+        except ValueError:
+            return decode_image_stub(payload, dim), None
+        return pixel_features(img, dim), meta
+    if payload and bytes(payload[:2]) == SOI:
+        try:
+            img, meta = decode_jpeg(bytes(payload))
         except ValueError:
             return decode_image_stub(payload, dim), None
         return pixel_features(img, dim), meta
