@@ -8724,6 +8724,124 @@ _def("q163_jpeg_decode", fn=_q_jpeg_decode, duck_sql=_q163_oracle_sql())
 
 
 # ---------------------------------------------------------------------------
+# q164/q165 — haversine (true great-circle) metric for the point kNN /
+# radius joins (VERDICT r4 missing #3 / next #5)
+# ---------------------------------------------------------------------------
+#
+# metric="haversine" ranks by the int64 squared CHORD distance over
+# unit-sphere coordinates quantized at SPHERE_SCALE=1e7 (≈ 0.64 m) —
+# chord² = 4·hav is a monotone transform of great-circle distance, so
+# the ordering is true-geodesic at ANY latitude span (the
+# equirectangular metric's fixed cos(query lat) biases trans-polar and
+# wide-latitude pairs; the pytest ordering-divergence corpus pins a
+# case where the two metrics rank differently). The oracles recompute
+# the quantized sphere coords and brute-force chord² entirely in SQL.
+_HAV_SQL_SPHERE = """
+              CAST(round(cos(radians(lat_u / 1000000.0))
+                   * cos(radians(lon_u / 1000000.0)) * 10000000) AS BIGINT) AS sx,
+              CAST(round(cos(radians(lat_u / 1000000.0))
+                   * sin(radians(lon_u / 1000000.0)) * 10000000) AS BIGINT) AS sy,
+              CAST(round(sin(radians(lat_u / 1000000.0)) * 10000000) AS BIGINT) AS sz
+"""
+
+
+def _q_knn_points_hav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.knn_points import knn_points_join
+
+    sp = _spatial(spark)
+    pts = sp["points"].select("url", "lon", "lat")
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    queries = pts.where(page_no % 41 == 0)
+    out = knn_points_join(
+        queries, pts, k=3, level=6, radius=1, max_radius=1 << 6,
+        query_id="url", data_id="url", metric="haversine",
+    )
+    return out.select(
+        F.col("query_id").alias("query_url"),
+        F.col("data_id").alias("data_url"),
+        "d2_u",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q164_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte()
+        + f""",
+ sph AS (SELECT url, {_HAV_SQL_SPHERE} FROM pages),
+ q AS (SELECT * FROM sph
+       WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) % 41 = 0),
+ pairs AS (
+   SELECT q.url AS query_url, p.url AS data_url,
+          (q.sx - p.sx) * (q.sx - p.sx) + (q.sy - p.sy) * (q.sy - p.sy)
+            + (q.sz - p.sz) * (q.sz - p.sz) AS d2_u
+   FROM q CROSS JOIN sph p),
+ ranked AS (
+   SELECT query_url, data_url, CAST(d2_u AS BIGINT) AS d2_u,
+          CAST(row_number() OVER (
+            PARTITION BY query_url ORDER BY d2_u, data_url) AS BIGINT) AS rank
+   FROM pairs)
+SELECT query_url, data_url, d2_u, rank FROM ranked WHERE rank <= 3
+"""
+    )
+
+
+_def(
+    "q164_knn_points_haversine",
+    fn=_q_knn_points_hav,
+    duck_sql=_q164_oracle_sql(),
+)
+
+
+def _q_distance_join_hav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.knn_points import distance_join
+
+    sp = _spatial(spark)
+    pts = sp["points"].select("url", "lon", "lat")
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    queries = pts.where(page_no % 17 == 0)
+    return distance_join(
+        queries, pts, 0.03, query_id="url", data_id="url",
+        metric="haversine",
+    ).select(
+        F.col("query_id").alias("query_url"),
+        F.col("data_id").alias("data_url"),
+        "d2_u",
+    )
+
+
+def _q165_oracle_sql() -> str:
+    import math as _math
+
+    # the engine's exact threshold arithmetic, replayed here
+    d_rad = _math.radians(0.03)
+    t = 2.0 * 1e7 * _math.sin(d_rad / 2.0) + 4.0
+    t_u = int(_math.floor(t * t))
+    return (
+        _pages_oracle_cte()
+        + f""",
+ sph AS (SELECT url, {_HAV_SQL_SPHERE} FROM pages),
+ q AS (SELECT * FROM sph
+       WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) % 17 = 0),
+ pairs AS (
+   SELECT q.url AS query_url, p.url AS data_url,
+          (q.sx - p.sx) * (q.sx - p.sx) + (q.sy - p.sy) * (q.sy - p.sy)
+            + (q.sz - p.sz) * (q.sz - p.sz) AS d2_u
+   FROM q CROSS JOIN sph p)
+SELECT query_url, data_url, CAST(d2_u AS BIGINT) AS d2_u
+FROM pairs WHERE d2_u <= {t_u}
+"""
+    )
+
+
+_def(
+    "q165_distance_join_haversine",
+    fn=_q_distance_join_hav,
+    duck_sql=_q165_oracle_sql(),
+)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 

@@ -183,3 +183,75 @@ def test_rejects_nonpositive_radius(spark):
             query_id="id",
             data_id="id",
         )
+
+
+def _twin_hav(qlon, qlat, dlon, dlat, max_d, qid0=0, did0=0):
+    """numpy twin of the haversine radius join: int64 chord² over
+    1e-7-quantized sphere coords vs the arc-chord threshold."""
+    s = 1e7
+
+    def quant(lon, lat):
+        rl, rp = np.radians(lon), np.radians(lat)
+        return (
+            np.round(np.cos(rp) * np.cos(rl) * s).astype(np.int64),
+            np.round(np.cos(rp) * np.sin(rl) * s).astype(np.int64),
+            np.round(np.sin(rp) * s).astype(np.int64),
+        )
+
+    qx, qy, qz = quant(qlon, qlat)
+    dx, dy, dz = quant(dlon, dlat)
+    d_rad = math.radians(max_d)
+    t = 2.0 * s * math.sin(min(d_rad, math.pi) / 2.0) + 4.0
+    t_u = int(math.floor(t * t))
+    out = set()
+    for i in range(len(qx)):
+        d2 = (dx - qx[i]) ** 2 + (dy - qy[i]) ** 2 + (dz - qz[i]) ** 2
+        for j in np.nonzero(d2 <= t_u)[0].tolist():
+            out.add((qid0 + i, did0 + j, int(d2[j])))
+    return out
+
+
+def test_haversine_differential(spark):
+    qlon, qlat = _rand_points(41, 60)
+    dlon, dlat = _rand_points(42, 400)
+    for max_d in (0.5, 5.0, 30.0):
+        got = _got(
+            spark, qlon, qlat, dlon, dlat, max_d, metric="haversine"
+        )
+        exp = _twin_hav(qlon, qlat, dlon, dlat, max_d, did0=10_000)
+        assert got == exp, (max_d, len(got), len(exp))
+
+
+def test_haversine_high_lat_differential(spark):
+    """Polar cap corpus: the lon fan must go full-ring near the pole
+    and the asin bounding-box law must cover trans-polar pairs."""
+    rng = np.random.default_rng(43)
+    qlon = np.round(rng.uniform(-180, 180, 30), 6)
+    qlat = np.round(rng.uniform(80, 89.9, 30), 6)
+    dlon = np.round(rng.uniform(-180, 180, 200), 6)
+    dlat = np.round(rng.uniform(75, 89.99, 200), 6)
+    for max_d in (2.0, 8.0):
+        got = _got(
+            spark, qlon, qlat, dlon, dlat, max_d, metric="haversine"
+        )
+        exp = _twin_hav(qlon, qlat, dlon, dlat, max_d, did0=10_000)
+        assert got == exp, (max_d, len(got), len(exp))
+
+
+def test_haversine_includes_transpolar_pair_equirect_misses_scale(spark):
+    """From (85N, 0): (85N, 180) is 10 degrees of arc over the pole —
+    inside a 12-degree haversine radius. The equirectangular metric
+    calls the same pair cos(85)*180 ~ 15.7 degrees and excludes it."""
+    got_h = _got(
+        spark,
+        np.array([0.0]), np.array([85.0]),
+        np.array([180.0]), np.array([85.0]),
+        12.0, metric="haversine",
+    )
+    got_e = _got(
+        spark,
+        np.array([0.0]), np.array([85.0]),
+        np.array([180.0]), np.array([85.0]),
+        12.0, metric="equirectangular",
+    )
+    assert len(got_h) == 1 and len(got_e) == 0

@@ -332,3 +332,102 @@ def test_space_time_cube_matches_twin(spark, pts_df):
                 v for (l2, c2, m2), v in got.items()
                 if l2 == lv and c2 == c and m2 is not None
             )
+
+
+def _sphere_quant(lon, lat):
+    """numpy twin of knn_points._sphere_cols (SPHERE_SCALE=1e7)."""
+    rl, rp = np.radians(lon), np.radians(lat)
+    s = 1e7
+    return (
+        np.round(np.cos(rp) * np.cos(rl) * s).astype(np.int64),
+        np.round(np.cos(rp) * np.sin(rl) * s).astype(np.int64),
+        np.round(np.sin(rp) * s).astype(np.int64),
+    )
+
+
+def _brute_knn_hav(qlon, qlat, qids, dlon, dlat, dids, k):
+    qx, qy, qz = _sphere_quant(qlon, qlat)
+    dx, dy, dz = _sphere_quant(dlon, dlat)
+    out = set()
+    for i in range(len(qids)):
+        d2 = (dx - qx[i]) ** 2 + (dy - qy[i]) ** 2 + (dz - qz[i]) ** 2
+        order = sorted(zip(d2.tolist(), dids.tolist()))[:k]
+        for r, (dd, j) in enumerate(order, 1):
+            out.add((int(qids[i]), int(j), int(dd), r))
+    return out
+
+
+def test_knn_points_haversine_exact(spark):
+    """Frontier-loop haversine kNN == the brute int64-chord² twin on a
+    mixed-latitude corpus (VERDICT r4 next #5: true great-circle
+    ranking, not the cos(query-lat) approximation)."""
+    dlon, dlat = _rand_points(31, 300)
+    qlon, qlat = _rand_points(32, 40, lat_span=(-89.0, 89.0))
+    dids = np.arange(300)
+    qids = np.arange(40)
+    data = spark.createDataFrame(
+        [(int(i), float(dlon[i]), float(dlat[i])) for i in dids],
+        "data_id long, lon double, lat double",
+    ).repartition(8)
+    queries = spark.createDataFrame(
+        [(int(i), float(qlon[i]), float(qlat[i])) for i in qids],
+        "query_id long, lon double, lat double",
+    ).repartition(8)
+    got = {
+        (r.query_id, r.data_id, r.d2_u, r.rank)
+        for r in knn_points_join(
+            queries, data, k=3, level=6, radius=1, max_radius=1 << 6,
+            metric="haversine",
+        ).collect()
+    }
+    exp = _brute_knn_hav(qlon, qlat, qids, dlon, dlat, dids, 3)
+    assert got == exp
+
+
+def test_knn_points_haversine_vs_equirect_ordering_differs(spark):
+    """The cross-latitude corpus where the two geodesic metrics rank
+    DIFFERENTLY: from (80N, 0), the trans-polar neighbor at (89N, 180)
+    is 11 degrees of arc away — nearer than (80N, 70E) at ~11.4 — but
+    equirectangular scales the 180-degree lon gap by cos(80) into a
+    ~32-degree monster. Haversine must pick the trans-polar point."""
+    data = spark.createDataFrame(
+        [(1, 180.0, 89.0), (2, 70.0, 80.0)],
+        "data_id long, lon double, lat double",
+    )
+    queries = spark.createDataFrame(
+        [(0, 0.0, 80.0)], "query_id long, lon double, lat double"
+    )
+    kw = dict(k=2, level=6, radius=1, max_radius=1 << 6)
+    eq = knn_points_join(
+        queries, data, metric="equirectangular", **kw
+    ).collect()
+    hv = knn_points_join(queries, data, metric="haversine", **kw).collect()
+    eq1 = [r.data_id for r in sorted(eq, key=lambda r: r.rank)]
+    hv1 = [r.data_id for r in sorted(hv, key=lambda r: r.rank)]
+    assert eq1 == [2, 1] and hv1 == [1, 2]
+
+
+def test_knn_points_haversine_pole_and_wrap(spark):
+    """Near-pole queries: every meridian converges, so the nearest
+    point across the antimeridian must be found and ranked by true
+    arc. Data point 3 sits across the wrap at the same latitude ring;
+    point 4 is on the same meridian but farther in arc."""
+    data = spark.createDataFrame(
+        [(3, -179.5, 89.4), (4, 179.0, 88.0)],
+        "data_id long, lon double, lat double",
+    )
+    queries = spark.createDataFrame(
+        [(0, 179.5, 89.4)], "query_id long, lon double, lat double"
+    )
+    got = knn_points_join(
+        queries, data, k=2, level=6, radius=1, max_radius=1 << 6,
+        metric="haversine",
+    ).collect()
+    order = [r.data_id for r in sorted(got, key=lambda r: r.rank)]
+    assert order == [3, 4]
+    qlon = np.array([179.5]); qlat = np.array([89.4])
+    dlon = np.array([-179.5, 179.0]); dlat = np.array([89.4, 88.0])
+    exp = _brute_knn_hav(
+        qlon, qlat, np.array([0]), dlon, dlat, np.array([3, 4]), 2
+    )
+    assert {(r.query_id, r.data_id, r.d2_u, r.rank) for r in got} == exp
