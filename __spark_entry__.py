@@ -8841,6 +8841,62 @@ _def(
 )
 
 
+# q166 — haversine Hausdorff similarity join (q136/q141's true-metric
+# sibling): unlike the per-source-scaled equirectangular quasi-metric,
+# chord² is symmetric, so H² is an honest Hausdorff in quantized chord
+# units. Oracle: full brute-force per-point min / per-pair max replay
+# over the sphere-quantized coordinates.
+def _q_hausdorff_hav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.hausdorff import hausdorff_join
+
+    geo = geoparse_pages(_pages_df(spark))
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    pts = geo.select(
+        (((page_no * F.lit(2654435761)) % F.lit(1000000)) % F.lit(37))
+        .alias("traveler"),
+        "lon",
+        "lat",
+    )
+    return hausdorff_join(
+        pts, _Q141_MAX_D, traj_col="traveler", metric="haversine"
+    )
+
+
+def _q166_oracle_sql() -> str:
+    import math as _math
+
+    d_rad = _math.radians(_Q141_MAX_D)
+    t = 2.0 * 1e7 * _math.sin(d_rad / 2.0) + 4.0
+    t_u = int(_math.floor(t * t))
+    return _pages_oracle_cte() + f""",
+ pts AS (SELECT (CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT)
+                 * 2654435761) % 1000000 % 37 AS key, lon_u, lat_u
+         FROM pages),
+ u0 AS (SELECT DISTINCT key, lon_u, lat_u FROM pts),
+ u AS (SELECT key, lon_u AS x, lat_u AS y, {_HAV_SQL_SPHERE}
+       FROM u0),
+ mins AS (SELECT a.key AS ka, a.x, a.y, b.key AS kb,
+                 min((a.sx - b.sx) * (a.sx - b.sx)
+                     + (a.sy - b.sy) * (a.sy - b.sy)
+                     + (a.sz - b.sz) * (a.sz - b.sz)) AS m
+          FROM u a JOIN u b ON a.key <> b.key
+          GROUP BY a.key, a.x, a.y, b.key),
+ dirs AS (SELECT ka, kb, max(m) AS dd FROM mins GROUP BY ka, kb)
+SELECT f.ka AS traj_a, f.kb AS traj_b,
+       CAST(greatest(f.dd, r.dd) AS BIGINT) AS hausdorff_d2
+FROM dirs f JOIN dirs r ON f.ka = r.kb AND f.kb = r.ka
+WHERE f.ka < f.kb AND greatest(f.dd, r.dd) <= {t_u}
+"""
+
+
+_def(
+    "q166_hausdorff_haversine",
+    fn=_q_hausdorff_hav,
+    duck_sql=_q166_oracle_sql(),
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------

@@ -68,8 +68,24 @@ def hausdorff_join(
     directed max-min uses its own side's scaling and H² is the max of
     the two quasi-metric directed values — deterministic, and the
     q141 oracle replays exactly that.
+    ``metric="haversine"`` ranks with the true great-circle chord²
+    metric (knn_points.SPHERE_SCALE quantization) — a REAL symmetric
+    metric (no per-side scaling asymmetry), so H² is an honest
+    Hausdorff in quantized chord units; the threshold is the chord² of
+    a ``max_d``-degree arc (the distance_join haversine contract,
+    q166's oracle replays it).
     """
+    import math as _math
+
+    from osm_spark.spatial.knn_points import SPHERE_SCALE
+
     d_u = int(round(max_d * 1e6))
+    if metric == "haversine":
+        d_rad = _math.radians(max_d)
+        t = 2.0 * SPHERE_SCALE * _math.sin(min(d_rad, _math.pi) / 2.0) + 4.0
+        thr = int(_math.floor(t * t))
+    else:
+        thr = d_u * d_u
     # Canonical per-µdeg-point representative: reconstructing degrees
     # from the int grid keeps distance_join's own rounding exact.
     pts_u = points.select(
@@ -137,6 +153,6 @@ def hausdorff_join(
             F.count("*").alias("_n_dir"),
         )
         .where(F.col("_n_dir") == 2)
-        .where(F.col("hausdorff_d2") <= F.lit(d_u * d_u))
+        .where(F.col("hausdorff_d2") <= F.lit(thr))
         .drop("_n_dir")
     )

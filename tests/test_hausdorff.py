@@ -182,3 +182,68 @@ def test_string_traj_ids_work(spark):
     out = hausdorff_join(df, 0.01, traj_col="traj_id").collect()
     assert [(r["traj_a"], r["traj_b"]) for r in out] == [("x", "y")]
     assert out[0]["hausdorff_d2"] == 100**2  # max over the 4 point-mins
+
+
+def _brute_hav(rows, max_d):
+    import math
+
+    s = 1e7
+
+    def sphere(x_u, y_u):
+        rl, rp = math.radians(x_u / 1e6), math.radians(y_u / 1e6)
+        return (
+            int(round(math.cos(rp) * math.cos(rl) * s)),
+            int(round(math.cos(rp) * math.sin(rl) * s)),
+            int(round(math.sin(rp) * s)),
+        )
+
+    pts = {}
+    for t, x, y in rows:
+        pts.setdefault(t, set()).add(sphere(x, y))
+
+    def d2(a, b):
+        return sum((u - v) ** 2 for u, v in zip(a, b))
+
+    def directed(a, b):
+        return max(min(d2(p, q) for q in pts[b]) for p in pts[a])
+
+    d_rad = math.radians(max_d)
+    t_ = 2.0 * s * math.sin(min(d_rad, math.pi) / 2.0) + 4.0
+    t_u = int(math.floor(t_ * t_))
+    out = {}
+    ks = sorted(pts)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            h2 = max(directed(a, b), directed(b, a))
+            if h2 <= t_u:
+                out[(a, b)] = h2
+    return out
+
+
+def test_haversine_matches_brute_and_symmetric(spark):
+    """True-geodesic Hausdorff: matches the brute chord² twin on a
+    high-latitude corpus, and (unlike equirectangular's per-source
+    scaling) the metric is symmetric by construction — chord²(a,b)
+    never depends on which side is the source."""
+    rows = []
+    for t in range(4):
+        for i in range(6):
+            h = hashlib.md5(f"hh-{t}-{i}".encode()).hexdigest()
+            rows.append(
+                (
+                    t,
+                    t * 400_000 + int(h[:5], 16) % 200_001 - 100_000,
+                    80_000_000 + int(h[5:10], 16) % 200_001 - 100_000,
+                )
+            )
+    df = spark.createDataFrame(
+        [(t, x / 1e6, y / 1e6) for t, x, y in rows],
+        "traj_id long, lon double, lat double",
+    )
+    max_d = 0.35
+    want = _brute_hav(rows, max_d)
+    got = {
+        (r["traj_a"], r["traj_b"]): r["hausdorff_d2"]
+        for r in hausdorff_join(df, max_d, metric="haversine").collect()
+    }
+    assert got == want and len(want) > 0
