@@ -8898,6 +8898,109 @@ _def(
 
 
 # ---------------------------------------------------------------------------
+# q167 — stream-stream join under the ORACLE gate (VERDICT r4 next #9)
+# ---------------------------------------------------------------------------
+#
+# X111 (citation_latency_join) was the one operator family verified
+# rows-only (pytest drain-equality). This entry runs the REAL
+# two-sided watermarked Structured-Streaming join — multi-file
+# micro-batched sources, parquet sink, availableNow drain — inside the
+# query callable, then returns the sink; the DuckDB oracle computes
+# the equivalent batch range-join from the page FORMULA alone. Hash
+# equality proves the streamed state machine (two-sided buffering +
+# watermark eviction + inclusive lag bounds) reproduces the batch
+# semantics row-for-row. Link events are deterministic: page k cites
+# page k−1 at lag (37k mod 7200) s — half inside the 1 h window.
+def _q_stream_citation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from osm_spark.streaming.pages_stream import citation_latency_join
+
+    pages = _pages_df(spark)
+    root = tempfile.mkdtemp(prefix="q167_ss_")
+    psrc, lsrc = f"{root}/pages", f"{root}/links"
+    pages.repartition(3).write.mode("overwrite").parquet(psrc)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    links = (
+        pages.select(
+            F.col("url").alias("dst_url"), "warc_ts", page_no.alias("k")
+        )
+        .where(F.col("k") > 0)
+        .select(
+            F.concat(
+                F.lit("https://w.example/page/"),
+                (F.col("k") - 1).cast("string"),
+            ).alias("src"),
+            F.col("dst_url").alias("dst"),
+            (
+                F.col("warc_ts")
+                + ((F.col("k") * 37) % 7200)
+                .cast("string")
+                .cast("interval second")
+            ).alias("link_ts"),
+        )
+    )
+    links.repartition(3).write.mode("overwrite").parquet(lsrc)
+    pschema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    lschema = "src string, dst string, link_ts timestamp"
+    p_stream = (
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(psrc)
+    )
+    l_stream = (
+        spark.readStream.schema(lschema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(lsrc)
+    )
+    out = citation_latency_join(p_stream, l_stream, max_lag="1 hour")
+    sink, ck = f"{root}/sink", f"{root}/ck"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(sink).select(
+        "dst", "src", F.col("lag_sec").cast("long").alias("lag_sec")
+    )
+
+
+def _q167_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte(columns="url, warc_ts")
+        + """,
+ links AS (
+   SELECT 'https://w.example/page/'
+            || CAST(CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) - 1
+                    AS VARCHAR) AS src,
+          url AS dst,
+          warc_ts + to_seconds(
+            (CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) * 37)
+            % 7200) AS link_ts
+   FROM pages
+   WHERE CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT) > 0)
+SELECT l.dst, l.src,
+       CAST(epoch(l.link_ts) - epoch(p.warc_ts) AS BIGINT) AS lag_sec
+FROM links l JOIN pages p ON l.dst = p.url
+WHERE l.link_ts >= p.warc_ts
+  AND l.link_ts <= p.warc_ts + INTERVAL 1 HOUR
+"""
+    )
+
+
+_def(
+    "q167_stream_citation_join",
+    fn=_q_stream_citation_join,
+    duck_sql=_q167_oracle_sql(),
+)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
