@@ -4784,7 +4784,7 @@ _def("q100_hll_distinct", fn=_q_hll, duck_sql=_q100_oracle_sql())
 # q81/q91 pattern) whose merge application is the identical greedy
 # fold via list_reduce with a delimiter-encoded accumulator — and
 # q102 additionally RE-ENCODES every document with it, hash-exact.
-_BPE_K = 6
+_BPE_K = 20  # raised from 6 in r5 (VERDICT next #7: a larger K point)
 
 
 def _duck_bpe_fold(e: str, l: str, r: str) -> str:
@@ -4811,7 +4811,7 @@ _BPE_ACC_TO_LIST = (
 
 def _bpe_train_ctes(k_rounds: int) -> list[str]:
     ctes = [
-        f"""w0 AS (
+        f"""w0 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq,
          list_transform(range(length(word)), i -> substr(word, CAST(i+1 AS INT), 1)) AS syms
   FROM (SELECT unnest({_TOKENS_DUCK}) AS word FROM documents) GROUP BY word)"""
@@ -4835,7 +4835,7 @@ def _bpe_train_ctes(k_rounds: int) -> list[str]:
             f"FROM w{k-1}, m{k})"
         )
         ctes.append(
-            f"w{k} AS (SELECT word, freq, {_BPE_ACC_TO_LIST} AS syms FROM a{k})"
+            f"w{k} AS MATERIALIZED (SELECT word, freq, {_BPE_ACC_TO_LIST} AS syms FROM a{k})"
         )
     return ctes
 

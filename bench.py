@@ -262,6 +262,25 @@ def main() -> None:
 
     timed("bpe_train_encode", run_bpe)
 
+    # Production merge count (VERDICT r4 next #7): K=256 over the SAME
+    # word-type table (~2.7M types at sf0.1). Each round is ONE
+    # driver-coordinated affected-only delta job — corpus-size-
+    # independent — so the leg measures the per-round constant × K;
+    # the encode side exercises the Arrow-batched dictionary kernel
+    # (the >chunk_size path) + broadcast join. Pinned bit-identical to
+    # the python twin at K=256 and to the Catalyst fold dictionary at
+    # small K (test_bpe). Exempt from min-of-k (see rep_exempt).
+    def run_bpe256():
+        from osm_spark.text.bpe import bpe_encode, bpe_train
+
+        docs = pages.select(F.col("url").alias("doc_id"), "text")
+        k256 = int(os.environ.get("SPARK_GRAFT_BPE256_K", "256"))
+        merges = bpe_train(docs, n_merges=k256, checkpoint_every=16)
+        enc = bpe_encode(docs, merges)
+        return int(enc.agg(F.sum("n_bpe_tokens")).first()[0])
+
+    timed("bpe256_train_encode", run_bpe256)
+
     sp: dict = {}
 
     # The spatial join is two phases with very different scaling laws:
@@ -848,7 +867,16 @@ def main() -> None:
     # as min-of-k, with every rep and the probe trace alongside so the
     # judge can see the noise floor.
     rep_floor = float(os.environ.get("SPARK_GRAFT_BENCH_REP_FLOOR", "2.0"))
-    headline = {n: fn for n, fn in legs.items() if timings[n] >= rep_floor}
+    # Exempt from min-of-k: legs made of HUNDREDS of sequential
+    # driver-coordinated rounds — a load spike amortizes across the
+    # rounds instead of poisoning one timing, and re-running a
+    # multi-minute leg would dominate the whole bench budget.
+    rep_exempt = {"bpe256_train_encode"}
+    headline = {
+        n: fn
+        for n, fn in legs.items()
+        if timings[n] >= rep_floor and n not in rep_exempt
+    }
     reps_k = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     min_of_k = {n: {"reps": [timings[n]]} for n in headline}
     probes = [{"at": "baseline", "rate": _probe_rate()}]

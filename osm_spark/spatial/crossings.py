@@ -86,11 +86,22 @@ def _auto_shift(segments: DataFrame) -> int:
 
 
 def crossing_join(
-    segments: DataFrame, shift: int | None = None
+    segments: DataFrame, shift: int | None = None, salt: int = 1
 ) -> DataFrame:
     """(traj_a, seg_a, traj_b, seg_b) for every properly-crossing
     segment pair from different trajectories (traj_a < traj_b; both
-    orderings of equal-traj... cross-traj pairs canonicalized)."""
+    orderings of equal-traj... cross-traj pairs canonicalized).
+
+    ``salt``: mega-cell EXPANSION-skew guard (measured in
+    tools/skew_demo_crossings.py / SCALE.md). A cell holding m
+    co-located segments expands to ~m² candidate pairs inside ONE
+    reduce task — and AQE's skew split cannot help, because it splits
+    by shuffle-INPUT bytes and the hot key's input is tiny (the
+    blowup is the join's output). salt=R shards the a-side by segment
+    hash and replicates the b-side R ways (join key (cx, cy, salt)),
+    bounding the per-task pair volume at pairs/R for an R× replication
+    of the b-side fan-out — the standard self-join expansion split.
+    Output is salt-invariant (pinned by test_crossings)."""
     if shift is None:
         shift = _auto_shift(segments)
 
@@ -117,10 +128,23 @@ def crossing_join(
 
     a = covered(segments, "a")
     b = covered(segments, "b")
+    if salt > 1:
+        # a-row carries ONE salt, b-row all salts: each (a, b) pair
+        # meets exactly once (at a's salt) — same pair set, R-way
+        # split of every cell's expansion.
+        a = a.withColumn(
+            "_s", F.pmod(F.hash("traj_a", "seg_a"), F.lit(salt))
+        )
+        b = b.withColumn(
+            "_s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        keys = ["cx", "cy", "_s"]
+    else:
+        keys = ["cx", "cy"]
     cand = (
-        a.join(b, ["cx", "cy"])
+        a.join(b, keys)
         .where(F.col("traj_a") < F.col("traj_b"))
-        .drop("cx", "cy")
+        .drop(*keys)
         .distinct()
     )
 

@@ -34,10 +34,13 @@ Scale shape (the 100-TB view):
   (the merge folds are literal-specialized Catalyst expressions — no
   Python in the loop), then broadcast-join the word→pieces dictionary
   back to the corpus and reassemble per document ordered by word
-  position. A 32k-merge production vocabulary would cap the nested-
-  expression depth per pass (apply merges in chunks of ~64, K/64
-  sequential column rewrites over the DISTINCT-WORD table — still
-  corpus-size-independent); n_merges here is test-scale.
+  position. Production merge counts (256–32k) apply the folds in
+  CHUNKS over the distinct-word table — ≤8 guarded folds per staged
+  projection (the guard's tree doubles per merge, so chunking bounds
+  the analyzer; its contains() probe is what keeps Zipf-tail words
+  from paying K folds of CPU), lazy lineage truncation between chunks
+  so projections cannot re-collapse — still corpus-size-independent,
+  pinned against the python twin at K=256 (test_bpe).
 
 No reference analog (pmezard/osm has no text pipeline); SURVEY
 §2-ext X65. Oracles: q101 re-trains the whole merge table in DuckDB
@@ -142,6 +145,7 @@ def bpe_train(
     text: str = "text",
     key: str = "doc_id",
     min_freq: int = 1,
+    checkpoint_every: int = 16,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges; returns a DataFrame
     ``(merge_rank, left_sym, right_sym, pair_count)`` ordered by rank.
@@ -154,6 +158,13 @@ def bpe_train(
     per round is never useful and would make small-corpus training
     nondeterministic only in uninteresting tails — the cutoff is part
     of the contract and mirrored by the q101 oracle's unroll guard).
+
+    ``checkpoint_every``: eager localCheckpoint of the type table every
+    K rounds — the persist/count per round fills caches but does NOT
+    truncate the logical plan, and at production merge counts (256+,
+    VERDICT r4 next #7) 256 nested conditional-fold projections make
+    Catalyst analysis itself the bottleneck. Truncation caps plan
+    depth at ``checkpoint_every`` rewrites (the pagerank hook).
     """
     spark = docs.sparkSession
     words = (
@@ -190,6 +201,7 @@ def bpe_train(
     pc: dict[tuple[str, str], int] = {(row["l"], row["r"]): int(row["cnt"]) for row in seed}
 
     merges: list[tuple[int, str, str, int]] = []
+    prev: DataFrame | None = None
     try:
         for rank in range(1, n_merges + 1):
             if not pc:
@@ -245,16 +257,64 @@ def bpe_train(
 
             nxt = words.withColumn(
                 "syms", F.when(adj, new_syms).otherwise(F.col("syms"))
-            ).persist()
-            nxt.count()
-            words.unpersist()
+            )
+            if checkpoint_every and rank % checkpoint_every == 0:
+                # lineage truncation: materializes AND stores (caching
+                # layer), so no persist needed on this round
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+            # ONE Spark job per round: the NEXT round's delta collect
+            # scans nxt (filling its cache as a side effect), so no
+            # separate count() is needed — but the superseded frame
+            # must outlive that scan, hence the one-round deferred
+            # release (the pagerank pattern; halves round latency,
+            # measured 368 s → see BENCH.md r5 bpe_train256 notes).
+            if prev is not None:
+                prev.unpersist()
+            prev = words
             words = nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         words.unpersist()
 
     return spark.createDataFrame(
         merges, "merge_rank: int, left_sym: string, right_sym: string, pair_count: bigint"
     )
+
+
+def _apply_merges(
+    w: Column,
+    syms: Column,
+    merges: Sequence[tuple[str, str]],
+    guarded: bool = True,
+) -> Column:
+    """Fold ``merges`` (in rank order) over an existing symbol array.
+    Valid mid-sequence: the ``contains(word, left || right)`` guard
+    tests the RAW word string, and adjacent symbols are contiguous
+    substrings of the word at every stage.
+
+    ``guarded=False`` drops the per-merge CASE guard: the fold is the
+    IDENTITY when the pair is absent, so output is unchanged — and the
+    expression tree grows LINEARLY in the merge count instead of
+    doubling per merge (``when(c, fold(s)).otherwise(s)`` references
+    ``s`` twice, so a 32-merge guarded chain is a 2³²-node TREE —
+    measured analyzer OOM; runtime cost is fine, tree size is not).
+    But unguarded folds RUN on every word: at K=256 over 2.7M types
+    that is ~700M higher-order folds (measured: the encode stage
+    crawls), while the guard's substring probe skips ~all of them for
+    Zipf-tail words. So the production path keeps the guard and
+    bounds the tree by CHUNKING at ≤8 merges per staged projection
+    (2⁸·fold ≈ 15k nodes — the analyzer cost the historical K=8
+    single-expression path already paid)."""
+    for left, right in merges:
+        folded = merge_fold(syms, left, right)
+        if guarded:
+            syms = F.when(w.contains(left + right), folded).otherwise(syms)
+        else:
+            syms = folded
+    return syms
 
 
 def encode_word_col(
@@ -272,12 +332,7 @@ def encode_word_col(
     none of the merges pays k substring probes instead of k array
     folds."""
     w = F.col(word) if isinstance(word, str) else word
-    syms = chars_col(w)
-    for left, right in merges:
-        syms = F.when(
-            w.contains(left + right), merge_fold(syms, left, right)
-        ).otherwise(syms)
-    return syms
+    return _apply_merges(w, chars_col(w), merges)
 
 
 def bpe_encode(
@@ -286,6 +341,7 @@ def bpe_encode(
     text: str = "text",
     key: str = "doc_id",
     mode: str = "auto",
+    chunk_size: int = 8,
 ) -> DataFrame:
     """Encode every document with a trained merge table; returns
     ``(key, n_words, n_bpe_tokens, bpe_text)`` where ``bpe_text`` is
@@ -350,11 +406,58 @@ def bpe_encode(
     # cheap codegen projection, and a session-lifetime cache over the
     # full corpus is exactly the leak the r4 knn fix removed.
     toks = docs.select(F.col(key).alias("k"), tokens_col(text).alias("toks"))
-    dictionary = (
-        toks.select(F.explode("toks").alias("word"))
-        .distinct()
-        .select("word", encode_word_col("word", pairs).alias("pieces"))
-    )
+    # Production merge counts (256–32k, VERDICT r4 next #7) cannot ride
+    # Catalyst expressions at all: the guarded fold tree DOUBLES per
+    # merge (analyzer OOM past ~20), the unguarded form runs K folds
+    # on every type (measured: crawls), and staged chunked projections
+    # either re-collapse or hold K/chunk stored dictionary copies
+    # (measured: executor OOM). So past ``chunk_size`` merges the
+    # dictionary is built by an ARROW-BATCHED kernel over the
+    # DISTINCT-WORD table — the classic rank-order greedy merge loop
+    # (the GPT-2 tokenizer shape), with the same contains() guard the
+    # Catalyst fold uses. Word types are Zipf-bounded, so the python
+    # loop is corpus-size-independent; output is pinned identical to
+    # the Catalyst fold (test_bpe: modes at K=8, twin at K=256).
+    dictionary = toks.select(F.explode("toks").alias("word")).distinct()
+    if len(pairs) <= chunk_size:
+        dictionary = dictionary.select(
+            "word", encode_word_col("word", pairs).alias("pieces")
+        )
+    else:
+        import pandas as pd
+
+        def enc_batches(it):
+            for pdf in it:
+                out = []
+                for w in pdf["word"]:
+                    s = list(w)
+                    for left, right in pairs:
+                        # adjacent symbols are contiguous substrings of
+                        # the word — same no-false-negative guard as
+                        # encode_word_col's contains()
+                        if left + right not in w:
+                            continue
+                        # greedy left-to-right, non-overlapping — the
+                        # merge_fold semantics, exactly
+                        s2, i = [], 0
+                        while i < len(s):
+                            if (
+                                i + 1 < len(s)
+                                and s[i] == left
+                                and s[i + 1] == right
+                            ):
+                                s2.append(left + right)
+                                i += 2
+                            else:
+                                s2.append(s[i])
+                                i += 1
+                        s = s2
+                    out.append(s)
+                yield pd.DataFrame({"word": pdf["word"], "pieces": out})
+
+        dictionary = dictionary.mapInPandas(
+            enc_batches, "word string, pieces array<string>"
+        )
     exploded = toks.select("k", F.posexplode("toks").alias("pos", "word"))
     joined = exploded.join(F.broadcast(dictionary), "word")
     encoded = joined.groupBy("k").agg(

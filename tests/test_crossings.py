@@ -127,3 +127,16 @@ def test_segments_indexing(spark):
     )
     # traj 2 has a single point -> no segments; traj 1 has 0->1, 1->2
     assert got == [(1, 0, 0, 10), (1, 1, 10, 20)]
+
+
+def test_salt_invariance(walk_df):
+    """The expansion-skew salt (a-side sharded, b-side replicated R
+    ways) must leave the crossing pair set untouched."""
+    rows, df = walk_df
+    segs = segments_from_points(df, order_cols=("ts",))
+    base = sorted(map(tuple, crossing_join(segs).collect()))
+    for salt in (3, 8):
+        assert (
+            sorted(map(tuple, crossing_join(segs, salt=salt).collect()))
+            == base
+        )
