@@ -5735,6 +5735,15 @@ def _q_geo_sessions_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HAV_SQL_SPHERE = """
+              CAST(round(cos(radians(lat_u / 1000000.0))
+                   * cos(radians(lon_u / 1000000.0)) * 10000000) AS BIGINT) AS sx,
+              CAST(round(cos(radians(lat_u / 1000000.0))
+                   * sin(radians(lon_u / 1000000.0)) * 10000000) AS BIGINT) AS sy,
+              CAST(round(sin(radians(lat_u / 1000000.0)) * 10000000) AS BIGINT) AS sz
+"""
+
+
 def _q120_oracle_sql() -> str:
     return (
         _pages_oracle_cte()
@@ -5779,6 +5788,74 @@ _def(
     "q120_geo_sessions_geodesic",
     fn=_q_geo_sessions_geo,
     duck_sql=_q120_oracle_sql(),
+)
+
+
+# q168 — haversine sessionization (q120's true-metric sibling, r5):
+# step lengths are round(√chord²) over sphere-quantized coordinates
+# (1e-7-radius units), exact great-circle at any latitude. Oracle:
+# the identical window replay with the sphere CTE.
+def _q_geo_sessions_hav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.spatial.geoparse import geoparse_pages
+    from osm_spark.spatial.trajectories import geo_sessions
+
+    pages = _pages_df(spark)
+    geo = geoparse_pages(pages)
+    page_no = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    pts = geo.select(
+        (((page_no * F.lit(2654435761)) % F.lit(1000000)) % F.lit(37)).alias(
+            "traveler"
+        ),
+        "warc_ts",
+        "lon",
+        "lat",
+    )
+    return geo_sessions(
+        pts, "traveler", "warc_ts", _TRAJ_GAP_S, metric="haversine"
+    )
+
+
+def _q168_oracle_sql() -> str:
+    return (
+        _pages_oracle_cte()
+        + f""",
+ pts AS (SELECT (CAST(regexp_extract(url, 'page/(\\d+)$', 1) AS BIGINT)
+                 * 2654435761) % 1000000 % 37 AS key,
+                warc_ts AS ts, CAST(epoch(warc_ts) AS BIGINT) AS ts_s,
+                lon_u, lat_u, {_HAV_SQL_SPHERE}
+         FROM pages),
+ lagd AS (SELECT *, lag(ts_s) OVER w AS p_ts,
+                 lag(sx) OVER w AS p_sx, lag(sy) OVER w AS p_sy,
+                 lag(sz) OVER w AS p_sz
+          FROM pts WINDOW w AS (PARTITION BY key ORDER BY ts)),
+ marked AS (SELECT *,
+        CASE WHEN p_ts IS NULL OR ts_s - p_ts > {_TRAJ_GAP_S}
+             THEN 1 ELSE 0 END AS new_session,
+        CASE WHEN p_ts IS NULL OR ts_s - p_ts > {_TRAJ_GAP_S} THEN 0
+             ELSE CAST(round(sqrt(CAST(
+                  (sx - p_sx) * (sx - p_sx) + (sy - p_sy) * (sy - p_sy)
+                  + (sz - p_sz) * (sz - p_sz) AS DOUBLE)))
+                  AS BIGINT) END AS step_u
+        FROM lagd),
+ runs AS (SELECT *, CAST(sum(new_session) OVER (
+            PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS session_no
+          FROM marked)
+SELECT key, session_no, CAST(count(*) AS BIGINT) AS n_points,
+       min(ts) AS t_start, max(ts) AS t_end,
+       CAST(sum(step_u) AS BIGINT) AS path_len_u,
+       CAST(max(step_u) AS BIGINT) AS max_step_u,
+       min(lon_u) AS min_lon_u, max(lon_u) AS max_lon_u,
+       min(lat_u) AS min_lat_u, max(lat_u) AS max_lat_u
+FROM runs GROUP BY key, session_no
+"""
+    )
+
+
+_def(
+    "q168_geo_sessions_haversine",
+    fn=_q_geo_sessions_hav,
+    duck_sql=_q168_oracle_sql(),
 )
 
 
@@ -8736,13 +8813,6 @@ _def("q163_jpeg_decode", fn=_q_jpeg_decode, duck_sql=_q163_oracle_sql())
 # wide-latitude pairs; the pytest ordering-divergence corpus pins a
 # case where the two metrics rank differently). The oracles recompute
 # the quantized sphere coords and brute-force chord² entirely in SQL.
-_HAV_SQL_SPHERE = """
-              CAST(round(cos(radians(lat_u / 1000000.0))
-                   * cos(radians(lon_u / 1000000.0)) * 10000000) AS BIGINT) AS sx,
-              CAST(round(cos(radians(lat_u / 1000000.0))
-                   * sin(radians(lon_u / 1000000.0)) * 10000000) AS BIGINT) AS sy,
-              CAST(round(sin(radians(lat_u / 1000000.0)) * 10000000) AS BIGINT) AS sz
-"""
 
 
 def _q_knn_points_hav(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,9 +61,19 @@ def geo_sessions(
     (deterministic; the shared knn_points/distance_join contract) —
     so path lengths are geodesically meaningful across latitudes
     while staying int64-exact.
+    ``metric="haversine"`` measures each step as the exact int64 CHORD
+    length over SPHERE_SCALE-quantized unit-sphere coordinates (the
+    knn_points haversine contract): true great-circle step ranking at
+    any latitude — including trans-polar and antimeridian steps, where
+    the equirectangular µdeg delta wildly overestimates. path_len_u /
+    max_step_u are then in 1e-7-sphere-radius units (≈ 0.64 m each),
+    not µdeg; per-step round(√chord²) keeps session sums order-free
+    integer-exact, the same argument as the µdeg metrics.
     """
-    if metric not in ("planar", "equirectangular"):
+    if metric not in ("planar", "equirectangular", "haversine"):
         raise ValueError(f"unknown metric {metric!r}")
+    from osm_spark.spatial.knn_points import _sphere_cols
+
     epoch = F.unix_timestamp(F.col(ts))
     lon_u = F.round(F.col(lon) * 1e6).cast("long")
     lat_u = F.round(F.col(lat) * 1e6).cast("long")
@@ -77,6 +87,11 @@ def geo_sessions(
         F.round(F.cos(F.radians(F.col(lat))) * 1024)
         .cast("long")
         .alias("cq"),
+        *(
+            _sphere_cols(F.col(lon), F.col(lat), "s")
+            if metric == "haversine"
+            else ()
+        ),
         *([F.col(tiebreak).alias("tb")] if tiebreak else []),
     )
     worder = [F.col("ts")] + ([F.col("tb")] if tiebreak else [])
@@ -89,15 +104,21 @@ def geo_sessions(
     new_session = (
         prev_ts.isNull() | (F.col("ts_s") - prev_ts > F.lit(gap_s))
     ).cast("int")
-    if metric == "equirectangular":
-        dlon = F.shiftright(
-            F.abs(F.col("lon_u") - prev_lon) * F.lag("cq").over(w), 10
-        )
+    if metric == "haversine":
+        dsx = F.col("sx") - F.lag("sx").over(w)
+        dsy = F.col("sy") - F.lag("sy").over(w)
+        dsz = F.col("sz") - F.lag("sz").over(w)
+        d2 = dsx * dsx + dsy * dsy + dsz * dsz
     else:
-        dlon = F.col("lon_u") - prev_lon
-    d2 = dlon * dlon + (F.col("lat_u") - prev_lat) * (
-        F.col("lat_u") - prev_lat
-    )
+        if metric == "equirectangular":
+            dlon = F.shiftright(
+                F.abs(F.col("lon_u") - prev_lon) * F.lag("cq").over(w), 10
+            )
+        else:
+            dlon = F.col("lon_u") - prev_lon
+        d2 = dlon * dlon + (F.col("lat_u") - prev_lat) * (
+            F.col("lat_u") - prev_lat
+        )
     step_u: Column = F.when(
         new_session == 1, F.lit(0)
     ).otherwise(F.round(F.sqrt(d2.cast("double"))).cast("long"))

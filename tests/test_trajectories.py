@@ -166,3 +166,42 @@ def test_single_point_sessions(spark):
     got = _check(spark, rows, gap_s=10)
     assert len(got) == 5
     assert all(v[0] == 1 and v[3] == 0 and v[4] == 0 for v in got.values())
+
+
+def test_haversine_path_length(spark):
+    """Chord-metric steps: exact vs a numpy twin, and the trans-polar
+    step where the equirectangular µdeg delta wildly overestimates —
+    (89.9N, 0) → (89.9N, 180) is ~0.2° of arc over the pole, not 180°
+    of longitude."""
+    import math
+
+    from osm_spark.spatial.trajectories import geo_sessions as gs
+
+    rows = [
+        ("t", _ts(0), 0.0, 89.9),
+        ("t", _ts(10), 180.0, 89.9),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, lon double, lat double"
+    )
+    hav = gs(df, "key", "ts", 60, metric="haversine").collect()[0]
+    eq = gs(df, "key", "ts", 60, metric="equirectangular").collect()[0]
+
+    def sphere(lon, lat):
+        rl, rp = math.radians(lon), math.radians(lat)
+        s = 1e7
+        return (
+            round(math.cos(rp) * math.cos(rl) * s),
+            round(math.cos(rp) * math.sin(rl) * s),
+            round(math.sin(rp) * s),
+        )
+
+    a, b = sphere(0.0, 89.9), sphere(180.0, 89.9)
+    want = round(math.sqrt(sum((u - v) ** 2 for u, v in zip(a, b))))
+    assert hav["path_len_u"] == want == hav["max_step_u"]
+    # 0.2° of arc ≈ 34,907 sphere units; the equirect µdeg length of
+    # the same step is ~ 0.17 cos-scaled degrees of pure lon = 321k+
+    # µdeg — a ~9× overestimate in its own unit, and the ORDERING of
+    # this step vs a plain 1°-south step flips between the metrics.
+    assert hav["path_len_u"] < 40_000
+    assert eq["path_len_u"] > 300_000
