@@ -3,6 +3,10 @@ __spark_entry__ query against its DuckDB oracle at a given SF and
 compare row count + column names + order-insensitive values.
 
 Usage: python tools/diffcheck.py [sf_dir] [query ...]
+
+Set DIFFCHECK_JSON=/path/out.json to also write the per-query record
+(name, rows, pass, seconds, mode) — the committed full-surface
+correctness artifact (VERDICT r4 next #1: CORRECTNESS_full_r5.json).
 """
 
 from __future__ import annotations
@@ -30,6 +34,9 @@ def rows_key(cols, rows):
 
 
 def main() -> int:
+    import json
+    import os
+
     import duckdb
 
     import __spark_entry__ as entry
@@ -50,6 +57,7 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    record: dict[str, dict] = {}
     for name in sorted(qs):
         if only and name not in only:
             continue
@@ -61,11 +69,18 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
+            record[name] = {"pass": False, "error": f"spark: {exc}"[:300]}
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 print(f"  WARNING {name}: zero rows")
+            record[name] = {
+                "pass": len(srows) > 0,
+                "rows": len(srows),
+                "seconds": round(time.time() - t0, 1),
+                "mode": "rows-only",
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -74,6 +89,7 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
             failures += 1
+            record[name] = {"pass": False, "error": f"duckdb: {exc}"[:300]}
             continue
         ok = True
         if sorted(scols) != sorted(dcols):
@@ -96,7 +112,30 @@ def main() -> int:
             print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
         else:
             failures += 1
+        record[name] = {
+            "pass": ok,
+            "rows": len(srows),
+            "seconds": round(time.time() - t0, 1),
+            "mode": "oracle",
+        }
     print(f"\n{failures} failures")
+    out = os.environ.get("DIFFCHECK_JSON")
+    if out:
+        n_ok = sum(1 for r in record.values() if r.get("pass"))
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(record),
+                    "n_ok": n_ok,
+                    "n_fail": len(record) - n_ok,
+                    "queries": record,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out}")
     return 1 if failures else 0
 
 

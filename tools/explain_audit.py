@@ -124,6 +124,18 @@ CHECKS = {
     # r4s2 KMV distinct (window kernel in q149 is relational; the
     # pin: no cross join, single-pass aggregation after distinct)
     "q150_kmv_intersect": ([], ["EvalPython"], 1),
+    # r5 haversine point kNN: sphere quantization + chord² are pure
+    # Catalyst int64 expressions — no Python, no cartesian anywhere
+    "q164_knn_points_haversine": ([], ["EvalPython", "CartesianProduct",
+                                       "BroadcastNestedLoopJoin"], 1),
+    # r5 haversine radius join: one cell equi-join + exact chord²
+    # filter, the data side broadcast
+    "q165_distance_join_haversine": (["BroadcastHashJoin"],
+                                     ["EvalPython", "CartesianProduct"], 1),
+    # r5 haversine sessionization: one window pass, no joins, no
+    # Python (chord² is a lag expression)
+    "q168_geo_sessions_haversine": (["Window"],
+                                    ["EvalPython", "Join"], 1),
 }
 
 
