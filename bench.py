@@ -279,7 +279,14 @@ def main() -> None:
         enc = bpe_encode(docs, merges)
         return int(enc.agg(F.sum("n_bpe_tokens")).first()[0])
 
-    timed("bpe256_train_encode", run_bpe256)
+    # SPARK_GRAFT_BPE256_K=0 skips the leg (the two-width scaling
+    # sweep sets it: 256 sequential driver-coordinated rounds are a
+    # fixed per-round cost by DESIGN — the corpus-scale pass is the
+    # K=8 leg's word-count reduction, which does scale — so including
+    # a ~300 s non-scaling leg in the sweep total would only obscure
+    # the legs whose scaling the north rule is about; BENCH.md r5).
+    if int(os.environ.get("SPARK_GRAFT_BPE256_K", "256")) > 0:
+        timed("bpe256_train_encode", run_bpe256)
 
     sp: dict = {}
 
