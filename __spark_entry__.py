@@ -5859,6 +5859,71 @@ _def(
 )
 
 
+# ---------------------------------------------------------------------------
+# q169 — REAL GIF decode (pure-python LZW codec) vs the q61 closed-form
+# pixel oracle (GIF is lossless, so decoded pixels ARE the formula)
+# ---------------------------------------------------------------------------
+def _q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_spark.data.pages import pages_gif_df
+    from osm_spark.text.multimodal import attach_media, extract_features
+
+    media = attach_media(
+        pages_gif_df(spark, _pages_spec()), "payload", "image", keep=["url"]
+    )
+    feats = extract_features(
+        media.select("url", "media_id", "kind", "payload"), dim=8,
+        keep=["url"],
+    )
+    return feats.select(
+        "url",
+        "kind",
+        "width",
+        "height",
+        "decoded",
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 8).cast("double").alias("f7"),
+    )
+
+
+def _q169_oracle_sql() -> str:
+    from osm_spark.data.pages import GIF_H, GIF_W, pages_gif_sql_exprs
+
+    e = pages_gif_sql_exprs("i")
+    n_px = GIF_W * GIF_H
+    blk = n_px // 8
+
+    def f(j: int) -> str:
+        # pixel_features: block j is [j*blk, (j+1)*blk) except the
+        # LAST block, which extends to n_px (252 is not 8-divisible —
+        # 35 px vs 31)
+        hi = n_px if j == 7 else (j + 1) * blk
+        size = hi - j * blk
+        return (
+            f"CAST(CAST(CAST(SUM(CASE WHEN p >= {j * blk} AND p < {hi} "
+            f"THEN v END) AS DOUBLE) / CAST({size} AS DOUBLE) / CAST(255 AS DOUBLE) "
+            f"AS FLOAT) AS DOUBLE)"
+        )
+
+    return f"""
+WITH px AS (
+  SELECT i, p, ({e['seed']} + 3 * p) % 256 AS v
+  FROM generate_series(0, {_N_PAGES - 1}) AS t(i),
+       generate_series(0, {n_px - 1}) AS s(p)
+)
+SELECT 'https://example.org/page/' || CAST(i AS VARCHAR) AS url,
+       'image' AS kind,
+       {e['width']} AS width,
+       {e['height']} AS height,
+       TRUE AS decoded,
+       {f(0)} AS f0,
+       {f(7)} AS f7
+FROM px GROUP BY i
+"""
+
+
+_def("q169_gif_decode", fn=_q_gif_decode, duck_sql=_q169_oracle_sql())
+
+
 # X75 — grid-density hotspot clustering (DBSCAN-style): dense grid
 # cells (≥ min_pts points) → connected components under 8-adjacency
 # with the antimeridian wrap → per-cell and per-point cluster labels.

@@ -297,6 +297,57 @@ def pages_jpeg_df(spark: SparkSession, spec: PagesSpec) -> DataFrame:
     )
 
 
+GIF_W, GIF_H = 14, 18  # 252 px: not a 256 multiple (the q61 argument —
+# per-page seeds must change the pixel-sum invariant)
+
+
+def pages_gif_sql_exprs(i: str) -> dict[str, str]:
+    """Closed-form SQL for the synthetic GIF's pixel stream — shared
+    by the q169 DuckDB oracle. GIF is LOSSLESS, so the decoded pixels
+    ARE the source formula (the q61 PNG contract): pixel p of page
+    ``i`` is ``(seed + 3*p) % 256``, seed = (i*2654435761) % 256."""
+    return {
+        "seed": f"(({i} * 2654435761) % 256)",
+        "n_px": str(GIF_W * GIF_H),
+        "width": str(GIF_W),
+        "height": str(GIF_H),
+    }
+
+
+def pages_gif_df(spark: SparkSession, spec: PagesSpec) -> DataFrame:
+    """(url, payload) — one REAL tiny GIF per page (pure-python LZW
+    encoder, osm_spark/text/gif.py), pixels the deterministic pattern
+    of ``pages_gif_sql_exprs``. The pages_png_df shape."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from osm_spark.text.gif import encode_gif
+
+    w, h = GIF_W, GIF_H
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ramp = np.arange(w * h, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            payloads = []
+            for i in ids:
+                seed = (int(i) * 2654435761) % 256
+                px = ((seed + 3 * ramp) % 256).astype(np.uint8).reshape(h, w)
+                payloads.append(encode_gif(px))
+            yield pd.DataFrame(
+                {
+                    "url": "https://example.org/page/" + pd.Series(ids).astype(str),
+                    "payload": payloads,
+                }
+            )
+
+    return spark.range(spec.n_pages).mapInPandas(
+        gen, "url string, payload binary"
+    )
+
+
 WAV_N, WAV_RATE = 250, 8000  # 250 samples: NOT a multiple of 65536's
 # cycle or of the 37 stride, so per-page streams genuinely differ.
 

@@ -1,17 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with mapInPandas plumbing for decode/feature-extract stages.
 
-Image decode is REAL for PNG payloads (``osm_spark.text.png``, a
-pure-python zlib+struct codec) AND for baseline JPEG payloads
-(``osm_spark.text.jpeg``, a pure-python Huffman+IDCT codec): the
-sniff order is PNG signature, then SOI. ``decode_image`` turns actual
-bytes into pixel arrays and ``extract_features`` computes features
-from decoded pixels (block means — q61 pins PNG, q163 pins JPEG
-against closed-form SQL oracles). Payloads neither codec can decode
-(GIF/WebP/progressive JPEG/...) fall back to ``decode_image_stub``: a
-deterministic md5-seeded feature vector, so the distributed plumbing
-stays testable on arbitrary bytes and raises with a clear message
-when ``strict=True`` (production wiring point for PIL/ffmpeg).
+Image decode is REAL for PNG (``osm_spark.text.png``, zlib+struct),
+baseline JPEG (``osm_spark.text.jpeg``, Huffman+IDCT) and GIF
+(``osm_spark.text.gif``, LZW — incl. animations) payloads, all
+pure-python: the sniff order is PNG signature, SOI, then GIF8.
+``decode_image`` turns actual bytes into pixel arrays and
+``extract_features`` computes features from decoded pixels (block
+means — q61 pins PNG, q163 JPEG, q169 GIF against closed-form SQL
+oracles). Payloads no codec here can decode (WebP / progressive
+JPEG / ...) fall back to ``decode_image_stub``: a deterministic
+md5-seeded feature vector, so the distributed plumbing stays testable
+on arbitrary bytes and raises with a clear message when
+``strict=True`` (production wiring point for PIL/ffmpeg).
 """
 
 from __future__ import annotations
@@ -104,6 +105,16 @@ def decode_image(payload: bytes, dim: int = 16) -> tuple[np.ndarray, dict | None
         except ValueError:
             return decode_image_stub(payload, dim), None
         return pixel_features(img, dim), meta
+    if payload and bytes(payload[:4]) == b"GIF8":
+        from osm_spark.text.gif import decode_gif
+
+        try:
+            frames, meta = decode_gif(bytes(payload))
+        except ValueError:
+            return decode_image_stub(payload, dim), None
+        # image modality: features from the FIRST frame (animations
+        # keep their frame count in meta for the video path)
+        return pixel_features(frames[0], dim), meta
     return decode_image_stub(payload, dim), None
 
 
